@@ -1,0 +1,180 @@
+"""URL-seen dedup: xxhash64 keys, exact anti-join, partitioned Bloom prefilter
+(SURVEY.md §2.2 F1, §2.4 J1, §2.5 A5).
+
+The reference's seen-set is an in-memory case-insensitive HashSet
+(case_insensitive_string + ahash, Cargo.lock:289/27). At a 10^10-URL frontier
+that set is table-valued: `seen(url_hash, url_canon, wave)` with
+``url_hash = xxhash64(lower(url_canon))`` (the input_hint mandates xxhash64).
+
+Dedup is two-stage:
+  1. **Bloom prefilter** — per-partition bitsets built with applyInPandas
+     (partial agg), OR-merged on the driver (final agg), broadcast; the probe
+     splits candidates into *definitely-new* (bit miss -> admit directly, no
+     shuffle) and *maybe-seen* (bit hit -> exact check). Blooms have no false
+     negatives, so stage 2 sees every true duplicate.
+  2. **Exact anti-join** — `maybe.join(seen, "url_hash", "left_anti")`;
+     Catalyst/AQE picks broadcast-hash vs shuffled-hash at runtime.
+
+Scale note: 64-bit keys over 10^10 URLs expect ~3 birthday collisions
+(n^2/2^65) — a collision silently drops one URL, matching the accepted
+practice for web-crawl dedup; the test-scale oracle equality is unaffected
+(collision probability ~1e-11 at 1e4 URLs). The partitioned bitset is sized
+from bits/key so the 10^10 design point shards into `bloom_parts` broadcast
+pieces; at cluster scale the probe-side would lazy-load only its partition's
+bitset from the snapshot store instead of a full broadcast (same layout).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, IntegerType, LongType, StructField, StructType,
+)
+
+# odd multipliers for double hashing of the 64-bit key (splitmix64 constants)
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def url_hash_col(url_canon: Column) -> Column:
+    """Seen-key: xxhash64 of the casefolded canonical URL (case-insensitive
+    dedup per reference Cargo.lock:289; casefold rule SURVEY.md §5.3)."""
+    return F.xxhash64(F.lower(url_canon))
+
+
+class BloomFilter:
+    """Vectorized (numpy) Bloom bitset over uint64 keys, double hashing."""
+
+    def __init__(self, n_keys: int, fpp: float = 0.01, bits: np.ndarray | None = None):
+        n_keys = max(n_keys, 64)
+        m = int(-n_keys * math.log(fpp) / (math.log(2) ** 2))
+        self.m = max(512, 1 << (m - 1).bit_length())          # pow2 for cheap mod
+        self.k = max(1, round(self.m / n_keys * math.log(2)))
+        self.bits = bits if bits is not None else np.zeros(self.m // 8, dtype=np.uint8)
+
+    def _idx(self, keys: np.ndarray, i: int) -> np.ndarray:
+        x = keys.astype(np.uint64)
+        h = x * _C1 + np.uint64(i) * (x * _C2 | np.uint64(1))
+        return (h & np.uint64(self.m - 1)).astype(np.int64)
+
+    def add(self, keys: np.ndarray) -> None:
+        for i in range(self.k):
+            idx = self._idx(keys, i)
+            np.bitwise_or.at(self.bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        out = np.ones(len(keys), dtype=bool)
+        for i in range(self.k):
+            idx = self._idx(keys, i)
+            out &= (self.bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return out
+
+    def merge(self, other: "BloomFilter") -> None:
+        assert self.m == other.m and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+
+
+BLOOM_SCHEMA = StructType([
+    StructField("part", IntegerType(), False),
+    StructField("bits", BinaryType(), False),
+    StructField("n_keys", LongType(), False),
+])
+
+
+def build_bloom_parts(seen: DataFrame, n_parts: int, keys_per_part: int,
+                      fpp: float) -> DataFrame:
+    """Partial aggregate: per salted partition, a Bloom bitset over url_hash.
+    applyInPandas per part (UDAF-shaped partial; driver OR-merge is final)."""
+    m_probe = BloomFilter(keys_per_part, fpp)          # fixes (m, k) for all parts
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(keys_per_part, fpp)
+        keys = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        bf.add(keys)
+        return pd.DataFrame({"part": [int(pdf["part"].iloc[0])],
+                             "bits": [bf.bits.tobytes()],
+                             "n_keys": [len(pdf)]})
+
+    parted = seen.select(
+        F.col("url_hash"),
+        F.pmod(F.col("url_hash"), F.lit(n_parts)).cast("int").alias("part"),
+    )
+    out = parted.groupBy("part").applyInPandas(_build, BLOOM_SCHEMA)
+    out._bloom_geometry = (m_probe.m, m_probe.k)  # type: ignore[attr-defined]
+    return out
+
+
+class SeenBloom:
+    """Driver-held merged bloom state: {part -> bitset}, broadcast to probes."""
+
+    def __init__(self, n_parts: int, keys_per_part: int, fpp: float):
+        # power-of-2 so Spark's pmod(signed long) and numpy's uint64-% agree
+        assert n_parts & (n_parts - 1) == 0, "bloom_parts must be a power of 2"
+        self.n_parts = n_parts
+        self.keys_per_part = keys_per_part
+        self.fpp = fpp
+        proto = BloomFilter(keys_per_part, fpp)
+        self.m, self.k = proto.m, proto.k
+        self.parts: dict[int, bytes] = {}
+        self._bc = None
+
+    def merge_from(self, bloom_rows: list) -> None:
+        """Final aggregate: OR new per-partition bitsets into driver state."""
+        for row in bloom_rows:
+            cur = self.parts.get(row["part"])
+            new = np.frombuffer(row["bits"], dtype=np.uint8)
+            if cur is None:
+                self.parts[row["part"]] = new.tobytes()
+            else:
+                self.parts[row["part"]] = (
+                    np.frombuffer(cur, dtype=np.uint8) | new).tobytes()
+        self._bc = None  # invalidate broadcast
+
+    def broadcast(self, spark: SparkSession):
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(
+                {"parts": self.parts, "m": self.m, "k": self.k,
+                 "n_parts": self.n_parts})
+        return self._bc
+
+    def probe_udf(self, spark: SparkSession):
+        """pandas_udf url_hash -> maybe_seen (False = definitely new)."""
+        bc = self.broadcast(spark)
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(url_hash: pd.Series) -> pd.Series:
+            state = bc.value
+            keys = url_hash.to_numpy(dtype=np.int64).view(np.uint64)
+            parts = (keys % np.uint64(state["n_parts"])).astype(np.int64)
+            out = np.zeros(len(keys), dtype=bool)
+            for p in np.unique(parts):
+                blob = state["parts"].get(int(p))
+                if blob is None:
+                    continue
+                bf = BloomFilter(1, 0.5, bits=np.frombuffer(blob, dtype=np.uint8))
+                bf.m, bf.k = state["m"], state["k"]
+                mask = parts == p
+                out[mask] = bf.contains(keys[mask])
+            return pd.Series(out, dtype="bool")
+
+        return maybe_seen
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame,
+                   bloom: SeenBloom | None, spark: SparkSession) -> DataFrame:
+    """candidates minus seen (J1). With a bloom, only 'maybe-seen' rows reach
+    the exact anti-join — at scale this is the shuffle-volume win, since the
+    overwhelming majority of a wave's outlinks are new URLs."""
+    if bloom is None or not bloom.parts:
+        return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+    probed = candidates.withColumn("maybe_seen", bloom.probe_udf(spark)("url_hash"))
+    fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    survived = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return fresh.unionByName(survived)

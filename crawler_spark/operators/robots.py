@@ -1,0 +1,162 @@
+"""robots.txt parsing + frontier gating (SURVEY.md §2.2 F5).
+
+The reference honors robots unless `norobots` is set (inverted to
+`respect_robots_txt` at src/rpc/server.rs:22; enforcement lives in
+spider::packages::robotparser). Semantics implemented here are the
+Google/RFC 9309 subset relevant to allow/deny gating:
+
+  * only the `User-agent: *` group is considered (the reference spoofs a
+    random UA per crawl — README.md:13 — so named groups never match),
+  * longest-match wins between Allow and Disallow prefixes; tie -> Allow,
+  * empty Disallow value = allow all; `Crawl-delay` captured in ms.
+
+The pure parser/matcher is shared with tests/oracle.py; the engine applies
+it as a vectorized pandas UDF over a frontier LEFT JOIN robots (host).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+ROBOTS_SCHEMA = StructType([
+    StructField("host", StringType(), False),
+    StructField("fetched_wave", IntegerType(), False),
+    StructField("allow_prefixes", ArrayType(StringType(), False), False),
+    StructField("deny_prefixes", ArrayType(StringType(), False), False),
+    StructField("crawl_delay_ms", LongType(), False),
+])
+
+
+def parse_robots(body: str) -> tuple[list[str], list[str], int]:
+    """Parse a robots.txt body -> (allow_prefixes, deny_prefixes, crawl_delay_ms).
+
+    Only the `User-agent: *` group applies (see module docstring).
+    """
+    allow: list[str] = []
+    deny: list[str] = []
+    delay_ms = 0
+    active = False       # inside a UA group that includes '*'
+    in_ua_block = False  # consecutive User-agent lines open a group
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_ua_block:
+                active = False
+                in_ua_block = True
+            if val == "*":
+                active = True
+            continue
+        in_ua_block = False
+        if not active:
+            continue
+        if key == "disallow":
+            if val:
+                deny.append(val)
+        elif key == "allow":
+            if val:
+                allow.append(val)
+        elif key == "crawl-delay":
+            try:
+                delay_ms = int(float(val) * 1000)
+            except ValueError:
+                pass
+    return allow, deny, delay_ms
+
+
+def _match_len(path: str, prefixes: list[str]) -> int:
+    """Longest matching prefix length; -1 if none. '*' wildcards supported
+    (segment wildcard, as in RFC 9309); '$' anchors end-of-path."""
+    best = -1
+    for p in prefixes:
+        if "*" in p or p.endswith("$"):
+            import re as _re
+            pat = _re.escape(p).replace(r"\*", ".*")
+            if pat.endswith(r"\$"):
+                pat = pat[:-2] + "$"
+            if _re.match(pat, path):
+                best = max(best, len(p))
+        elif path.startswith(p):
+            best = max(best, len(p))
+    return best
+
+
+def robots_allowed(path: str, allow: list[str], deny: list[str]) -> bool:
+    """Longest-match-wins between allow and deny; tie -> allowed."""
+    return _match_len(path, allow) >= _match_len(path, deny)
+
+
+def path_of(url_canon: str) -> str:
+    rest = url_canon.split("://", 1)[-1]
+    i = rest.find("/")
+    return rest[i:] if i >= 0 else "/"
+
+
+@F.pandas_udf(BooleanType())
+def robots_allowed_udf(path: pd.Series, allow: pd.Series, deny: pd.Series) -> pd.Series:
+    """Vectorized longest-match gate. Null rule arrays (no robots row after
+    the left join) mean 'allow' — absent robots.txt permits everything."""
+    out = []
+    for p, a, d in zip(path, allow, deny):
+        if a is None and d is None:
+            out.append(True)
+        else:
+            out.append(robots_allowed(p or "/", list(a or []), list(d or [])))
+    return pd.Series(out, dtype="bool")
+
+
+def build_robots_table(robots_src: DataFrame, fetched_wave: int = 0) -> DataFrame:
+    """Compile raw robots bodies -> rule table (host, allow, deny, delay).
+
+    One mapInPandas pass (vectorized rule compilation — §2.10). In production
+    the robots cache fills lazily: hosts first appearing in wave W get their
+    robots fetched at W's start; the fixture pre-warms all hosts, which is
+    semantically identical because gating happens at admission time.
+    """
+    import pandas as _pd
+
+    def _compile(batches):
+        for pdf in batches:
+            allows, denies, delays = [], [], []
+            for body in pdf["body"]:
+                a, d, ms = parse_robots(body or "")
+                allows.append(a)
+                denies.append(d)
+                delays.append(ms)
+            yield _pd.DataFrame({
+                "host": pdf["host"],
+                "fetched_wave": fetched_wave,
+                "allow_prefixes": allows,
+                "deny_prefixes": denies,
+                "crawl_delay_ms": delays,
+            })
+
+    return robots_src.mapInPandas(_compile, ROBOTS_SCHEMA)
+
+
+def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """frontier LEFT JOIN robots ON host -> keep allowed rows (J2 + F5).
+
+    The robots side is tiny relative to the frontier (one row per host), so
+    it is explicitly broadcast — no shuffle of the frontier.
+    Adds/uses a `path` column derived natively (stays in codegen).
+    """
+    r = robots.select("host", "allow_prefixes", "deny_prefixes")
+    joined = frontier.withColumn(
+        "path", F.regexp_replace(F.col("url_canon"), r"^[a-z]+://[^/]*", "")
+    ).withColumn("path", F.when(F.col("path") == "", "/").otherwise(F.col("path")))
+    joined = joined.join(F.broadcast(r), "host", "left_outer")
+    gated = joined.withColumn(
+        "robots_ok",
+        robots_allowed_udf("path", "allow_prefixes", "deny_prefixes"),
+    )
+    return gated.drop("allow_prefixes", "deny_prefixes", "path")

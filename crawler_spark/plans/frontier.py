@@ -1,0 +1,262 @@
+"""The BFS wave loop — each crawl wave is one DataFrame job (north_star).
+
+Mirror of the reference's drain-and-refill crawl loop
+(spider::Website::crawl_concurrent, SURVEY.md §3.4), re-expressed over tables:
+
+    wave W:
+      frontier(pending) ── refill tokens ── groupBy(host).applyInPandas
+        token-bucket select (W2) ── global budget top-k (W3)
+      selected ── fetch join / UDF (S5) ── mapInPandas span parse (P2)
+      200-pages ── explode link spans ── scope/asset/blacklist filters (F2-F8)
+        ── robots gate (F5/J2) ── wave dedup (A2) ── bloom probe + exact
+        anti-join vs seen (F1/J1) ── admit to frontier wave W+1
+      commit {frontier, seen, hosts, bloom} full + {documents, fetch_log,
+        metrics} delta  (atomic manifest — §4.3)
+
+Determinism contract (SURVEY.md §5.3): equal URL-seen set, equal per-wave URL
+sets, per-document span-sequence equality, all asserted against the
+single-threaded oracle in tests/test_crawl_e2e.py.
+
+Exactly two wide shuffles per wave (groupBy(host) selection; casefold wave
+dedup) — robots/tokens joins are broadcast, the seen anti-join is
+bloom-prefiltered and AQE-planned, and the fetch join's page side is the only
+large probe (scan-pruned by the selected batch's hash keys at Iceberg scale).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from crawler_spark.functions.canon import canonicalize_udf, host_col
+from crawler_spark.operators import politeness
+from crawler_spark.operators.dedup import (
+    SeenBloom, anti_join_seen, build_bloom_parts, url_hash_col,
+)
+from crawler_spark.operators.robots import build_robots_table, gate_frontier
+from crawler_spark.operators.scope import asset_col, blacklist_col, scope_col
+from crawler_spark.plans.tableio import MemoryStore, SnapDirStore
+from crawler_spark.sources.fetch import parse_spans, ua_col
+from crawler_spark.spec import CrawlJobSpec
+
+
+@dataclass
+class CrawlRun:
+    spec: CrawlJobSpec
+    documents: DataFrame | None = None     # (doc_id, spans, wave)
+    fetch_log: DataFrame | None = None     # (url_canon, host, depth, wave, status, bytes, agent)
+    seen: DataFrame | None = None          # (url_hash, url_canon, host, wave)
+    frontier: DataFrame | None = None      # pending rows at exit
+    metrics: list[dict] = field(default_factory=list)   # wave-level counters
+    n_fetched: int = 0
+    n_waves: int = 0
+
+    def to_python(self) -> dict:
+        """Collect to oracle-comparable plain structures (TEST SCALE ONLY)."""
+        docs, doc_wave = {}, {}
+        for r in (self.documents.collect() if self.documents is not None else []):
+            docs[r["doc_id"]] = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                                 for s in r["spans"]]
+            doc_wave[r["doc_id"]] = r["wave"]
+        waves: dict[int, list[str]] = {}
+        for r in (self.fetch_log.collect() if self.fetch_log is not None else []):
+            waves.setdefault(r["wave"], []).append(r["url_canon"])
+        return {
+            "seen": {r["url_canon"] for r in self.seen.select("url_canon").collect()},
+            "waves": {w: sorted(v) for w, v in waves.items()},
+            "documents": docs,
+            "doc_wave": doc_wave,
+        }
+
+
+def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
+           bloom: SeenBloom | None, robots: DataFrame | None,
+           spec: CrawlJobSpec, seed_hosts: list[str], wave: int) -> DataFrame:
+    """Admission pipeline: filters -> wave dedup -> seen anti-join.
+
+    cands: (url_canon, depth, priority). Returns new frontier rows
+    (priority, depth, url_canon, url_hash, host, discovered_wave) — the
+    casefold representative is min(priority, depth, url_canon), identical to
+    tests/oracle.py::admit.
+    """
+    c = (cands
+         .where(F.col("url_canon") != "")
+         .where(F.col("depth") <= spec.max_depth)
+         .where(~asset_col(F.col("url_canon"))))
+    if spec.blacklist:
+        c = c.where(~blacklist_col(F.col("url_canon"), spec.blacklist))
+    c = c.withColumn("host", host_col(F.col("url_canon")))
+    c = c.where(scope_col(F.col("host"), seed_hosts, spec.subdomains, spec.tld))
+    if spec.respect_robots_txt and robots is not None:
+        c = (gate_frontier(c, robots)
+             .where(F.col("robots_ok")).drop("robots_ok"))
+    # A2: in-wave dedup on the casefold key, deterministic min representative
+    c = (c.withColumn("url_fold", F.lower(F.col("url_canon")))
+         .groupBy("url_fold")
+         .agg(F.min(F.struct("priority", "depth", "url_canon")).alias("m"))
+         .select(F.col("m.priority").alias("priority"),
+                 F.col("m.depth").alias("depth"),
+                 F.col("m.url_canon").alias("url_canon"),
+                 F.xxhash64("url_fold").alias("url_hash")))
+    # F1/J1: bloom prefilter + exact anti-join against seen
+    if seen is not None:
+        c = anti_join_seen(c, seen, bloom, spark)
+    return (c.withColumn("host", host_col(F.col("url_canon")))
+            .withColumn("discovered_wave", F.lit(wave)))
+
+
+def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
+              robots_src: DataFrame | None = None,
+              sink=None, store=None) -> CrawlRun:
+    """EP2 `Crawl` batch mode (reference src/rpc/server.rs:54-88): run the
+    wave loop to exhaustion/budget, return final tables.
+
+    `sink(wave, docs_df)` — optional per-wave callback = EP1 `Scan` streaming
+    mode (reference streams each page as found, src/scanner/scan.rs:50-64).
+    `store` — MemoryStore (default) or SnapDirStore for resumable snapshots.
+    """
+    store = store or (SnapDirStore(spark, spec.checkpoint_dir)
+                      if spec.checkpoint_dir else MemoryStore())
+    robots = None
+    if robots_src is not None:
+        robots = build_robots_table(robots_src).localCheckpoint(eager=True)
+
+    # --- wave-0 admission: seeds (S3) ---
+    seeds_df = spark.createDataFrame([(s,) for s in spec.seeds], "url string")
+    seeds_canon = (seeds_df
+                   .withColumn("url_canon", canonicalize_udf(F.col("url"), F.lit("")))
+                   .where(F.col("url_canon") != "")
+                   .select("url_canon", F.lit(0).alias("depth"),
+                           F.lit(0.0).alias("priority")))
+    seed_hosts = sorted({r["host"] for r in
+                         seeds_canon.select(host_col(F.col("url_canon")).alias("host"))
+                         .distinct().collect()})
+
+    bloom = SeenBloom(spec.bloom_parts,
+                      keys_per_part=1 << 14, fpp=spec.bloom_fpp) if spec.use_bloom else None
+    pending = _admit(spark, seeds_canon, None, None, robots, spec, seed_hosts, 0)
+    seen = pending.select("url_hash", "url_canon", "host",
+                          F.lit(0).alias("wave"))
+    hosts = None
+    run = CrawlRun(spec=spec)
+    docs_parts: list[DataFrame] = []
+    log_parts: list[DataFrame] = []
+
+    state = store.persist_wave(-1, {"frontier": pending, "seen": seen}, {})
+    pending, seen = state["frontier"], state["seen"]
+    n_pending = pending.count()
+    if bloom is not None and n_pending:
+        bloom.merge_from(build_bloom_parts(
+            seen, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
+
+    wave = 0
+    while n_pending > 0 and wave < spec.max_waves:
+        if spec.max_pages and run.n_fetched >= spec.max_pages:
+            break
+        # --- W2/O1: token refill + per-host batch selection ---
+        tokens = politeness.refill_tokens(pending, hosts, robots, spec)
+        tokens = tokens.localCheckpoint(eager=True)   # reused: select + spend
+        flagged = politeness.select_batch(pending, tokens)
+        selected = flagged.where(F.col("selected")).drop("selected")
+        # --- W3/F7: global budget (top-k, TakeOrderedAndProject) ---
+        if spec.max_pages:
+            selected = (selected
+                        .orderBy("priority", "depth", "url_canon")
+                        .limit(spec.max_pages - run.n_fetched))
+        selected = selected.localCheckpoint(eager=True)
+        # rows not finally selected (incl. budget-truncated) stay pending
+        if spec.max_pages:
+            rest = (flagged.drop("selected")
+                    .join(selected.select("url_hash"), "url_hash", "left_anti"))
+        else:
+            rest = flagged.where(~F.col("selected")).drop("selected")
+        n_sel = selected.count()
+        if n_sel == 0:
+            wave += 1
+            continue
+        hosts = politeness.merge_host_state(
+            hosts, politeness.spend_tokens(tokens, selected))
+
+        # --- S5/P2/P3: fetch + parse + UA ---
+        batch = selected.withColumn("agent", ua_col(F.col("host"), spec.ua_pool))
+        parsed = parse_spans(fetcher.fetch(batch)).localCheckpoint(eager=True)
+        ok = parsed.where(F.col("status") == 200)
+        docs = ok.select(F.col("url_canon").alias("doc_id"), "spans",
+                         F.lit(wave).alias("wave"))
+        flog = parsed.select("url_canon", "host", "depth",
+                             F.lit(wave).alias("wave"), "status", "bytes", "agent")
+        if sink is not None:
+            sink(wave, docs)
+
+        # --- P2 outlinks -> admission (F*/A2/J1) ---
+        links = (ok.select(
+            F.col("depth"),
+            F.explode(F.expr(
+                "filter(spans, s -> s.kind = 'link' AND s.media_ref != '')"
+            )).alias("s"))
+            .select(F.col("s.media_ref").alias("url_canon"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.lit(0.0).alias("priority")))
+        new_rows = _admit(spark, links, seen, bloom, robots, spec,
+                          seed_hosts, wave + 1)
+        pending_next = rest.unionByName(new_rows)
+        seen_next = seen.unionByName(
+            new_rows.select("url_hash", "url_canon", "host",
+                            F.lit(wave + 1).alias("wave")))
+
+        # --- A4: per-partition fetch/dedup metrics (lineage per north_rule) ---
+        agg = parsed.groupBy(F.spark_partition_id().alias("part")).agg(
+            F.count("*").alias("fetched"),
+            F.sum((F.col("status") != 200).cast("long")).alias("errors"),
+            F.sum("bytes").alias("bytes")).collect()
+        n_new = new_rows.count()
+        wave_metrics = {
+            "wave": wave,
+            "fetched": int(sum(r["fetched"] for r in agg)),
+            "errors": int(sum(r["errors"] for r in agg)),
+            "new_links": int(n_new),
+            "bytes": int(sum(r["bytes"] for r in agg)),
+            "parts": [{"part": int(r["part"]), "fetched": int(r["fetched"]),
+                       "errors": int(r["errors"]), "bytes": int(r["bytes"])}
+                      for r in agg],
+        }
+        run.metrics.append(wave_metrics)
+
+        # --- §4.3 atomic snapshot commit ---
+        metrics_df = spark.createDataFrame(
+            [(wave, p["part"], p["fetched"], p["errors"], p["bytes"])
+             for p in wave_metrics["parts"]],
+            "wave int, part int, fetched long, errors long, bytes long")
+        state = store.persist_wave(
+            wave,
+            full={"frontier": pending_next, "seen": seen_next,
+                  "hosts": hosts},
+            delta={"documents": docs, "fetch_log": flog, "metrics": metrics_df},
+            extra={"n_fetched": run.n_fetched + n_sel,
+                   "spec": spec.to_dict()})
+        pending, seen, hosts = state["frontier"], state["seen"], state["hosts"]
+        docs_parts.append(state["documents"])
+        log_parts.append(state["fetch_log"])
+        if bloom is not None and n_new:
+            bloom.merge_from(build_bloom_parts(
+                state["seen"].where(F.col("wave") == wave + 1),
+                bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
+
+        run.n_fetched += n_sel
+        n_pending = n_pending - n_sel + n_new
+        wave += 1
+
+    run.n_waves = wave
+    run.seen = seen
+    run.frontier = pending
+    if docs_parts:
+        d = docs_parts[0]
+        for x in docs_parts[1:]:
+            d = d.unionByName(x)
+        run.documents = d
+        l = log_parts[0]
+        for x in log_parts[1:]:
+            l = l.unionByName(x)
+        run.fetch_log = l
+    return run

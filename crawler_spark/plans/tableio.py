@@ -1,0 +1,130 @@
+"""Snapshot/commit protocol with per-partition lineage (SURVEY.md §4.3).
+
+north_rule: every wave checkpoints frontier + seen-filter state so a killed
+job resumes bit-identically. Target backend is Iceberg (snapshot-id = wave);
+the sandbox has no Iceberg runtime jar and no network to fetch one, so the
+default backend is **snapdir**: Parquet under ``<root>/<table>/_snap=<wave>/``
+plus ``<root>/_manifest/<wave>.json`` written LAST as the atomic commit point
+(a snapshot without its manifest does not exist). Manifests carry per-table
+row counts and order-insensitive xxhash64 content fingerprints — the lineage
+a resume verifies against.
+
+Tables are committed in one of two modes:
+  * ``full``  — complete state each wave (frontier, seen, hosts, bloom);
+  * ``delta`` — append-only per-wave increment (documents, fetch_log,
+    metrics); a read at wave W unions deltas 0..W.
+At the 10^10 design point `seen` would also move to delta-plus-compaction
+(Iceberg gives this for free via snapshot manifests); snapdir keeps `full`
+for bit-identical-resume simplicity at test scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def content_fingerprint(df: DataFrame) -> int:
+    """Order-insensitive content hash: sum(xxhash64(to_json(struct(*)))).
+    Used by manifests and the resume test (bitwise-equal state)."""
+    row = df.select(
+        F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("fp")).collect()[0]
+    return int(row["fp"] or 0)
+
+
+class MemoryStore:
+    """No-checkpoint state store: localCheckpoint() truncates lineage so the
+    per-wave plan does not grow; nothing survives the session."""
+
+    resumable = False
+
+    def persist_wave(self, wave: int, full: dict[str, DataFrame],
+                     delta: dict[str, DataFrame], extra: dict | None = None
+                     ) -> dict[str, DataFrame]:
+        out = {}
+        for name, df in {**full, **delta}.items():
+            out[name] = df.localCheckpoint(eager=True)
+        return out
+
+
+class SnapDirStore:
+    """Parquet snapshot store with manifest-as-commit-point."""
+
+    resumable = True
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+
+    # -- paths --
+    def _snap_path(self, table: str, wave: int) -> str:
+        return os.path.join(self.root, table, f"_snap={wave}")
+
+    def _manifest_path(self, wave: int) -> str:
+        return os.path.join(self.root, "_manifest", f"{wave:06d}.json")
+
+    # -- commit --
+    def persist_wave(self, wave: int, full: dict[str, DataFrame],
+                     delta: dict[str, DataFrame], extra: dict | None = None
+                     ) -> dict[str, DataFrame]:
+        manifest = {"wave": wave, "parent_wave": wave - 1,
+                    "tables": {}, "extra": extra or {}}
+        out: dict[str, DataFrame] = {}
+        for mode, tables in (("full", full), ("delta", delta)):
+            for name, df in tables.items():
+                path = self._snap_path(name, wave)
+                if os.path.exists(path):           # re-run of an uncommitted wave
+                    shutil.rmtree(path)
+                df.write.parquet(path)
+                back = self.spark.read.parquet(path)
+                manifest["tables"][name] = {
+                    "mode": mode,
+                    "rows": back.count(),
+                    "fingerprint": content_fingerprint(back),
+                    "n_files": len([f for f in os.listdir(path)
+                                    if f.endswith(".parquet")]),
+                }
+                out[name] = back
+        tmp = self._manifest_path(wave) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self._manifest_path(wave))   # atomic commit point
+        return out
+
+    # -- read / resume --
+    def latest_wave(self) -> int | None:
+        waves = [int(f.split(".")[0]) for f in os.listdir(os.path.join(self.root, "_manifest"))
+                 if f.endswith(".json")]
+        return max(waves) if waves else None
+
+    def manifest(self, wave: int) -> dict:
+        with open(self._manifest_path(wave)) as fh:
+            return json.load(fh)
+
+    def read_full(self, table: str, wave: int) -> DataFrame:
+        return self.spark.read.parquet(self._snap_path(table, wave))
+
+    def read_delta_union(self, table: str, upto_wave: int) -> DataFrame | None:
+        paths = [self._snap_path(table, w) for w in range(upto_wave + 1)]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+
+class IcebergStore:
+    """Iceberg backend (config-switched; requires iceberg-spark-runtime on the
+    classpath — absent in this sandbox, see SURVEY.md §4.3). Same contract:
+    one snapshot per wave, resume = read latest snapshot."""
+
+    resumable = True
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        raise NotImplementedError(
+            "no Iceberg runtime jar in sandbox; production: writeTo("
+            f"'{catalog}.{namespace}.<table>').createOrReplace() per wave, "
+            "wave id stamped via snapshot summary properties")

@@ -1,0 +1,30 @@
+"""SparkSession builder with the engine's standard configuration.
+
+AQE on (skew-join splitting + partition coalescing), Arrow on (every Python
+boundary is vectorized), UTC session time. `shuffle_partitions` should track
+cluster cores (set per entry point; bench.py scales it with local[N])."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "crawler_spark", master: str | None = None,
+              shuffle_partitions: int = 32, extra: dict | None = None) -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    confs = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.ui.enabled": "false",
+    }
+    confs.update(extra or {})
+    for k, v in confs.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,112 @@
+"""Fetch-and-parse stage (SURVEY.md §2.1 S5 + §2.3 P2).
+
+The reference fetches with reqwest (Cargo.lock:1843) and streams an HTML5
+parse for links (fast_html5ever, Cargo.lock:644). Here the stage is split:
+
+  * **fetch** — pluggable. `SimulatedFetcher` joins the batch against the
+    synthetic web-graph pages table (inner equi-join on url_canon — J4); a
+    real deployment would swap in `HttpFetcher` (iterator pandas UDF holding
+    a connection pool per Python worker) — stubbed, no network in sandbox.
+  * **parse** — one `mapInPandas` pass over Arrow batches that runs the
+    byte-offset span scanner (sources/parse.py) once per page and emits FOUR
+    PARALLEL ARRAYS (kinds, texts, refs, offsets). The struct array is then
+    assembled natively with `F.arrays_zip`, so no Python builds Arrow structs
+    and downstream explode/filter stay JVM-side.
+
+User-agent assignment (P3): deterministic per-host pick from the UA pool via
+xxhash64(host) — the reference randomizes (README.md:13); determinism is
+required by the oracle contract (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from crawler_spark.sources.parse import extract_resolved_spans
+
+_PARSE_COLS = [
+    StructField("kinds", ArrayType(StringType(), False), False),
+    StructField("texts", ArrayType(StringType(), False), False),
+    StructField("refs", ArrayType(StringType(), False), False),
+    StructField("offsets", ArrayType(IntegerType(), False), False),
+]
+
+
+class SimulatedFetcher:
+    """Deterministic fetch over the fixture web: left join on url_canon.
+    Missing URL -> status 0 (dead link), empty body."""
+
+    def __init__(self, pages: DataFrame):
+        # (url_canon, status, bytes, html); host is re-derivable, drop to
+        # keep the join payload minimal (column pruning by construction).
+        self.pages = pages.select("url_canon", "status", "bytes", "html")
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        """batch(url_canon, depth, priority, ...) -> + status, bytes, html."""
+        fetched = batch.join(self.pages, "url_canon", "left_outer")
+        return (fetched
+                .withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
+                .withColumn("bytes", F.coalesce(F.col("bytes"), F.lit(0)))
+                .withColumn("html", F.coalesce(F.col("html"), F.lit(""))))
+
+
+class HttpFetcher:
+    """Real-network fetcher: iterator pandas UDF with one HTTP connection
+    pool per Python worker (the Spark analog of reqwest's pooling). The
+    sandbox has no network; plumbing is real, transport is stubbed."""
+
+    def __init__(self, timeout_s: float = 10.0, user_agent: str = ""):
+        self.timeout_s = timeout_s
+        self.user_agent = user_agent
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "no network in sandbox — use SimulatedFetcher; the production "
+            "path is mapInPandas(batch) with a urllib3/requests pool per "
+            "worker, same output contract (status, bytes, html)")
+
+
+def parse_spans(fetched: DataFrame) -> DataFrame:
+    """Add `spans: array<struct<kind,text,media_ref,offset>>`, drop `html`.
+
+    Non-200 pages get empty spans (the reference only streams successfully
+    fetched pages — src/scanner/scan.rs:54-57).
+    """
+    in_fields = [f for f in fetched.schema.fields if f.name != "html"]
+    out_schema = StructType(in_fields + _PARSE_COLS)
+    keep = [f.name for f in in_fields]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, texts, refs, offsets = [], [], [], []
+            for url, status, html in zip(pdf["url_canon"], pdf["status"], pdf["html"]):
+                if status == 200 and html:
+                    spans = extract_resolved_spans(url, html)
+                else:
+                    spans = []
+                kinds.append([s[0] for s in spans])
+                texts.append([s[1] for s in spans])
+                refs.append([s[2] for s in spans])
+                offsets.append([s[3] for s in spans])
+            out = pdf[keep].copy()
+            out["kinds"], out["texts"], out["refs"], out["offsets"] = (
+                kinds, texts, refs, offsets)
+            yield out
+
+    parsed = fetched.mapInPandas(_parse, out_schema)
+    spans = F.arrays_zip(
+        F.col("kinds").alias("kind"), F.col("texts").alias("text"),
+        F.col("refs").alias("media_ref"), F.col("offsets").alias("offset"))
+    return parsed.withColumn("spans", spans).drop("kinds", "texts", "refs", "offsets")
+
+
+def ua_col(host, ua_pool: tuple[str, ...]):
+    """P3: deterministic per-host UA pick (stays in codegen)."""
+    arr = F.array(*[F.lit(u) for u in ua_pool])
+    return F.element_at(arr, (F.pmod(F.xxhash64(host), F.lit(len(ua_pool))) + 1).cast("int"))

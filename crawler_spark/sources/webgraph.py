@@ -1,0 +1,167 @@
+"""Deterministic synthetic web graph — the crawl substrate (FIXTURES.md §2).
+
+Both the Spark engine (simulated-fetch join, SURVEY.md §2.4 J4) and the
+single-threaded reference-semantics oracle (tests/oracle.py) consume the SAME
+generated web: pages with single-line HTML bodies whose <a>/<img> tags are the
+out-edges, per-host robots.txt bodies, and a seed list. No network exists in
+the sandbox (and determinism is required by the test oracle), so the fixture
+replaces reqwest (reference Cargo.lock:1843) as the fetch substrate.
+
+Everything is a pure function of (seed, host, page_idx, slot): hashes come
+from blake2b, primary-host sizes from a Zipf-like series (heavy host-key skew
+— what the salting/AQE logic must survive, BASELINE.json north_rule). Besides
+the primary hosts ``host{i}.example.com`` there are subdomain variants
+(``sub.host{i}.example.com``) and alternate-TLD variants
+(``host{i}.example.org``) to exercise the F3/F4 scope filters, plus anchor
+links to static assets to exercise the F8 asset filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from functools import lru_cache
+
+import pandas as pd
+
+
+def _h(*parts) -> int:
+    """Deterministic 64-bit hash of the argument tuple."""
+    raw = "\x1f".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.blake2b(raw, digest_size=8).digest(), "big")
+
+
+_WORDS = (
+    "crawl frontier wave fetch parse link media span host depth seed robots "
+    "token bucket bloom filter shuffle partition skew salt hash dedup scope "
+    "canonical url page graph node edge batch arrow pandas spark wave commit"
+).split()
+
+
+@dataclass(frozen=True)
+class WebGraphConfig:
+    seed: int = 42
+    n_hosts: int = 20
+    n_variant_hosts: int = 3          # first k primaries get sub./alt-TLD twins
+    max_pages_per_host: int = 40      # host0 gets ~this many (Zipf head)
+    zipf_a: float = 1.3
+    out_degree: int = 6
+    cross_host_edge_prob: float = 0.25
+    media_span_prob: float = 0.5
+    robots_deny_prob: float = 0.3     # fraction of hosts with a deny rule
+    robots_delay_prob: float = 0.2    # fraction of hosts with Crawl-delay
+    error_rate: float = 0.08          # 404/429/500 pages
+
+    def primary(self, i: int) -> str:
+        return f"host{i}.example.com"
+
+    def hosts(self) -> list[str]:
+        out = [self.primary(i) for i in range(self.n_hosts)]
+        for i in range(min(self.n_variant_hosts, self.n_hosts)):
+            out.append(f"sub.{self.primary(i)}")
+            out.append(f"host{i}.example.org")
+        return out
+
+    def pages_of(self, host: str) -> int:
+        if host.startswith("sub.") or host.endswith(".org"):
+            return 2
+        i = int(host.split(".", 1)[0][4:])
+        return max(2, int(self.max_pages_per_host / float(i + 1) ** (self.zipf_a - 1.0)))
+
+
+def page_url(host: str, pi: int) -> str:
+    return f"http://{host}/p{pi}"
+
+
+def _page_html(cfg: WebGraphConfig, host: str, pi: int) -> str:
+    """Single-line HTML for (host, page): text, anchors, media — offsets are
+    byte-stable because the string is assembled deterministically."""
+    rng = _h(cfg.seed, "page", host, pi)
+    n_pages = cfg.pages_of(host)
+    is_primary = not (host.startswith("sub.") or host.endswith(".org"))
+    hi = int(host.split(".", 1)[0][4:]) if is_primary else -1
+    parts = [f"<html><body><h1>{host} page {pi}</h1>"]
+    for slot in range(cfg.out_degree):
+        r = _h(cfg.seed, "edge", host, pi, slot)
+        w1 = _WORDS[r % len(_WORDS)]
+        w2 = _WORDS[(r >> 8) % len(_WORDS)]
+        parts.append(f"<p>{w1} {w2} section {slot}</p>")
+        if (r >> 16) % 1000 < cfg.cross_host_edge_prob * 1000:
+            thost = cfg.primary((r >> 24) % cfg.n_hosts)
+            tpi = (r >> 32) % cfg.pages_of(thost)
+            href = page_url(thost, tpi)              # absolute cross-host link
+        else:
+            tpi = (r >> 32) % n_pages
+            href = f"/p{tpi}"                        # relative same-host link
+        parts.append(f'<a href="{href}">{w1} link {slot}</a>')
+        if (r >> 40) % 1000 < cfg.media_span_prob * 1000:
+            ext = ("png", "mp4", "ogg")[(r >> 48) % 3]
+            tag = ("img", "video", "audio")[(r >> 48) % 3]
+            parts.append(f'<{tag} src="/static/m{(r >> 52) % 97}.{ext}"/>')
+        if (r >> 56) % 10 == 0:                      # F8 bait: anchor to asset
+            parts.append(f'<a href="/static/d{(r >> 58) % 13}.pdf">asset {slot}</a>')
+    if is_primary and hi < cfg.n_variant_hosts and pi == 0:
+        # scope-filter bait: links to subdomain + alternate-TLD twins
+        parts.append(f'<a href="http://sub.{host}/p0">sub link</a>')
+        parts.append(f'<a href="http://host{hi}.example.org/p0">tld link</a>')
+    parts.append(f"<footer>fin {rng % 997}</footer></body></html>")
+    return "".join(parts)
+
+
+def page_status(cfg: WebGraphConfig, host: str, pi: int) -> int:
+    r = _h(cfg.seed, "status", host, pi) % 1000
+    if pi > 0 and r < cfg.error_rate * 1000:   # page 0 always fetchable
+        return (404, 429, 500)[r % 3]
+    return 200
+
+
+def robots_body(cfg: WebGraphConfig, host: str) -> str:
+    """robots.txt for a host ('' = absent)."""
+    r = _h(cfg.seed, "robots", host)
+    lines = ["User-agent: *"]
+    has_rule = False
+    if (r % 1000) < cfg.robots_deny_prob * 1000:
+        k = (r >> 16) % 7
+        lines.append(f"Disallow: /p{k}")           # denies p{k}, p{k}0, p{k}1, ...
+        lines.append(f"Allow: /p{k}0")             # carve-back (longer match wins)
+        has_rule = True
+    if ((r >> 32) % 1000) < cfg.robots_delay_prob * 1000:
+        lines.append(f"Crawl-delay: {1 + (r >> 40) % 3}")
+        has_rule = True
+    return "\n".join(lines) if has_rule else ""
+
+
+@lru_cache(maxsize=8)
+def _pages_cached(cfg: WebGraphConfig) -> pd.DataFrame:
+    rows = []
+    for host in cfg.hosts():
+        for pi in range(cfg.pages_of(host)):
+            html = _page_html(cfg, host, pi)
+            rows.append((page_url(host, pi), host,
+                         page_status(cfg, host, pi), len(html), html))
+    return pd.DataFrame(rows, columns=["url_canon", "host", "status", "bytes", "html"])
+
+
+def gen_pages(cfg: WebGraphConfig) -> pd.DataFrame:
+    """All pages: (url_canon, host, status, bytes, html)."""
+    return _pages_cached(cfg).copy()
+
+
+def gen_robots_src(cfg: WebGraphConfig) -> pd.DataFrame:
+    rows = [(h, robots_body(cfg, h)) for h in cfg.hosts()]
+    return pd.DataFrame(rows, columns=["host", "body"])
+
+
+def gen_seeds(cfg: WebGraphConfig, n_seeds: int = 3) -> list[str]:
+    """Seed URLs: page 0 of the n_seeds largest primaries (uppercased host in
+    one seed to exercise case-insensitive dedup, reference Cargo.lock:289)."""
+    seeds = [page_url(cfg.primary(i), 0) for i in range(min(n_seeds, cfg.n_hosts))]
+    if seeds:
+        seeds[0] = seeds[0].replace("host0", "HOST0", 1)
+    return seeds
+
+
+def to_spark(spark, cfg: WebGraphConfig):
+    """(pages_df, robots_src_df) as Spark DataFrames."""
+    return (spark.createDataFrame(gen_pages(cfg)),
+            spark.createDataFrame(gen_robots_src(cfg)))

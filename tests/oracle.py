@@ -1,0 +1,142 @@
+"""Single-threaded reference-semantics crawl oracle (SURVEY.md §5.2.1).
+
+A plain-Python BFS crawler implementing exactly the §2 operator semantics —
+case-folded seen set, canonicalization, scope flags, robots gating, token
+buckets, budgets, wave order — over the synthetic web graph. Every e2e pytest
+asserts the Spark engine's `seen` set, per-wave URL sets, per-document span
+sequences, and metrics equal this oracle's output (the determinism contract,
+SURVEY.md §5.3).
+
+The scalar leaf functions (canonicalize, extract_resolved_spans, parse_robots,
+scope predicates) are shared with the engine by design — they are
+golden-tested independently — while everything DISTRIBUTED (anti-join dedup,
+grouped token buckets, window selection, bloom prefilter, snapshot/resume) is
+re-implemented here with sets and loops, so the pytest equality genuinely
+cross-checks the DataFrame logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from crawler_spark.functions.canon import canonicalize, host_of
+from crawler_spark.operators.robots import parse_robots, robots_allowed, path_of
+from crawler_spark.operators.scope import scope_ok, is_asset, blacklisted
+from crawler_spark.sources.parse import extract_resolved_spans
+from crawler_spark.spec import CrawlJobSpec
+
+
+@dataclass
+class OracleResult:
+    seen: set[str] = field(default_factory=set)            # original-case canon URLs admitted
+    waves: dict[int, list[str]] = field(default_factory=dict)   # wave -> sorted fetched URLs
+    documents: dict[str, list[tuple]] = field(default_factory=dict)  # url -> span tuples
+    doc_wave: dict[str, int] = field(default_factory=dict)
+    metrics: list[dict] = field(default_factory=list)      # per-wave counters
+    n_fetched: int = 0
+
+
+def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
+               robots_src: pd.DataFrame) -> OracleResult:
+    """BFS wave loop over the fixture web. Mirrors crawler_spark.plans.frontier
+    step for step; any divergence is a bug in one of the two."""
+    web = {r.url_canon: (int(r.status), r.html, int(r.bytes))
+           for r in pages.itertuples()}
+    robots = {}
+    for r in robots_src.itertuples():
+        allow, deny, delay = parse_robots(r.body)
+        robots[r.host] = (allow, deny, delay)
+
+    res = OracleResult()
+    # --- seed admission (wave 0 pending) ---
+    seed_canon = [c for c in (canonicalize(s, "") for s in spec.seeds) if c]
+    seed_hosts = {host_of(c) for c in seed_canon}
+    pending: list[tuple[float, int, str]] = []   # (priority, depth, url_canon)
+    tokens: dict[str, float] = {}
+
+    def admissible(url: str, depth: int) -> bool:
+        if depth > spec.max_depth or is_asset(url):
+            return False
+        if spec.blacklist and blacklisted(url, spec.blacklist):
+            return False
+        h = host_of(url)
+        if not scope_ok(h, seed_hosts, spec.subdomains, spec.tld):
+            return False
+        if spec.respect_robots_txt:
+            allow, deny, _ = robots.get(h, ([], [], 0))
+            if not robots_allowed(path_of(url), allow, deny):
+                return False
+        return True
+
+    def admit(cands: list[tuple[float, int, str]]) -> int:
+        """Wave-dedup (casefold, min-URL representative) then seen anti-join."""
+        by_fold: dict[str, tuple[float, int, str]] = {}
+        for prio, depth, url in sorted(cands, key=lambda t: (t[0], t[1], t[2])):
+            by_fold.setdefault(url.lower(), (prio, depth, url))
+        n_new = 0
+        folded_seen = {u.lower() for u in res.seen}
+        for fold, (prio, depth, url) in sorted(by_fold.items()):
+            if fold in folded_seen:
+                continue
+            res.seen.add(url)
+            folded_seen.add(fold)
+            pending.append((prio, depth, url))
+            n_new += 1
+        return n_new
+
+    admit([(0.0, 0, u) for u in seed_canon if admissible(u, 0)])
+
+    wave = 0
+    while pending and wave < spec.max_waves:
+        if spec.max_pages and res.n_fetched >= spec.max_pages:
+            break
+        # --- token refill + per-host selection (W2/O1) ---
+        by_host: dict[str, list[tuple[float, int, str]]] = {}
+        for row in pending:
+            by_host.setdefault(host_of(row[2]), []).append(row)
+        selected: list[tuple[float, int, str]] = []
+        for h in sorted(by_host):
+            delay = robots.get(h, ([], [], 0))[2] if spec.respect_robots_txt else 0
+            tokens[h] = min(spec.token_cap, tokens.get(h, 0.0) + spec.tokens_for(delay))
+            take = int(tokens[h])
+            rows = sorted(by_host[h], key=lambda t: (t[0], t[1], t[2]))
+            selected.extend(rows[:take])
+        # --- global budget truncation (W3/F7) ---
+        selected.sort(key=lambda t: (t[0], t[1], t[2]))
+        if spec.max_pages:
+            selected = selected[: spec.max_pages - res.n_fetched]
+        if not selected:
+            wave += 1
+            continue
+        sel_set = {u for _, _, u in selected}
+        pending = [r for r in pending if r[2] not in sel_set]
+        for h, n in pd.Series([host_of(u) for _, _, u in selected]).value_counts().items():
+            tokens[h] -= int(n)
+
+        # --- fetch + parse (S5/P2) ---
+        fetched_urls, errors, total_bytes = [], 0, 0
+        cands: list[tuple[float, int, str]] = []
+        for prio, depth, url in selected:
+            status, html, nbytes = web.get(url, (0, "", 0))
+            fetched_urls.append(url)
+            res.n_fetched += 1
+            total_bytes += nbytes
+            if status != 200:
+                errors += 1
+                continue
+            spans = extract_resolved_spans(url, html)
+            res.documents[url] = spans
+            res.doc_wave[url] = wave
+            for kind, _text, ref, _off in spans:
+                if kind == "link" and ref and admissible(ref, depth + 1):
+                    cands.append((0.0, depth + 1, ref))
+        n_new = admit(cands)
+        res.waves[wave] = sorted(fetched_urls)
+        res.metrics.append({
+            "wave": wave, "fetched": len(fetched_urls), "errors": errors,
+            "new_links": n_new, "bytes": total_bytes,
+        })
+        wave += 1
+    return res

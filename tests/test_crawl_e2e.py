@@ -1,0 +1,62 @@
+"""End-to-end determinism contract: Spark engine == single-threaded oracle.
+
+Asserts the SURVEY.md §5.3 equality targets for several job specs:
+URL-seen set, per-wave URL sets, per-document span sequences
+(kind, text, media_ref, order), and wave-level metrics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.plans.frontier import run_crawl
+from crawler_spark.sources.fetch import SimulatedFetcher
+from crawler_spark.sources.webgraph import gen_pages, gen_robots_src, gen_seeds, to_spark
+from crawler_spark.spec import CrawlJobSpec
+from tests.oracle import run_oracle
+
+
+def _run_both(spark, cfg, spec):
+    oracle = run_oracle(spec, gen_pages(cfg), gen_robots_src(cfg))
+    pages_df, robots_df = to_spark(spark, cfg)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df), robots_src=robots_df)
+    return oracle, run, run.to_python()
+
+
+def _assert_equal(oracle, run, got):
+    assert got["seen"] == oracle.seen
+    assert got["waves"] == oracle.waves
+    assert set(got["documents"]) == set(oracle.documents)
+    for url, spans in oracle.documents.items():
+        assert got["documents"][url] == spans, f"span mismatch for {url}"
+    assert got["doc_wave"] == oracle.doc_wave
+    o_metrics = [(m["wave"], m["fetched"], m["errors"], m["new_links"], m["bytes"])
+                 for m in oracle.metrics]
+    e_metrics = [(m["wave"], m["fetched"], m["errors"], m["new_links"], m["bytes"])
+                 for m in run.metrics]
+    assert e_metrics == o_metrics
+
+
+@pytest.mark.parametrize("spec_kw", [
+    pytest.param({}, id="default-robots-on"),
+    pytest.param({"respect_robots_txt": False, "max_depth": 3}, id="norobots-depth3"),
+    pytest.param({"subdomains": True, "tld": True,
+                  "blacklist": (r"/p1[12]$",)}, id="subdomains-tld-blacklist"),
+    pytest.param({"per_host_tokens": 2.0, "token_cap": 4.0}, id="tight-politeness"),
+    pytest.param({"max_pages": 15}, id="global-budget"),
+    pytest.param({"delay_ms": 400, "use_bloom": False}, id="delay-no-bloom"),
+])
+def test_engine_matches_oracle(spark, small_cfg, spec_kw):
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20, **spec_kw)
+    oracle, run, got = _run_both(spark, small_cfg, spec)
+    assert run.n_fetched > 0
+    _assert_equal(oracle, run, got)
+
+
+def test_seen_has_no_duplicates(spark, small_cfg):
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20)
+    _, run, _ = _run_both(spark, small_cfg, spec)
+    total = run.seen.count()
+    assert run.seen.select("url_hash").distinct().count() == total
+    from pyspark.sql import functions as F
+    assert run.seen.select(F.lower("url_canon")).distinct().count() == total
