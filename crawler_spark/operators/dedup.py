@@ -56,9 +56,18 @@ class BloomFilter:
         self.k = max(1, round(self.m / n_keys * math.log(2)))
         self.bits = bits if bits is not None else np.zeros(self.m // 8, dtype=np.uint8)
 
+    @staticmethod
+    def _mix(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer — with pow2-m masking, plain multiply would
+        use only the key's low bits (aliasing all keys that share them); the
+        xor-shift cascade folds the high bits in."""
+        x = (x ^ (x >> np.uint64(30))) * _C1
+        x = (x ^ (x >> np.uint64(27))) * _C2
+        return x ^ (x >> np.uint64(31))
+
     def _idx(self, keys: np.ndarray, i: int) -> np.ndarray:
-        x = keys.astype(np.uint64)
-        h = x * _C1 + np.uint64(i) * (x * _C2 | np.uint64(1))
+        x = self._mix(keys.astype(np.uint64))
+        h = x + np.uint64(i) * ((x >> np.uint64(32)) | np.uint64(1))
         return (h & np.uint64(self.m - 1)).astype(np.int64)
 
     def add(self, keys: np.ndarray) -> None:

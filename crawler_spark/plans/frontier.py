@@ -158,23 +158,19 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         tokens = politeness.refill_tokens(pending, hosts, robots, spec)
         tokens = tokens.localCheckpoint(eager=True)   # reused: select + spend
         flagged = politeness.select_batch(pending, tokens)
+        flagged = flagged.localCheckpoint(eager=True)  # one applyInPandas pass
         selected = flagged.where(F.col("selected")).drop("selected")
         # --- W3/F7: global budget (top-k, TakeOrderedAndProject) ---
         if spec.max_pages:
             selected = (selected
                         .orderBy("priority", "depth", "url_canon")
-                        .limit(spec.max_pages - run.n_fetched))
-        selected = selected.localCheckpoint(eager=True)
-        # rows not finally selected (incl. budget-truncated) stay pending
-        if spec.max_pages:
+                        .limit(spec.max_pages - run.n_fetched)
+                        .localCheckpoint(eager=True))
+            # rows not finally selected (incl. budget-truncated) stay pending
             rest = (flagged.drop("selected")
                     .join(selected.select("url_hash"), "url_hash", "left_anti"))
         else:
             rest = flagged.where(~F.col("selected")).drop("selected")
-        n_sel = selected.count()
-        if n_sel == 0:
-            wave += 1
-            continue
         hosts = politeness.merge_host_state(
             hosts, politeness.spend_tokens(tokens, selected))
 
@@ -199,7 +195,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                     (F.col("depth") + 1).alias("depth"),
                     F.lit(0.0).alias("priority")))
         new_rows = _admit(spark, links, seen, bloom, robots, spec,
-                          seed_hosts, wave + 1)
+                          seed_hosts, wave + 1).localCheckpoint(eager=True)
         pending_next = rest.unionByName(new_rows)
         seen_next = seen.unionByName(
             new_rows.select("url_hash", "url_canon", "host",
@@ -210,6 +206,10 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             F.count("*").alias("fetched"),
             F.sum((F.col("status") != 200).cast("long")).alias("errors"),
             F.sum("bytes").alias("bytes")).collect()
+        n_sel = int(sum(r["fetched"] for r in agg))
+        if n_sel == 0:
+            wave += 1
+            continue
         n_new = new_rows.count()
         wave_metrics = {
             "wave": wave,
@@ -240,8 +240,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         log_parts.append(state["fetch_log"])
         if bloom is not None and n_new:
             bloom.merge_from(build_bloom_parts(
-                state["seen"].where(F.col("wave") == wave + 1),
-                bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
+                new_rows, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
 
         run.n_fetched += n_sel
         n_pending = n_pending - n_sel + n_new

@@ -44,9 +44,10 @@ class MemoryStore:
     def persist_wave(self, wave: int, full: dict[str, DataFrame],
                      delta: dict[str, DataFrame], extra: dict | None = None
                      ) -> dict[str, DataFrame]:
-        out = {}
-        for name, df in {**full, **delta}.items():
-            out[name] = df.localCheckpoint(eager=True)
+        # full tables accumulate lineage across waves -> must be truncated;
+        # delta tables hang off already-checkpointed wave intermediates.
+        out = {name: df.localCheckpoint(eager=True) for name, df in full.items()}
+        out.update(delta)
         return out
 
 

@@ -42,10 +42,13 @@ class SimulatedFetcher:
     """Deterministic fetch over the fixture web: left join on url_canon.
     Missing URL -> status 0 (dead link), empty body."""
 
-    def __init__(self, pages: DataFrame):
+    def __init__(self, pages: DataFrame, cache: bool = True):
         # (url_canon, status, bytes, html); host is re-derivable, drop to
         # keep the join payload minimal (column pruning by construction).
+        # Cached: probed once per wave (MEMORY_AND_DISK, spill-safe).
         self.pages = pages.select("url_canon", "status", "bytes", "html")
+        if cache:
+            self.pages = self.pages.persist()
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         """batch(url_canon, depth, priority, ...) -> + status, bytes, html."""

@@ -1,0 +1,64 @@
+"""F2-F4/F6-F8 scope & admission predicates: pure vs native-Spark agreement."""
+
+from __future__ import annotations
+
+from crawler_spark.operators.scope import (
+    blacklisted, is_asset, scope_ok, tld_key,
+)
+
+SEEDS = {"host0.example.com", "host1.example.com"}
+
+
+def test_same_domain():
+    assert scope_ok("host0.example.com", SEEDS, False, False)
+    assert not scope_ok("other.example.com", SEEDS, False, False)
+    assert not scope_ok("sub.host0.example.com", SEEDS, False, False)
+
+
+def test_subdomains():
+    assert scope_ok("sub.host0.example.com", SEEDS, True, False)
+    assert scope_ok("a.b.host1.example.com", SEEDS, True, False)
+    assert not scope_ok("host0.example.org", SEEDS, True, False)
+    assert not scope_ok("evilhost0.example.com", SEEDS, True, False)  # no dot
+
+
+def test_tld():
+    assert scope_ok("host0.example.org", SEEDS, False, True)
+    assert scope_ok("host0.example.net", SEEDS, False, True)
+    assert not scope_ok("host9.example.org", SEEDS, False, True)
+    assert tld_key("host0.example.com") == "host0.example"
+
+
+def test_asset_filter():
+    assert is_asset("http://h/x.png")
+    assert is_asset("http://h/x.PDF")
+    assert is_asset("http://h/x.tar?download=1")
+    assert not is_asset("http://h/x.html")
+    assert not is_asset("http://h/png")
+
+
+def test_blacklist():
+    assert blacklisted("http://h/p11", (r"/p1[12]$",))
+    assert not blacklisted("http://h/p1", (r"/p1[12]$",))
+
+
+def test_native_matches_pure(spark):
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.scope import asset_col, blacklist_col, scope_col
+    hosts = ["host0.example.com", "sub.host0.example.com", "host0.example.org",
+             "evilhost0.example.com", "other.example.com", "a.b.host1.example.com"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    for sub, tld in [(False, False), (True, False), (False, True), (True, True)]:
+        got = [r["ok"] for r in df.select(
+            scope_col(F.col("host"), sorted(SEEDS), sub, tld).alias("ok")).collect()]
+        want = [scope_ok(h, SEEDS, sub, tld) for h in hosts]
+        assert got == want, (sub, tld)
+
+    urls = ["http://h/x.png", "http://h/x.PDF", "http://h/x.tar?download=1",
+            "http://h/x.html", "http://h/png", "http://h/p11", "http://h/p1"]
+    udf = spark.createDataFrame([(u,) for u in urls], "u string")
+    got_a = [r["a"] for r in udf.select(asset_col(F.col("u")).alias("a")).collect()]
+    assert got_a == [is_asset(u) for u in urls]
+    got_b = [r["b"] for r in
+             udf.select(blacklist_col(F.col("u"), (r"/p1[12]$",)).alias("b")).collect()]
+    assert got_b == [blacklisted(u, (r"/p1[12]$",)) for u in urls]
