@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship interleaved-span pipeline on sf0.001.
+queries()         — one entry per implemented operator (SURVEY.md §2 +
+                    training-data ops), from crawler_spark.queries.
+oracle_sql()      — DuckDB twins for every SQL-expressible query; rows-only
+                    ops (crawl_bfs, mm1_multimodal_decode) are omitted by
+                    design (iterative / Python-kernel semantics).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from crawler_spark import queries as _registry  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: derive the interleaved text+media
+    span payload (input_hint shape), explode media outlinks, and fuse the
+    training-data signals (lang-id, quality, token count, fingerprint) into
+    one per-document profile."""
+    from pyspark.sql import functions as F
+    from crawler_spark.functions.text import (
+        lang_id_col, quality_score_col, token_count_col,
+    )
+    from crawler_spark.operators.textdedup import fingerprint_col
+    from crawler_spark.queries import _spans_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = _spans_df(spark, sf_dir)
+    media = (spans.select("doc_id", F.explode("spans").alias("s"))
+             .where(F.col("s.kind") == "media")
+             .groupBy("doc_id").agg(F.count("*").alias("n_media")))
+    profile = (docs
+               .withColumn("lang_pred", lang_id_col(F.col("text")))
+               .withColumn("quality", quality_score_col(F.col("text")))
+               .withColumn("n_tokens", token_count_col(F.col("text")))
+               .withColumn("fp", fingerprint_col(F.col("text")))
+               .join(spans.select("doc_id", F.size("spans").alias("n_spans")),
+                     "doc_id")
+               .join(F.broadcast(media), "doc_id", "left_outer")
+               .select("doc_id", "source", "lang", "lang_pred", "quality",
+                       "n_tokens", "n_spans",
+                       F.coalesce("n_media", F.lit(0)).alias("n_media"), "fp"))
+    return profile
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql()

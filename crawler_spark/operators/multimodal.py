@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Media in the span model (kind='media') references external payloads; a
+training pipeline carries them as `binary` columns with a metadata struct
+and runs decode / feature-extract / resize / frame-sample as Arrow-batched
+Pandas UDFs over mapInPandas.
+
+The image/audio libraries are NOT in this container, so the decode kernels
+are STUBS behind `_HAS_CODECS` (deterministic fake features keep the
+Spark-side plumbing — schema, batch shape, partitioning — real and tested).
+Swap `_fake_decode` for PIL/av calls in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - not present in sandbox
+    import PIL.Image  # noqa: F401
+    _HAS_CODECS = True
+except Exception:
+    _HAS_CODECS = False
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_ref", StringType(), False),
+    StructField("media_type", StringType(), False),   # image|audio|video
+    StructField("payload", ArrayType(FloatType(), False), True),  # decoded
+    StructField("n_bytes", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+FEATURE_DIM = 8
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test harness: fabricate a deterministic binary payload column (in
+    production this is the fetched media body)."""
+    return df.withColumn("payload_bin", F.encode(F.col(text_col), "UTF-8")) \
+             .withColumn("media_type",
+                         F.element_at(F.array(F.lit("image"), F.lit("audio"),
+                                              F.lit("video")),
+                                      (F.pmod(F.xxhash64(text_col), F.lit(3)) + 1
+                                       ).cast("int")))
+
+
+def _fake_decode(buf: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: feature = byte histogram
+    moments. Replace with PIL/torchaudio/av decode when codecs exist."""
+    if not buf:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    a = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
+    chunks = np.array_split(a, FEATURE_DIM)
+    return np.array([float(c.mean()) if len(c) else 0.0 for c in chunks],
+                    dtype=np.float32)
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id",
+                    bin_col: str = "payload_bin") -> DataFrame:
+    """mapInPandas decode/feature-extract: (id, payload_bin, media_type) ->
+    (id, media_type, n_bytes, features[FEATURE_DIM]). Arrow batches in/out;
+    the partitioning of `df` is preserved (narrow op, no shuffle)."""
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(FloatType(), False), False),
+    ])
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAS_CODECS:  # pragma: no cover
+            raise NotImplementedError("real codec path not wired in sandbox")
+        for pdf in batches:
+            feats = [_fake_decode(b, t).tolist()
+                     for b, t in zip(pdf[bin_col], pdf["media_type"])]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(b) if b is not None else 0 for b in pdf[bin_col]],
+                "features": feats,
+            })
+
+    return df.mapInPandas(_decode, out_schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize: shape-preserving stub (production: PIL resize inside the
+    same mapInPandas kernel)."""
+    raise NotImplementedError("image codecs not available in sandbox")
+
+
+def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:
+    """Video frame sampling: production path decodes with av and emits one
+    row per sampled frame (mapInPandas, 1->N)."""
+    raise NotImplementedError("video codecs not available in sandbox")

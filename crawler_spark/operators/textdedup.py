@@ -1,0 +1,150 @@
+"""Document deduplication family for training-data pipelines.
+
+Exact, fingerprint, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a
+`documents(doc_id, text)`-shaped table. All formulations are pure
+`pyspark.sql.functions` column algebra (no UDFs, whole-stage codegen) so each
+has an exact ANSI-SQL oracle twin in crawler_spark/queries.py.
+
+Design notes for 100 TB:
+  * Shingling/minhashing is per-row (map-side, no shuffle). The only shuffles
+    are the LSH band groupBy and the pair self-join — both keyed on band
+    buckets whose cardinality we control via (n_perm, band_size).
+  * Hash = md5 (bit-identical in Spark and DuckDB — the oracle needs
+    cross-engine equality; xxhash64 is Spark-only). md5 costs more than
+    xxhash64 per call; swap `_hash_str` for xxhash64 when oracle parity is
+    not needed.
+  * The LSH self-join explodes quadratically inside a hot bucket; cap bucket
+    width upstream (drop buckets with > max_bucket docs — standard practice,
+    they are near-certain template clusters anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+WORD_SPLIT_RE = r"\s+"
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.trim(text), WORD_SPLIT_RE)
+
+
+def normalize_text(text: Column) -> Column:
+    """Casefold + whitespace-collapse + trim: the exact-dedup key."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (P-hashable everywhere)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), all map-side array algebra.
+    Contract (mirrored by the SQL oracle): docs shorter than n words get a
+    single whole-text shingle — never partial/NULL-padded grams."""
+    w = words_col(text)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    gram = F.transform(idx, lambda j: F.concat_ws(
+        " ", *[F.element_at(w, (j + k + 1).cast("int")) for k in range(n)]))
+    return F.when(F.size(w) >= n, F.array_distinct(gram)) \
+            .otherwise(F.array(F.array_join(w, " ")))
+
+
+def minhash_sig_cols(shingles: Column, n_perm: int) -> list[Column]:
+    """MinHash signature: per permutation i, min over shingles of
+    md5(i || ':' || shingle). Lexicographic min of hex == min of the 128-bit
+    value, so no int conversion is needed (and DuckDB agrees bit-for-bit)."""
+    def perm(i):
+        # one-arg lambda: a 2-arg HOF callable would make pyspark pass the
+        # array index as the second argument, shadowing the closure
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return [F.array_min(F.transform(shingles, perm(i))).alias(f"mh{i}")
+            for i in range(n_perm)]
+
+
+def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   n_perm: int = 8, band_size: int = 2, shingle_n: int = 3,
+                   max_bucket: int = 64) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b. Two docs are
+    candidates when >= 1 band (concatenation of `band_size` minhashes)
+    collides. Buckets wider than `max_bucket` are dropped (template guard —
+    the quadratic-pair cap at scale).
+    """
+    assert n_perm % band_size == 0
+    n_bands = n_perm // band_size
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *minhash_sig_cols(shingles_col(F.col(text_col), shingle_n), n_perm))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("|", *[F.col(f"mh{b * band_size + k}")
+                                        for k in range(band_size)]).alias("key"))
+            for b in range(n_bands)])).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # template guard: drop oversize buckets before the quadratic self-join
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "key")))
+    bands = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, ["band", "key"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared_bands")))
+    return pairs
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    explode(shingles) -> self-join on shingle -> |A∩B| / (|A|+|B|-|A∩B|).
+    Quadratic in co-shingled docs — the verification stage after LSH, or a
+    direct method at modest corpus sizes.
+    """
+    ex = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (ex.alias("a").join(ex.alias("b"), "s")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    j = (inter
+         .join(sizes.withColumnRenamed("doc_id", "doc_a")
+               .withColumnRenamed("n", "na"), "doc_a")
+         .join(sizes.withColumnRenamed("doc_id", "doc_b")
+               .withColumnRenamed("n", "nb"), "doc_b")
+         .withColumn("jaccard", F.round(
+             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+         .where(F.col("jaccard") >= threshold)
+         .select("doc_a", "doc_b", "jaccard"))
+    return j
+
+
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash over words: bit b of md5-int(word) votes ±1; sign of the vote
+    sum sets bit b of the fingerprint. Pure column algebra (aggregate over
+    the word array), cross-engine reproducible via md5/conv."""
+    w = words_col(text)
+    h = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
+                    .cast("long"))
+
+    def vote_fn(b):
+        # exactly-two-arg lambda (pyspark inspects HOF callable arity)
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(h, F.lit(0).cast("long"), vote_fn(b))
+        out = out + F.when(vote > 0, F.lit(2 ** b)).otherwise(0).cast("long")
+    return out

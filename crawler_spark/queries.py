@@ -1,0 +1,712 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage + training-data ops).
+
+Each entry binds one implemented operator to the driver's testdata tables:
+a Spark callable `(spark, sf_dir) -> DataFrame` and (where SQL-expressible)
+an exactly-equivalent ANSI-SQL oracle string for DuckDB. Column names AND
+value semantics are aligned pairwise: the driver compares row count, schema,
+and an order-insensitive value hash at sf=0.01.
+
+Numeric discipline: every float column is round(x, 4) on BOTH sides; every
+timestamp is reduced to epoch seconds under an explicitly-UTC session, so
+cross-engine hashing is bit-stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from crawler_spark.functions.text import (
+    lang_id_col, quality_score_col, token_count_col,
+)
+from crawler_spark.operators.similarity import brute_force_topk, ivf_topk
+from crawler_spark.operators.textdedup import (
+    fingerprint_col, lsh_band_pairs, ngram_jaccard_pairs, normalize_text,
+    simhash_col,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# =====================================================================
+# Crawl-operator analogs over the driver tables (SURVEY.md §2 ids)
+# =====================================================================
+
+@q("j1_seen_anti_join", """
+SELECT d.doc_id FROM documents d
+WHERE d.lang = 'en' AND NOT EXISTS (
+  SELECT 1 FROM documents s
+  WHERE s.source IN ('src0','src1') AND s.n_chars > 200 AND s.doc_id = d.doc_id)
+""")
+def j1_seen_anti_join(spark, sf_dir):
+    """F1/J1: frontier-minus-seen as a left anti-join (dedup admission)."""
+    d = _t(spark, sf_dir, "documents")
+    seen = d.where((F.col("source").isin("src0", "src1"))
+                   & (F.col("n_chars") > 200)).select("doc_id")
+    return d.where(F.col("lang") == "en").join(seen, "doc_id", "left_anti") \
+            .select("doc_id")
+
+
+@q("f2_scope_same_source", """
+SELECT doc_id, source, lang FROM documents
+WHERE source = 'src3' AND lang = 'en'
+""")
+def f2_scope_same_source(spark, sf_dir):
+    """F2: same-domain scope filter analog (equality predicate)."""
+    return (_t(spark, sf_dir, "documents")
+            .where((F.col("source") == "src3") & (F.col("lang") == "en"))
+            .select("doc_id", "source", "lang"))
+
+
+@q("f3_scope_prefix", """
+SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'
+""")
+def f3_scope_prefix(spark, sf_dir):
+    """F3: subdomain scope analog (prefix admission)."""
+    return (_t(spark, sf_dir, "documents")
+            .where(F.col("source").startswith("src1"))
+            .select("doc_id", "source"))
+
+
+@q("f6_blacklist_regex", """
+SELECT doc_id FROM documents
+WHERE NOT regexp_matches(text, '\\bslow\\b') AND lang <> 'zh'
+""")
+def f6_blacklist_regex(spark, sf_dir):
+    """F6: regex blacklist — drop rows matching the deny pattern."""
+    return (_t(spark, sf_dir, "documents")
+            .where(~F.col("text").rlike(r"\bslow\b") & (F.col("lang") != "zh"))
+            .select("doc_id"))
+
+
+@q("f8_asset_filter", """
+SELECT doc_id, url FROM (
+  SELECT doc_id,
+         source || '/' || doc_id ||
+           (CASE WHEN doc_id % 5 = 0 THEN '.png'
+                 WHEN doc_id % 5 = 1 THEN '.mp4' ELSE '.html' END) AS url
+  FROM documents)
+WHERE NOT (url LIKE '%.png' OR url LIKE '%.mp4')
+""")
+def f8_asset_filter(spark, sf_dir):
+    """F8: asset-extension filter — media captured as spans, never crawled."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.col("source"), F.lit("/"), F.col("doc_id"),
+                   F.when(F.col("doc_id") % 5 == 0, ".png")
+                    .when(F.col("doc_id") % 5 == 1, ".mp4")
+                    .otherwise(".html"))
+    return (d.select("doc_id", url.alias("url"))
+            .where(~(F.col("url").endswith(".png") | F.col("url").endswith(".mp4"))))
+
+
+@q("w1_priority_window", """
+SELECT doc_id, source, rnk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= 5
+""")
+def w1_priority_window(spark, sf_dir):
+    """W1: frontier priority window — per-host rank, top-5 per host."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    return (d.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5).select("doc_id", "source", "rnk"))
+
+
+@q("w2_per_key_topk", """
+SELECT event_id, user_id, rn FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= 3
+""")
+def w2_per_key_topk(spark, sf_dir):
+    """W2: per-host politeness batch = top-k per key in arrival order."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("event_id", "user_id", "rn"))
+
+
+@q("w3_global_topk", """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10
+""")
+def w3_global_topk(spark, sf_dir):
+    """W3: global budget cap — ORDER BY .. LIMIT (TakeOrderedAndProject)."""
+    return (_t(spark, sf_dir, "documents")
+            .orderBy(F.desc("n_chars"), F.col("doc_id"))
+            .limit(10).select("doc_id", "n_chars"))
+
+
+@q("a2_distinct_dedup", """
+SELECT DISTINCT lang, source FROM documents
+""")
+def a2_distinct_dedup(spark, sf_dir):
+    """A2: in-wave dedup = DISTINCT (hash aggregate, partial+final)."""
+    return _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@q("a3_union_seen", """
+SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+UNION
+SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+""")
+def a3_union_seen(spark, sf_dir):
+    """A3/SO2: seen-set union across phases (sitemap ∪ crawl)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.where(F.col("doc_id") % 3 == 0).select("doc_id")
+            .union(d.where(F.col("doc_id") % 5 == 0).select("doc_id"))
+            .distinct())
+
+
+@q("so1_except", """
+SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+EXCEPT
+SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+""")
+def so1_except(spark, sf_dir):
+    """SO1: frontier ∖ seen as a set EXCEPT."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.where(F.col("doc_id") % 3 == 0).select("doc_id")
+            .exceptAll(d.where(F.col("doc_id") % 5 == 0).select("doc_id"))
+            .distinct())
+
+
+@q("a4_metrics_rollup", """
+SELECT lang, source, count(*) AS fetched, sum(n_chars) AS bytes,
+       sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS errors
+FROM documents GROUP BY ROLLUP (lang, source)
+""")
+def a4_metrics_rollup(spark, sf_dir):
+    """A4: per-wave/partition fetch metrics — grouped agg with ROLLUP."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.rollup("lang", "source")
+            .agg(F.count("*").alias("fetched"),
+                 F.sum("n_chars").alias("bytes"),
+                 F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+                 .alias("errors")))
+
+
+@q("j2_dim_join", """
+SELECT r.r_name, n.n_name, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""")
+def j2_dim_join(spark, sf_dir):
+    """J2-analog: fact ⋈ small dims — dims explicitly broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@q("j3_left_outer", """
+SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""")
+def j3_left_outer(spark, sf_dir):
+    """J3-analog: left outer join preserving zero-match keys (robots miss)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@q("p1_url_canon", """
+SELECT doc_id,
+       lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://' ||
+       lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) ||
+       regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/]*(/[^#]*)', 1),
+                      ':80/', '/') AS url_canon
+FROM (SELECT doc_id,
+             'HTTP://' || upper(source) || '.Example.COM:80/Path/' ||
+             doc_id || '?q=' || lang || '#Frag' AS url
+      FROM documents)
+""")
+def p1_url_canon(spark, sf_dir):
+    """P1 (SQL-expressible subset): scheme/host lowercase, :80 strip,
+    fragment strip. Full UDF canonicalizer is pytest-golden-tested."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("HTTP://"), F.upper(F.col("source")),
+                   F.lit(".Example.COM:80/Path/"), F.col("doc_id"),
+                   F.lit("?q="), F.col("lang"), F.lit("#Frag"))
+    with_url = d.select("doc_id", url.alias("url"))
+    canon = F.concat(
+        F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1)), F.lit("://"),
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/:?#]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[a-zA-Z]+://[^/]*(/[^#]*)", 1),
+            ":80/", "/"))
+    return with_url.select("doc_id", canon.alias("url_canon"))
+
+
+@q("p5_url_parts", """
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]*(/[^?#]*)', 1) AS path
+FROM (SELECT doc_id, 'http://' || source || '.example.com/p/' || doc_id ||
+             '?x=1' AS url FROM documents)
+""")
+def p5_url_parts(spark, sf_dir):
+    """P5: host/path derivation from canonical URLs (native regex)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"),
+                   F.lit(".example.com/p/"), F.col("doc_id"), F.lit("?x=1"))
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.regexp_extract("url", r"^[a-z]+://([^/:?#]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/]*(/[^?#]*)", 1).alias("path"))
+
+
+# =====================================================================
+# Interleaved-span payload (input_hint shape) derived from the flat table
+# =====================================================================
+
+_SPAN_SQL = """
+SELECT doc_id,
+  flatten(list_transform(range(0, n_chunks), i -> CASE WHEN (i % 3) = 2 THEN
+    [struct_pack(kind := 'text',
+                 text := array_to_string(list_slice(words, i*8+1, i*8+8), ' '),
+                 media_ref := '', "offset" := (i*10)::INT),
+     struct_pack(kind := 'media', text := '',
+                 media_ref := source || '/' || doc_id || '/m' || i,
+                 "offset" := (i*10+9)::INT)]
+  ELSE
+    [struct_pack(kind := 'text',
+                 text := array_to_string(list_slice(words, i*8+1, i*8+8), ' '),
+                 media_ref := '', "offset" := (i*10)::INT)]
+  END)) AS spans
+FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words,
+             ((len(regexp_split_to_array(trim(text), '\\s+')) + 7) // 8) AS n_chunks
+      FROM documents)
+"""
+
+
+def _spans_df(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", "source", words.alias("words"),
+                    F.ceil(F.size(words) / 8.0).cast("int").alias("n_chunks"))
+
+    def chunk_text(i):
+        return F.array_join(F.slice(F.col("words"), i * 8 + 1, 8), " ")
+
+    def text_span(i):
+        return F.struct(F.lit("text").alias("kind"),
+                        chunk_text(i).alias("text"),
+                        F.lit("").alias("media_ref"),
+                        (i * 10).cast("int").alias("offset"))
+
+    def media_span(i):
+        return F.struct(
+            F.lit("media").alias("kind"), F.lit("").alias("text"),
+            F.concat(F.col("source"), F.lit("/"), F.col("doc_id"),
+                     F.lit("/m"), i).alias("media_ref"),
+            (i * 10 + 9).cast("int").alias("offset"))
+
+    spans = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.when((i % 3) == 2, F.array(text_span(i), media_span(i)))
+                   .otherwise(F.array(text_span(i)))))
+    return base.select("doc_id", spans.alias("spans"))
+
+
+@q("p2_span_derive", _SPAN_SQL)
+def p2_span_derive(spark, sf_dir):
+    """P2: interleaved text+media span arrays (the input_hint payload),
+    derived deterministically from the flat documents table."""
+    return _spans_df(spark, sf_dir)
+
+
+@q("p2_span_explode_media", """
+WITH spans AS (""" + _SPAN_SQL + """)
+SELECT doc_id, s.media_ref AS media_ref, s."offset" AS span_offset
+FROM (SELECT doc_id, unnest(spans) AS s FROM spans)
+WHERE s.kind = 'media'
+""")
+def p2_span_explode_media(spark, sf_dir):
+    """P2-explode: media outlink extraction from span arrays (the engine's
+    outlink stage shape: explode + kind filter)."""
+    s = _spans_df(spark, sf_dir)
+    return (s.select("doc_id", F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "media")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").alias("span_offset")))
+
+# =====================================================================
+# Streaming-analog queries (event time, sessions, late-data dedup)
+# =====================================================================
+
+@q("st1_tumbling_window", """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+""")
+def st1_tumbling_window(spark, sf_dir):
+    """Tumbling 1h event-time window agg (batch form of the streaming op)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.unix_timestamp(F.date_trunc("hour", "ts"))
+                      .alias("win_start"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@q("st2_sessionize", """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM lagged GROUP BY user_id
+""")
+def st2_sessionize(spark, sf_dir):
+    """Session windows (30-min gap) via lag + cumulative break counting —
+    the batch twin of streaming session windows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.withColumn(
+        "brk",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.unix_timestamp("ts")
+                   - F.unix_timestamp(F.lag("ts").over(w))) > 1800), 1)
+        .otherwise(0))
+    return (lagged.groupBy("user_id")
+            .agg(F.sum("brk").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+@q("st3_event_dedup", """
+SELECT user_id, event_type, min(event_id) AS event_id
+FROM events GROUP BY user_id, event_type
+""")
+def st3_event_dedup(spark, sf_dir):
+    """Late-data dedup: keep first event per (user, type) — the idempotent
+    re-discovery handling of the crawl (SURVEY.md §2.9)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id", "event_type")
+            .agg(F.min("event_id").alias("event_id")))
+
+
+# =====================================================================
+# Training-data dedup family (documents table)
+# =====================================================================
+
+@q("dd1_exact_dedup", """
+SELECT min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+""")
+def dd1_exact_dedup(spark, sf_dir):
+    """Exact dedup on normalized text: representative = min(doc_id)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy(normalize_text(F.col("text")).alias("k"))
+            .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_dups"))
+            .select("rep_id", "n_dups"))
+
+
+@q("dd2_fingerprint", """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""")
+def dd2_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of casefolded whitespace-collapsed text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+           list_distinct(list_transform(range(0, len(words) - 2),
+             j -> words[j+1] || ' ' || words[j+2] || ' ' || words[j+3]))
+         ELSE [array_to_string(words, ' ')] END AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents)
+"""
+
+@q("dd3_minhash_lsh", """
+WITH sh AS (""" + _SHINGLE_SQL + """),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(sh, s -> md5('0:' || s))) AS mh0,
+         list_min(list_transform(sh, s -> md5('1:' || s))) AS mh1,
+         list_min(list_transform(sh, s -> md5('2:' || s))) AS mh2,
+         list_min(list_transform(sh, s -> md5('3:' || s))) AS mh3,
+         list_min(list_transform(sh, s -> md5('4:' || s))) AS mh4,
+         list_min(list_transform(sh, s -> md5('5:' || s))) AS mh5,
+         list_min(list_transform(sh, s -> md5('6:' || s))) AS mh6,
+         list_min(list_transform(sh, s -> md5('7:' || s))) AS mh7
+  FROM sh),
+bands AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, unnest([
+      struct_pack(band := 0, key := mh0 || '|' || mh1),
+      struct_pack(band := 1, key := mh2 || '|' || mh3),
+      struct_pack(band := 2, key := mh4 || '|' || mh5),
+      struct_pack(band := 3, key := mh6 || '|' || mh7)]) AS bk
+    FROM sig) t(doc_id, bk),
+  LATERAL (SELECT bk.band AS band, bk.key AS key)),
+sized AS (
+  SELECT doc_id, band, key,
+         count(*) OVER (PARTITION BY band, key) AS bucket_n
+  FROM bands)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id AND a.bucket_n <= 64 AND b.bucket_n <= 64
+GROUP BY 1, 2
+""")
+def dd3_minhash_lsh(spark, sf_dir):
+    """MinHash (8 perms, md5-keyed) + banded LSH (4 bands x 2) candidate
+    near-dup pairs. Hex-min == value-min, so Spark and DuckDB agree
+    bit-for-bit with zero UDFs on either side."""
+    d = _t(spark, sf_dir, "documents")
+    return lsh_band_pairs(d, n_perm=8, band_size=2, shingle_n=3, max_bucket=64)
+
+
+@q("dd4_ngram_jaccard", """
+WITH sh AS (""" + _SHINGLE_SQL + """),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.8
+""")
+def dd4_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard >= 0.8 near-dup pairs (LSH verification)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.8)
+
+
+@q("dd5_simhash", """
+SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM (
+  SELECT doc_id, (
+    SELECT sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END)
+    FROM (SELECT b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM (SELECT unnest(range(0, 16)) AS b),
+               (SELECT unnest(list_transform(
+                  regexp_split_to_array(trim(d.text), '\\s+'),
+                  w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)) AS h)
+          GROUP BY b))
+  AS simhash FROM documents d)
+""")
+def dd5_simhash(spark, sf_dir):
+    """16-bit SimHash over words (md5-derived word hashes, +-1 bit votes)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_col(F.col("text"), 16).alias("simhash"))
+
+
+# =====================================================================
+# Text analysis (documents table)
+# =====================================================================
+
+_NW = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+def _hits(markers):  # DuckDB twin of marker_hits_col
+    padded = "' ' || trim(text) || ' '"
+    terms = [f"(len(regexp_split_to_array({padded}, '\\s{m}\\s')) - 1)"
+             for m in markers]
+    return "(" + " + ".join(terms) + ")"
+
+
+from crawler_spark.functions.text import LANG_MARKERS as _LM
+
+_LANG_SQL = f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN {_hits(_LM['es'])} * 1.0 / {_NW} > greatest(0.02,
+         {_hits(_LM['en'])} * 1.0 / {_NW}, {_hits(_LM['fr'])} * 1.0 / {_NW},
+         {_hits(_LM['de'])} * 1.0 / {_NW}) THEN 'es'
+    WHEN {_hits(_LM['de'])} * 1.0 / {_NW} > greatest(0.02,
+         {_hits(_LM['en'])} * 1.0 / {_NW}, {_hits(_LM['fr'])} * 1.0 / {_NW}) THEN 'de'
+    WHEN {_hits(_LM['fr'])} * 1.0 / {_NW} > greatest(0.02,
+         {_hits(_LM['en'])} * 1.0 / {_NW}) THEN 'fr'
+    WHEN {_hits(_LM['en'])} * 1.0 / {_NW} > 0.02 THEN 'en'
+    ELSE 'und'
+  END AS lang_pred
+FROM documents
+"""
+
+@q("tx1_lang_id", _LANG_SQL)
+def tx1_lang_id(spark, sf_dir):
+    """Heuristic language-ID: argmax marker-word density, 'und' below 2%.
+    Ties broken by later-checked language winning only on strict >."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang",
+                    lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+@q("tx2_quality_score", f"""
+SELECT doc_id, round(
+  0.4 * (CASE WHEN {_NW} BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.3 END)
++ 0.3 * (CASE WHEN (length(text) - ({_NW} - 1)) * 1.0 / {_NW} BETWEEN 2.5 AND 12.0
+         THEN 1.0 ELSE 0.4 END)
++ 0.3 * (CASE WHEN {_hits(_LM['en'])} * 1.0 / {_NW} > 0.01 THEN 1.0 ELSE 0.5 END)
+, 4)::DOUBLE AS quality FROM documents
+""")
+def tx2_quality_score(spark, sf_dir):
+    """Quality gate: length band + mean word length + stopword signal."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+
+
+@q("tx3_token_count", f"""
+SELECT doc_id, {_NW} AS n_words,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+            w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
+FROM documents
+""")
+def tx3_token_count(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish ceil(len/4) estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+        token_count_col(F.col("text")).alias("n_tokens"))
+
+
+# =====================================================================
+# Similarity search (embeddings table)
+# =====================================================================
+
+@q("an1_cosine_topk", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 10
+""")
+def an1_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for a 3-query batch (exact ANN baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    return brute_force_topk(e, qs, k=10).select("qid", "vec_id", "cosine", "rnk")
+
+
+@q("an2_ivf_topk", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qcell
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4) AS cosine
+  FROM embeddings e JOIN q ON e.label = q.qcell
+  WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 10
+""")
+def an2_ivf_topk(spark, sf_dir):
+    """IVF-1-probe ANN: scan only the query's coarse cell (label)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    return ivf_topk(e, qs, k=10).select("qid", "vec_id", "cosine", "rnk")
+
+
+@q("an3_embedding_stats", """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+""")
+def an3_embedding_stats(spark, sf_dir):
+    """Per-cell embedding stats (norm audit for the ANN index)."""
+    from crawler_spark.operators.similarity import norm_col
+    e = _t(spark, sf_dir, "embeddings")
+    return (e.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(norm_col(F.col("embedding").cast("array<double>"))), 4)
+                 .alias("avg_norm")))
+
+
+# =====================================================================
+# Rows-only queries (non-SQL-expressible; pytest-oracled instead)
+# =====================================================================
+
+@q("crawl_bfs")
+def crawl_bfs(spark, sf_dir):
+    """The flagship crawl itself (wave loop over the deterministic synthetic
+    web; sf_dir unused — the substrate is generated, not driver data).
+    Oracle: tests/oracle.py single-threaded BFS (pytest e2e equality);
+    not ANSI-SQL-expressible (iterative + stateful)."""
+    from crawler_spark.plans.frontier import run_crawl
+    from crawler_spark.sources.fetch import SimulatedFetcher
+    from crawler_spark.sources.webgraph import (
+        WebGraphConfig, gen_seeds, to_spark,
+    )
+    from crawler_spark.spec import CrawlJobSpec
+    cfg = WebGraphConfig(n_hosts=6, max_pages_per_host=10, out_degree=4)
+    pages_df, robots_df = to_spark(spark, cfg)
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(cfg, 2)), max_waves=4)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df), robots_src=robots_df)
+    return run.seen.select("url_canon", "host", "wave").orderBy("url_canon")
+
+
+@q("mm1_multimodal_decode")
+def mm1_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload column -> mapInPandas decode stub
+    -> typed features. Python-side kernel => rows-only check."""
+    from crawler_spark.operators.multimodal import attach_payload, decode_features
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = decode_features(attach_payload(d))
+    return feats.select("doc_id", "media_type", "n_bytes",
+                        F.round(F.element_at("features", 1), 2).alias("feat0"))
