@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north_rule throughput evidence).
+
+Two workloads:
+
+1. **Query suite** — every `queries()` entry from `__spark_entry__.py` run
+   against `$SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1), each fully
+   materialized through the `noop` sink (forces complete execution, no
+   driver collect). Per-query wall seconds go into the JSON `queries` map.
+
+2. **Crawl throughput** — the north_rule metric: URLs fetched+deduped/sec of
+   the wave loop over a deterministic synthetic frontier (seed=42, Zipf host
+   skew). The same function is invoked by tools/scaling_bench.py at two
+   parallelism levels (local[8] vs local[32]) to evidence the >=0.8 scaling
+   criterion (see BENCH/BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {"urls": n, "sec": t, "urls_per_sec": r}, "cpus": N}
+
+Usage:
+  python bench.py                 # full suite + crawl bench
+  python bench.py --crawl-only    # crawl bench only (scaling runs)
+  SPARK_GRAFT_CPUS=8 python bench.py --crawl-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _materialize(df) -> int:
+    """Force full execution of every column without collecting to driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def crawl_bench(spark, n_hosts: int = 400, max_pages_per_host: int = 400,
+                out_degree: int = 10, n_seeds: int | None = None,
+                per_host_tokens: float = 1_000_000.0) -> dict:
+    """North-rule throughput: URLs fetched+deduped/sec of the wave loop.
+
+    Seeds every primary host (the crawl is seed-domain-scoped, F2 — with few
+    seeds it would correctly fetch only those hosts' pages) and models a large
+    wave time slice (wave_ms=1h) so robots Crawl-delay hosts are not clamped
+    to 1 URL/wave: throughput then measures the engine — frontier scan,
+    bloom+anti-join dedup, robots gate, fetch join, mapInPandas span parse,
+    admission — not an artificial politeness wait. Wall clock covers the wave
+    loop only (fixture build + session excluded), which is the comparable
+    quantity across parallelism levels.
+    """
+    from crawler_spark.plans.frontier import run_crawl
+    from crawler_spark.sources.fetch import SimulatedFetcher
+    from crawler_spark.sources.webgraph import (
+        WebGraphConfig, gen_seeds, to_spark,
+    )
+    from crawler_spark.spec import CrawlJobSpec
+
+    cfg = WebGraphConfig(n_hosts=n_hosts, max_pages_per_host=max_pages_per_host,
+                         out_degree=out_degree)
+    pages_df, robots_df = to_spark(spark, cfg)
+    pages_df.persist().count()          # fixture is warm before the clock
+    spec = CrawlJobSpec(
+        seeds=tuple(gen_seeds(cfg, n_seeds if n_seeds is not None else n_hosts)),
+        per_host_tokens=per_host_tokens, token_cap=per_host_tokens,
+        wave_ms=3_600_000, max_waves=32, max_depth=64)
+    t0 = time.perf_counter()
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=robots_df)
+    n_seen = run.seen.count()
+    dt = time.perf_counter() - t0
+    return {
+        "urls": int(run.n_fetched),
+        "seen": int(n_seen),
+        "waves": int(run.n_waves),
+        "sec": round(dt, 3),
+        "urls_per_sec": round(run.n_fetched / dt, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--skip-crawl", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from crawler_spark.session import get_spark
+    spark = get_spark("crawler_spark_bench", f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()   # JVM warmup
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    if not args.crawl_only:
+        from __spark_entry__ import queries
+        for name, fn in queries().items():
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+
+    crawl = None
+    if not args.skip_crawl:
+        crawl = crawl_bench(spark)
+        timings["crawl_bench"] = crawl["sec"]
+        total += crawl["sec"]
+
+    out = {
+        "metric": "suite_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if crawl is not None:
+        out["crawl"] = crawl
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

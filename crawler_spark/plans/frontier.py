@@ -25,6 +25,7 @@ large probe (scan-pruned by the selected batch's hash keys at Iceberg scale).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -154,11 +155,22 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
     while n_pending > 0 and wave < spec.max_waves:
         if spec.max_pages and run.n_fetched >= spec.max_pages:
             break
+        stage_t: dict[str, float] = {}
+        _t0 = time.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = time.perf_counter()
+            stage_t[name] = round(now - _t0, 3)
+            _t0 = now
+
         # --- W2/O1: token refill + per-host batch selection ---
         tokens = politeness.refill_tokens(pending, hosts, robots, spec)
         tokens = tokens.localCheckpoint(eager=True)   # reused: select + spend
+        _mark("tokens")
         flagged = politeness.select_batch(pending, tokens)
         flagged = flagged.localCheckpoint(eager=True)  # one applyInPandas pass
+        _mark("select")
         selected = flagged.where(F.col("selected")).drop("selected")
         # --- W3/F7: global budget (top-k, TakeOrderedAndProject) ---
         if spec.max_pages:
@@ -173,10 +185,12 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             rest = flagged.where(~F.col("selected")).drop("selected")
         hosts = politeness.merge_host_state(
             hosts, politeness.spend_tokens(tokens, selected))
+        _mark("budget")
 
         # --- S5/P2/P3: fetch + parse + UA ---
         batch = selected.withColumn("agent", ua_col(F.col("host"), spec.ua_pool))
         parsed = parse_spans(fetcher.fetch(batch)).localCheckpoint(eager=True)
+        _mark("fetch_parse")
         ok = parsed.where(F.col("status") == 200)
         docs = ok.select(F.col("url_canon").alias("doc_id"), "spans",
                          F.lit(wave).alias("wave"))
@@ -196,6 +210,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                     F.lit(0.0).alias("priority")))
         new_rows = _admit(spark, links, seen, bloom, robots, spec,
                           seed_hosts, wave + 1).localCheckpoint(eager=True)
+        _mark("admit")
         pending_next = rest.unionByName(new_rows)
         seen_next = seen.unionByName(
             new_rows.select("url_hash", "url_canon", "host",
@@ -211,6 +226,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             wave += 1
             continue
         n_new = new_rows.count()
+        _mark("metrics")
         wave_metrics = {
             "wave": wave,
             "fetched": int(sum(r["fetched"] for r in agg)),
@@ -241,6 +257,8 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         if bloom is not None and n_new:
             bloom.merge_from(build_bloom_parts(
                 new_rows, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
+        _mark("commit_bloom")
+        wave_metrics["stage_sec"] = stage_t
 
         run.n_fetched += n_sel
         n_pending = n_pending - n_sel + n_new
