@@ -102,7 +102,23 @@ def main() -> None:
     spark = get_spark("crawler_spark_bench", f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()   # JVM warmup
+    # Warmup: JVM/codegen plus the Python-worker + Arrow cold start (first
+    # pandas-UDF stage in a fresh session costs seconds; that fixed cost is
+    # not part of any query's steady-state throughput).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # no annotations: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's signature inspection rejects
+    _warm = F.pandas_udf(lambda s: s, "long")
+
+    wdf = spark.range(1000).withColumn("g", F.col("id") % 8)
+    wdf.select(_warm("id")).write.format("noop").mode("overwrite").save()
+    wdf.groupBy("g").applyInPandas(lambda p: p, "id long, g long") \
+       .write.format("noop").mode("overwrite").save()
+    wdf.mapInPandas(lambda it: it, "id long, g long") \
+       .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -20,7 +20,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 WORD_SPLIT_RE = r"\s+"
 
@@ -39,16 +39,26 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct), all map-side array algebra.
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) from an already-evaluated word
+    array (a projected column or HOF lambda variable). Uses slice+array_join
+    so the word array is read, not recomputed, per gram.
     Contract (mirrored by the SQL oracle): docs shorter than n words get a
     single whole-text shingle — never partial/NULL-padded grams."""
-    w = words_col(text)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    gram = F.transform(idx, lambda j: F.concat_ws(
-        " ", *[F.element_at(w, (j + k + 1).cast("int")) for k in range(n)]))
+    gram = F.transform(F.sequence(F.lit(0), F.size(w) - n),
+                       lambda j: F.array_join(F.slice(w, j + 1, n), " "))
     return F.when(F.size(w) >= n, F.array_distinct(gram)) \
             .otherwise(F.array(F.array_join(w, " ")))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column. The word split is let-bound via
+    a single-element transform() lambda so it evaluates ONCE per row —
+    referencing the split expression inside each gram (e.g. via element_at)
+    re-runs the split per access, measured 16x slower on sf0.1."""
+    bound = F.transform(F.array(words_col(text)),
+                        lambda warr: shingles_from_words(warr, n))
+    return F.element_at(bound, 1)
 
 
 def minhash_sig_cols(shingles: Column, n_perm: int) -> list[Column]:
@@ -76,9 +86,13 @@ def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """
     assert n_perm % band_size == 0
     n_bands = n_perm // band_size
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *minhash_sig_cols(shingles_col(F.col(text_col), shingle_n), n_perm))
+    # Materialize the shingle array in its OWN projection: Catalyst does not
+    # common-subexpression-eliminate the (large) gram-builder expression
+    # across the n_perm signature columns — inlining it per column measured
+    # 7x slower on the same input.
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     shingles_col(F.col(text_col), shingle_n).alias("sh"))
+    sig = sh.select("doc_id", *minhash_sig_cols(F.col("sh"), n_perm))
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -87,16 +101,23 @@ def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
                                         for k in range(band_size)]).alias("key"))
             for b in range(n_bands)])).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # template guard: drop oversize buckets before the quadratic self-join
-    sized = bands.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "key")))
-    bands = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (a.join(b, ["band", "key"])
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+    # One shuffle: bucket docs per (band, key). The template guard (drop
+    # buckets wider than max_bucket — near-certain boilerplate clusters) caps
+    # the quadratic pair fan-out; pairs are then generated inside each bucket
+    # with array algebra (i<j combinations), avoiding the bands-side
+    # self-join, which would recompute the whole signature a second time.
+    buckets = (bands.groupBy("band", "key")
+               .agg(F.collect_list("doc_id").alias("ids"))
+               .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket)))
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(F.least(x, y).alias("doc_a"),
+                               F.greatest(x, y).alias("doc_b")))))
+    pairs = (buckets.select(F.explode(pair_arr).alias("p"))
+             .groupBy(F.col("p.doc_a").alias("doc_a"),
+                      F.col("p.doc_b").alias("doc_b"))
              .agg(F.count("*").alias("n_shared_bands")))
     return pairs
 
@@ -110,13 +131,24 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Quadratic in co-shingled docs — the verification stage after LSH, or a
     direct method at modest corpus sizes.
     """
-    ex = docs.select(F.col(id_col).alias("doc_id"),
-                     F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"))
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (ex.alias("a").join(ex.alias("b"), "s")
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     shingles_col(F.col(text_col), shingle_n).alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # |A| per doc from the array length — no second pass over exploded rows
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    # groupBy(shingle) + in-bucket pair generation == the ex⋈ex self-join on
+    # shingle, but evaluates the shingle expression once and shuffles once.
+    buckets = (ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+               .where(F.size("ids") >= 2))
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(F.least(x, y).alias("doc_a"),
+                               F.greatest(x, y).alias("doc_b")))))
+    inter = (buckets.select(F.explode(pair_arr).alias("p"))
+             .groupBy(F.col("p.doc_a").alias("doc_a"),
+                      F.col("p.doc_b").alias("doc_b"))
              .agg(F.count("*").alias("inter")))
     j = (inter
          .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -130,13 +162,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     return j
 
 
+def word_hashes_col(text: Column) -> Column:
+    """Per-word 32-bit hashes (md5-derived, cross-engine reproducible).
+    Project this into its own column BEFORE fanning out per-bit aggregates:
+    Catalyst does not CSE the md5 transform across sibling expressions."""
+    return F.transform(
+        words_col(text),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
+
+
 def simhash_col(text: Column, bits: int = 16) -> Column:
     """SimHash over words: bit b of md5-int(word) votes ±1; sign of the vote
     sum sets bit b of the fingerprint. Pure column algebra (aggregate over
     the word array), cross-engine reproducible via md5/conv."""
-    w = words_col(text)
-    h = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
-                    .cast("long"))
+    return simhash_from_hashes(word_hashes_col(text), bits)
+
+
+def simhash_from_hashes(h: Column, bits: int = 16) -> Column:
+    """SimHash from a pre-projected word-hash array column (the fast path —
+    the hash array is evaluated once, not once per bit)."""
 
     def vote_fn(b):
         # exactly-two-arg lambda (pyspark inspects HOF callable arity)

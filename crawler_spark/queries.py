@@ -543,9 +543,15 @@ SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM (
   AS simhash FROM documents d)
 """)
 def dd5_simhash(spark, sf_dir):
-    """16-bit SimHash over words (md5-derived word hashes, +-1 bit votes)."""
+    """16-bit SimHash over words (md5-derived word hashes, +-1 bit votes).
+    Word hashes are projected once, then the 16 per-bit vote aggregates run
+    over the materialized array (no per-bit recompute of the md5 transform)."""
+    from crawler_spark.operators.textdedup import (
+        simhash_from_hashes, word_hashes_col,
+    )
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_col(F.col("text"), 16).alias("simhash"))
+    h = d.select("doc_id", word_hashes_col(F.col("text")).alias("h"))
+    return h.select("doc_id", simhash_from_hashes(F.col("h"), 16).alias("simhash"))
 
 
 # =====================================================================
