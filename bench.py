@@ -42,9 +42,39 @@ def _materialize(df) -> int:
     return 0
 
 
+def _enrich_sink(docs) -> None:
+    """EP1 per-wave sink with realistic training-data compute: reassemble the
+    document text from its text spans, then language-ID, quality score, token
+    count, fingerprint, and 16-bit simhash — all JVM-side column algebra —
+    and materialize through the noop sink. This is the per-page work a real
+    corpus pipeline does as pages stream out of the crawl."""
+    from pyspark.sql import functions as F
+    from crawler_spark.functions.text import (
+        lang_id_col, quality_score_col, token_count_col,
+    )
+    from crawler_spark.operators.textdedup import (
+        fingerprint_col, simhash_from_hashes, word_hashes_col,
+    )
+    text = F.array_join(
+        F.transform(F.expr("filter(spans, s -> s.kind = 'text')"),
+                    lambda s: s["text"]), " ")
+    prof = docs.select("doc_id", "wave", text.alias("text"))
+    prof = prof.select(
+        "doc_id", "wave",
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        quality_score_col(F.col("text")).alias("quality"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        fingerprint_col(F.col("text")).alias("fp"),
+        word_hashes_col(F.col("text")).alias("h"))
+    prof = prof.select("doc_id", "wave", "lang_pred", "quality", "n_tokens",
+                       "fp", simhash_from_hashes(F.col("h"), 16).alias("simhash"))
+    prof.write.format("noop").mode("overwrite").save()
+
+
 def crawl_bench(spark, n_hosts: int = 400, max_pages_per_host: int = 400,
                 out_degree: int = 10, n_seeds: int | None = None,
-                per_host_tokens: float = 1_000_000.0) -> dict:
+                per_host_tokens: float = 1_000_000.0,
+                enrich: bool = False) -> dict:
     """North-rule throughput: URLs fetched+deduped/sec of the wave loop.
 
     Seeds every primary host (the crawl is seed-domain-scoped, F2 — with few
@@ -59,27 +89,33 @@ def crawl_bench(spark, n_hosts: int = 400, max_pages_per_host: int = 400,
     from crawler_spark.plans.frontier import run_crawl
     from crawler_spark.sources.fetch import SimulatedFetcher
     from crawler_spark.sources.webgraph import (
-        WebGraphConfig, gen_seeds, to_spark,
+        WebGraphConfig, gen_seeds, to_spark, to_spark_distributed,
     )
     from crawler_spark.spec import CrawlJobSpec
 
     cfg = WebGraphConfig(n_hosts=n_hosts, max_pages_per_host=max_pages_per_host,
                          out_degree=out_degree)
-    pages_df, robots_df = to_spark(spark, cfg)
-    pages_df.persist().count()          # fixture is warm before the clock
+    n_pages = sum(cfg.pages_of(h) for h in cfg.hosts())
+    gen = to_spark_distributed if n_pages > 50_000 else to_spark
+    pages_df, robots_df = gen(spark, cfg)
+    pages_df = pages_df.persist()
+    pages_df.count()                    # fixture is warm before the clock
     spec = CrawlJobSpec(
         seeds=tuple(gen_seeds(cfg, n_seeds if n_seeds is not None else n_hosts)),
         per_host_tokens=per_host_tokens, token_cap=per_host_tokens,
         wave_ms=3_600_000, max_waves=32, max_depth=64)
+    sink = (lambda wave, docs: _enrich_sink(docs)) if enrich else None
     t0 = time.perf_counter()
-    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
-                    robots_src=robots_df)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df, cache=False),
+                    robots_src=robots_df, sink=sink)
     n_seen = run.seen.count()
     dt = time.perf_counter() - t0
     return {
         "urls": int(run.n_fetched),
         "seen": int(n_seen),
         "waves": int(run.n_waves),
+        "pages": int(n_pages),
+        "enrich": bool(enrich),
         "sec": round(dt, 3),
         "urls_per_sec": round(run.n_fetched / dt, 1),
     }
@@ -89,6 +125,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--skip-crawl", action="store_true")
+    ap.add_argument("--hosts", type=int, default=400)
+    ap.add_argument("--pages", type=int, default=400,
+                    help="max pages per host (Zipf head)")
+    ap.add_argument("--degree", type=int, default=10)
+    ap.add_argument("--enrich", action="store_true",
+                    help="per-wave doc-profile sink (realistic corpus compute)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -133,7 +175,9 @@ def main() -> None:
 
     crawl = None
     if not args.skip_crawl:
-        crawl = crawl_bench(spark)
+        crawl = crawl_bench(spark, n_hosts=args.hosts,
+                            max_pages_per_host=args.pages,
+                            out_degree=args.degree, enrich=args.enrich)
         timings["crawl_bench"] = crawl["sec"]
         total += crawl["sec"]
 

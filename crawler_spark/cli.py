@@ -1,0 +1,125 @@
+"""Command-line entry point — the Spark analog of the reference's gRPC
+service surface (examples/client.rs:138-166; `cargo install website_crawler`,
+README.md:57-78). Ships via `spark-submit --py-files crawler_spark.zip`
+(north_rule); also runs directly as `python -m crawler_spark.cli`.
+
+Modes (reference proto/crawler.proto:7-8):
+  * default ("crawl", EP2): run to exhaustion/budget, print the final seen
+    table summary (the reference's one-shot ScanParams{pages} batch).
+  * --stream ("scan", EP1): additionally write each wave's documents to
+    --output as they are produced (the per-page ScanStream analog).
+
+No network exists in this sandbox, so --fixture-hosts/--fixture-pages spin
+up the deterministic synthetic web graph as the fetch substrate; a real
+deployment passes --http to use the (stubbed here) HttpFetcher.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="crawler_spark")
+    # reference ScanRequest fields (proto/crawler.proto:18-26)
+    ap.add_argument("--seeds", nargs="+", default=None,
+                    help="seed URLs (`url`); default: fixture seeds")
+    ap.add_argument("--job-id", type=int, default=0, help="`id`")
+    ap.add_argument("--norobots", action="store_true",
+                    help="skip robots.txt (inverted to respect_robots_txt, "
+                         "reference server.rs:22)")
+    ap.add_argument("--agent", default="", help="explicit UA override")
+    ap.add_argument("--subdomains", action="store_true")
+    ap.add_argument("--tld", action="store_true")
+    ap.add_argument("--delay-ms", type=int, default=0, help="`delay`")
+    # spider::Configuration analogs
+    ap.add_argument("--max-depth", type=int, default=25)
+    ap.add_argument("--max-pages", type=int, default=0)
+    ap.add_argument("--max-waves", type=int, default=64)
+    ap.add_argument("--blacklist", nargs="*", default=[])
+    # engine
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument("--checkpoint-dir", default="",
+                    help="snapshot dir (enables resume)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest committed wave")
+    ap.add_argument("--stop-flag", default="",
+                    help="path checked between waves; existing file => "
+                         "graceful stop (the reference's shutdown message)")
+    ap.add_argument("--stream", action="store_true",
+                    help="EP1 scan mode: per-wave document sink to --output")
+    ap.add_argument("--output", default="",
+                    help="parquet dir for documents (required with --stream)")
+    # sandbox fetch substrate
+    ap.add_argument("--fixture-hosts", type=int, default=8)
+    ap.add_argument("--fixture-pages", type=int, default=12)
+    ap.add_argument("--http", action="store_true",
+                    help="use the real-network fetcher (unavailable here)")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.stream and not args.output:
+        print("error: --stream requires --output", file=sys.stderr)
+        return 2
+
+    from crawler_spark.session import get_spark
+    from crawler_spark.spec import CrawlJobSpec
+    from crawler_spark.plans.frontier import run_crawl
+    from crawler_spark.sources.webgraph import (
+        WebGraphConfig, gen_seeds, to_spark, to_spark_distributed,
+    )
+    from crawler_spark.sources.fetch import HttpFetcher, SimulatedFetcher
+
+    spark = get_spark("crawler_spark_cli", args.master,
+                      shuffle_partitions=args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cfg = WebGraphConfig(n_hosts=args.fixture_hosts,
+                         max_pages_per_host=args.fixture_pages)
+    if args.http:
+        fetcher, robots_df = HttpFetcher(user_agent=args.agent), None
+    else:
+        n_pages = sum(cfg.pages_of(h) for h in cfg.hosts())
+        gen = to_spark_distributed if n_pages > 50_000 else to_spark
+        pages_df, robots_df = gen(spark, cfg)
+        fetcher = SimulatedFetcher(pages_df)
+
+    seeds = tuple(args.seeds) if args.seeds else tuple(gen_seeds(cfg))
+    spec = CrawlJobSpec(
+        seeds=seeds, job_id=args.job_id,
+        respect_robots_txt=not args.norobots, agent=args.agent,
+        subdomains=args.subdomains, tld=args.tld, delay_ms=args.delay_ms,
+        max_depth=args.max_depth, max_pages=args.max_pages,
+        max_waves=args.max_waves, blacklist=tuple(args.blacklist),
+        shuffle_partitions=args.shuffle_partitions,
+        checkpoint_dir=args.checkpoint_dir, stop_flag_path=args.stop_flag)
+
+    sink = None
+    if args.stream:
+        def sink(wave: int, docs) -> None:
+            docs.write.mode("append").parquet(args.output)
+
+    run = run_crawl(spark, spec, fetcher, robots_src=robots_df, sink=sink,
+                    resume=args.resume)
+    summary = {
+        "job_id": spec.job_id,
+        "n_fetched": run.n_fetched,
+        "n_waves": run.n_waves,
+        "seen": run.seen.count() if run.seen is not None else 0,
+        "pending": run.frontier.count() if run.frontier is not None else 0,
+        "waves": [{k: m[k] for k in ("wave", "fetched", "errors",
+                                     "new_links", "bytes")}
+                  for m in run.metrics],
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

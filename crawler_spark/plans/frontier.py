@@ -25,6 +25,7 @@ large probe (scan-pruned by the selected batch's hash keys at Iceberg scale).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -109,13 +110,18 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
 
 def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
               robots_src: DataFrame | None = None,
-              sink=None, store=None) -> CrawlRun:
+              sink=None, store=None, resume: bool = False) -> CrawlRun:
     """EP2 `Crawl` batch mode (reference src/rpc/server.rs:54-88): run the
     wave loop to exhaustion/budget, return final tables.
 
     `sink(wave, docs_df)` — optional per-wave callback = EP1 `Scan` streaming
     mode (reference streams each page as found, src/scanner/scan.rs:50-64).
     `store` — MemoryStore (default) or SnapDirStore for resumable snapshots.
+    `resume` — continue from the store's latest committed wave: state tables
+    (frontier/seen/hosts) reload from the last manifest, the bloom prefilter
+    is rebuilt from `seen`, and accumulated deltas (documents/fetch_log) are
+    re-attached; the continued run is bit-identical to an uninterrupted one
+    (north_rule; tested in tests/test_resume.py).
     """
     store = store or (SnapDirStore(spark, spec.checkpoint_dir)
                       if spec.checkpoint_dir else MemoryStore())
@@ -123,7 +129,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
     if robots_src is not None:
         robots = build_robots_table(robots_src).localCheckpoint(eager=True)
 
-    # --- wave-0 admission: seeds (S3) ---
+    # seed hosts define the crawl scope (F2-F4) in both fresh and resumed runs
     seeds_df = spark.createDataFrame([(s,) for s in spec.seeds], "url string")
     seeds_canon = (seeds_df
                    .withColumn("url_canon", canonicalize_udf(F.col("url"), F.lit("")))
@@ -136,23 +142,50 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
 
     bloom = SeenBloom(spec.bloom_parts,
                       keys_per_part=1 << 14, fpp=spec.bloom_fpp) if spec.use_bloom else None
-    pending = _admit(spark, seeds_canon, None, None, robots, spec, seed_hosts, 0)
-    seen = pending.select("url_hash", "url_canon", "host",
-                          F.lit(0).alias("wave"))
-    hosts = None
     run = CrawlRun(spec=spec)
     docs_parts: list[DataFrame] = []
     log_parts: list[DataFrame] = []
 
-    state = store.persist_wave(-1, {"frontier": pending, "seen": seen}, {})
-    pending, seen = state["frontier"], state["seen"]
+    last = store.latest_wave() if (resume and getattr(store, "resumable", False)) else None
+    if resume and last is None:
+        raise ValueError("resume=True but the store has no committed wave "
+                         "(missing/empty checkpoint_dir manifest)")
+    if last is not None:
+        # --- resume: reload state committed at the end of wave `last` ---
+        pending = store.read_full("frontier", last)
+        seen = store.read_full("seen", last)
+        try:
+            hosts = store.read_full("hosts", last)
+        except Exception:
+            hosts = None                   # killed before wave-0 commit
+        man = store.manifest(last)
+        run.n_fetched = int(man.get("extra", {}).get("n_fetched", 0))
+        docs0 = store.read_delta_union("documents", last)
+        log0 = store.read_delta_union("fetch_log", last)
+        if docs0 is not None:
+            docs_parts.append(docs0)
+        if log0 is not None:
+            log_parts.append(log0)
+        wave = last + 1
+    else:
+        # --- wave-0 admission: seeds (S3) ---
+        pending = _admit(spark, seeds_canon, None, None, robots, spec,
+                         seed_hosts, 0)
+        seen = pending.select("url_hash", "url_canon", "host",
+                              F.lit(0).alias("wave"))
+        hosts = None
+        state = store.persist_wave(-1, {"frontier": pending, "seen": seen}, {})
+        pending, seen = state["frontier"], state["seen"]
+        wave = 0
+
     n_pending = pending.count()
-    if bloom is not None and n_pending:
+    if bloom is not None:
         bloom.merge_from(build_bloom_parts(
             seen, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
 
-    wave = 0
     while n_pending > 0 and wave < spec.max_waves:
+        if spec.stop_flag_path and os.path.exists(spec.stop_flag_path):
+            break                          # graceful shutdown between waves
         if spec.max_pages and run.n_fetched >= spec.max_pages:
             break
         stage_t: dict[str, float] = {}

@@ -28,11 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def content_fingerprint(df: DataFrame) -> int:
-    """Order-insensitive content hash: sum(xxhash64(to_json(struct(*)))).
+    """Order-insensitive content hash: sum(xxhash64(to_json(struct(*))))
+    mod 2^64. The sum runs in decimal(38,0) — a long sum of 64-bit hashes
+    overflows almost immediately under ANSI mode (Spark 4 default).
     Used by manifests and the resume test (bitwise-equal state)."""
     row = df.select(
-        F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("fp")).collect()[0]
-    return int(row["fp"] or 0)
+        F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))
+              .cast("decimal(38,0)")).alias("fp")).collect()[0]
+    return int(row["fp"] or 0) % (1 << 64)
 
 
 class MemoryStore:

@@ -162,6 +162,46 @@ def gen_seeds(cfg: WebGraphConfig, n_seeds: int = 3) -> list[str]:
 
 
 def to_spark(spark, cfg: WebGraphConfig):
-    """(pages_df, robots_src_df) as Spark DataFrames."""
+    """(pages_df, robots_src_df) as Spark DataFrames (driver-side gen —
+    fine up to ~50k pages; use to_spark_distributed beyond that)."""
     return (spark.createDataFrame(gen_pages(cfg)),
             spark.createDataFrame(gen_robots_src(cfg)))
+
+
+def to_spark_distributed(spark, cfg: WebGraphConfig, parts: int | None = None):
+    """(pages_df, robots_src_df) with the page bodies generated ON EXECUTORS.
+
+    The page set is a pure function of (cfg.seed, host, page_idx), so
+    generation distributes trivially: a tiny driver-side (host, n_pages)
+    table fans out via explode(sequence(...)), and a mapInPandas stage
+    renders each page's HTML where the data will live. This is the scale
+    path for the bench/scaling fixtures (hundreds of thousands of pages —
+    driver-side pandas would serialize gigabytes through one process).
+    """
+    from pyspark.sql import functions as F
+
+    hosts = cfg.hosts()
+    hdf = spark.createDataFrame([(h, cfg.pages_of(h)) for h in hosts],
+                                "host string, n int")
+    pairs = hdf.select(
+        "host", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pi"))
+    pairs = pairs.repartition(parts or spark.sparkContext.defaultParallelism)
+
+    def _render(batches):
+        for pdf in batches:
+            urls, statuses, nbytes, htmls = [], [], [], []
+            for host, pi in zip(pdf["host"], pdf["pi"]):
+                html = _page_html(cfg, host, int(pi))
+                urls.append(page_url(host, int(pi)))
+                statuses.append(page_status(cfg, host, int(pi)))
+                nbytes.append(len(html))
+                htmls.append(html)
+            out = pd.DataFrame({
+                "url_canon": urls, "host": pdf["host"].values,
+                "status": statuses, "bytes": nbytes, "html": htmls})
+            yield out
+
+    pages = pairs.mapInPandas(
+        _render,
+        "url_canon string, host string, status long, bytes long, html string")
+    return pages, spark.createDataFrame(gen_robots_src(cfg))

@@ -45,6 +45,9 @@ class CrawlJobSpec:
     bloom_parts: int = 32                # salted bloom partitions
     shuffle_partitions: int = 32
     checkpoint_dir: str = ""             # '' = in-memory state only (no snapshots)
+    stop_flag_path: str = ""             # existing file => graceful stop between
+                                         # waves (the reference's "shutdown"
+                                         # control message, src/rpc/client.rs:90-99)
 
     ua_pool: tuple[str, ...] = (
         "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36",

@@ -1,0 +1,117 @@
+"""Checkpoint/resume + shutdown-flag contract (SURVEY.md §4.3, north_rule:
+"a killed job resumes bit-identically").
+
+Strategy: run the same spec (a) uninterrupted and (b) capped at k waves
+("killed" between waves), then resumed from the snapshot dir. Final state
+tables must match by content fingerprint and the delta-union documents /
+fetch_log must be row-identical. Also: a present stop-flag file halts the
+loop between waves, and resuming after flag removal completes the crawl.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+
+from crawler_spark.plans.frontier import run_crawl
+from crawler_spark.plans.tableio import SnapDirStore, content_fingerprint
+from crawler_spark.sources.fetch import SimulatedFetcher
+from crawler_spark.sources.webgraph import gen_seeds, to_spark
+from crawler_spark.spec import CrawlJobSpec
+
+
+def _snap_fp(spark, root: str) -> dict:
+    """Content fingerprints of the latest committed full state + all deltas."""
+    store = SnapDirStore(spark, root)
+    last = store.latest_wave()
+    out = {"last_wave": last}
+    for t in ("frontier", "seen", "hosts"):
+        try:
+            out[t] = content_fingerprint(store.read_full(t, last))
+        except Exception:
+            out[t] = None
+    for t in ("documents", "fetch_log"):
+        df = store.read_delta_union(t, last)
+        out[t] = content_fingerprint(df) if df is not None else None
+    return out
+
+
+@pytest.fixture()
+def crawl_env(spark, small_cfg):
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    fetcher = SimulatedFetcher(pages_df)
+    seeds = tuple(gen_seeds(small_cfg))
+    return fetcher, robots_df, seeds
+
+
+def test_kill_resume_bit_identical(spark, crawl_env, tmp_path):
+    fetcher, robots_df, seeds = crawl_env
+    base = CrawlJobSpec(seeds=seeds, max_waves=20)
+
+    # (a) uninterrupted reference run
+    full_dir = str(tmp_path / "full")
+    spec_full = dataclasses.replace(base, checkpoint_dir=full_dir)
+    run_full = run_crawl(spark, spec_full, fetcher, robots_src=robots_df)
+    assert run_full.n_waves >= 4, "fixture must produce a multi-wave crawl"
+
+    # (b) killed after 2 waves, then resumed
+    part_dir = str(tmp_path / "part")
+    spec_k = dataclasses.replace(base, checkpoint_dir=part_dir, max_waves=2)
+    run_k = run_crawl(spark, spec_k, fetcher, robots_src=robots_df)
+    assert run_k.n_fetched < run_full.n_fetched
+
+    spec_r = dataclasses.replace(base, checkpoint_dir=part_dir)
+    run_r = run_crawl(spark, spec_r, fetcher, robots_src=robots_df,
+                      resume=True)
+
+    fp_full = _snap_fp(spark, full_dir)
+    fp_part = _snap_fp(spark, part_dir)
+    assert fp_part == fp_full, f"resumed state differs: {fp_part} vs {fp_full}"
+
+    # run_r.n_fetched restores the pre-kill count (the max_pages budget needs
+    # the job-total), so the resumed total equals the uninterrupted run's
+    assert run_r.n_fetched == run_full.n_fetched
+    assert (run_r.seen.count() == run_full.seen.count()
+            == run_r.seen.select("url_hash").distinct().count())
+
+
+def test_resume_is_idempotent_when_complete(spark, crawl_env, tmp_path):
+    """Resuming a FINISHED crawl runs zero waves and changes nothing."""
+    fetcher, robots_df, seeds = crawl_env
+    d = str(tmp_path / "done")
+    spec = CrawlJobSpec(seeds=seeds, max_waves=20, checkpoint_dir=d)
+    first = run_crawl(spark, spec, fetcher, robots_src=robots_df)
+    before = _snap_fp(spark, d)
+    again = run_crawl(spark, spec, fetcher, robots_src=robots_df, resume=True)
+    assert again.n_fetched == first.n_fetched    # restored count, no new fetches
+    assert again.metrics == []                   # zero waves actually ran
+    assert _snap_fp(spark, d) == before
+
+
+def test_resume_without_checkpoint_raises(spark, crawl_env, tmp_path):
+    fetcher, robots_df, seeds = crawl_env
+    spec = CrawlJobSpec(seeds=seeds, checkpoint_dir=str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="resume"):
+        run_crawl(spark, spec, fetcher, robots_src=robots_df, resume=True)
+
+
+def test_stop_flag_halts_and_resume_completes(spark, crawl_env, tmp_path):
+    fetcher, robots_df, seeds = crawl_env
+    flag = tmp_path / "STOP"
+    d = str(tmp_path / "flagged")
+
+    # flag present from the start: loop exits before fetching anything
+    flag.write_text("")
+    spec = CrawlJobSpec(seeds=seeds, max_waves=20, checkpoint_dir=d,
+                        stop_flag_path=str(flag))
+    halted = run_crawl(spark, spec, fetcher, robots_src=robots_df)
+    assert halted.n_fetched == 0 and halted.n_waves == 0
+
+    # flag removed: resume from the wave -1 seed snapshot finishes the crawl
+    flag.unlink()
+    done = run_crawl(spark, spec, fetcher, robots_src=robots_df, resume=True)
+    ref = run_crawl(spark, dataclasses.replace(spec, checkpoint_dir=""),
+                    fetcher, robots_src=robots_df)
+    assert done.n_fetched == ref.n_fetched
+    assert done.seen.count() == ref.seen.count()
