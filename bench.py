@@ -74,7 +74,7 @@ def _enrich_sink(docs) -> None:
 def crawl_bench(spark, n_hosts: int = 400, max_pages_per_host: int = 400,
                 out_degree: int = 10, n_seeds: int | None = None,
                 per_host_tokens: float = 1_000_000.0,
-                enrich: bool = False) -> dict:
+                enrich: bool = False, drain: bool = False) -> dict:
     """North-rule throughput: URLs fetched+deduped/sec of the wave loop.
 
     Seeds every primary host (the crawl is seed-domain-scoped, F2 — with few
@@ -93,9 +93,10 @@ def crawl_bench(spark, n_hosts: int = 400, max_pages_per_host: int = 400,
     )
     from crawler_spark.spec import CrawlJobSpec
 
+    from crawler_spark.sources.webgraph import total_pages_of
     cfg = WebGraphConfig(n_hosts=n_hosts, max_pages_per_host=max_pages_per_host,
                          out_degree=out_degree)
-    n_pages = sum(cfg.pages_of(h) for h in cfg.hosts())
+    n_pages = sum(total_pages_of(cfg, h) for h in cfg.hosts())
     gen = to_spark_distributed if n_pages > 50_000 else to_spark
     pages_df, robots_df = gen(spark, cfg)
     pages_df = pages_df.persist()
@@ -105,19 +106,34 @@ def crawl_bench(spark, n_hosts: int = 400, max_pages_per_host: int = 400,
         per_host_tokens=per_host_tokens, token_cap=per_host_tokens,
         wave_ms=3_600_000, max_waves=32, max_depth=64)
     sink = (lambda wave, docs: _enrich_sink(docs)) if enrich else None
+    init = None
+    if drain:
+        # North-rule metric shape: drain a huge EXISTING frontier (recrawl of
+        # every known URL) rather than BFS discovery — one saturated wave
+        # instead of many small ones, so per-stage row counts match what a
+        # cluster wave would carry.
+        from pyspark.sql import functions as F
+        init = pages_df.select("url_canon", F.lit(0).alias("depth"),
+                               F.lit(0.0).alias("priority"))
     t0 = time.perf_counter()
     run = run_crawl(spark, spec, SimulatedFetcher(pages_df, cache=False),
-                    robots_src=robots_df, sink=sink)
+                    robots_src=robots_df, sink=sink, initial_frontier=init)
     n_seen = run.seen.count()
     dt = time.perf_counter() - t0
+    stage_totals: dict[str, float] = {}
+    for m in run.metrics:
+        for k, v in m.get("stage_sec", {}).items():
+            stage_totals[k] = round(stage_totals.get(k, 0.0) + v, 2)
     return {
         "urls": int(run.n_fetched),
         "seen": int(n_seen),
         "waves": int(run.n_waves),
         "pages": int(n_pages),
         "enrich": bool(enrich),
+        "drain": bool(drain),
         "sec": round(dt, 3),
         "urls_per_sec": round(run.n_fetched / dt, 1),
+        "stage_sec": stage_totals,
     }
 
 
@@ -131,6 +147,9 @@ def main() -> None:
     ap.add_argument("--degree", type=int, default=10)
     ap.add_argument("--enrich", action="store_true",
                     help="per-wave doc-profile sink (realistic corpus compute)")
+    ap.add_argument("--drain", action="store_true",
+                    help="bulk-seed the whole URL set (frontier-drain metric "
+                         "shape) instead of BFS discovery")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -177,7 +196,8 @@ def main() -> None:
     if not args.skip_crawl:
         crawl = crawl_bench(spark, n_hosts=args.hosts,
                             max_pages_per_host=args.pages,
-                            out_degree=args.degree, enrich=args.enrich)
+                            out_degree=args.degree, enrich=args.enrich,
+                            drain=args.drain)
         timings["crawl_bench"] = crawl["sec"]
         total += crawl["sec"]
 

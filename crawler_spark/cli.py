@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--agent", default="", help="explicit UA override")
     ap.add_argument("--subdomains", action="store_true")
     ap.add_argument("--tld", action="store_true")
+    ap.add_argument("--sitemap", action="store_true",
+                    help="seed-expand from /sitemap.xml (`sitemap`)")
     ap.add_argument("--delay-ms", type=int, default=0, help="`delay`")
     # spider::Configuration analogs
     ap.add_argument("--max-depth", type=int, default=25)
@@ -49,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--stop-flag", default="",
                     help="path checked between waves; existing file => "
                          "graceful stop (the reference's shutdown message)")
+    ap.add_argument("--politeness-salt", type=int, default=0,
+                    help=">0 enables the salted per-host selection pre-prune "
+                         "(J5 skew guard; 16-64 for Zipf frontiers)")
     ap.add_argument("--stream", action="store_true",
                     help="EP1 scan mode: per-wave document sink to --output")
     ap.add_argument("--output", default="",
@@ -79,24 +84,30 @@ def main(argv: list[str] | None = None) -> int:
                       shuffle_partitions=args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from crawler_spark.sources.webgraph import to_spark_sitemaps, total_pages_of
     cfg = WebGraphConfig(n_hosts=args.fixture_hosts,
                          max_pages_per_host=args.fixture_pages)
+    sitemap_df = None
     if args.http:
         fetcher, robots_df = HttpFetcher(user_agent=args.agent), None
     else:
-        n_pages = sum(cfg.pages_of(h) for h in cfg.hosts())
+        n_pages = sum(total_pages_of(cfg, h) for h in cfg.hosts())
         gen = to_spark_distributed if n_pages > 50_000 else to_spark
         pages_df, robots_df = gen(spark, cfg)
         fetcher = SimulatedFetcher(pages_df)
+        if args.sitemap:
+            sitemap_df = to_spark_sitemaps(spark, cfg)
 
     seeds = tuple(args.seeds) if args.seeds else tuple(gen_seeds(cfg))
     spec = CrawlJobSpec(
         seeds=seeds, job_id=args.job_id,
         respect_robots_txt=not args.norobots, agent=args.agent,
-        subdomains=args.subdomains, tld=args.tld, delay_ms=args.delay_ms,
+        subdomains=args.subdomains, tld=args.tld, sitemap=args.sitemap,
+        delay_ms=args.delay_ms,
         max_depth=args.max_depth, max_pages=args.max_pages,
         max_waves=args.max_waves, blacklist=tuple(args.blacklist),
         shuffle_partitions=args.shuffle_partitions,
+        politeness_salt=args.politeness_salt,
         checkpoint_dir=args.checkpoint_dir, stop_flag_path=args.stop_flag)
 
     sink = None
@@ -105,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
             docs.write.mode("append").parquet(args.output)
 
     run = run_crawl(spark, spec, fetcher, robots_src=robots_df, sink=sink,
-                    resume=args.resume)
+                    resume=args.resume, sitemap_src=sitemap_df)
     summary = {
         "job_id": spec.job_id,
         "n_fetched": run.n_fetched,

@@ -32,16 +32,27 @@ def marker_hits_col(text: Column, markers: tuple[str, ...]) -> Column:
 
 def lang_id_col(text: Column, threshold: float = 0.02) -> Column:
     """Heuristic language-ID: the language whose marker density is highest,
-    'und' (undetermined) when the best density is below threshold."""
+    'und' (undetermined) when the best density is below threshold.
+
+    The per-language densities are packed into ONE array and let-bound via a
+    single-element transform() lambda before the argmax when-chain: inlining
+    them repeats each density expression ~20x in the nested CASE (Catalyst
+    does no CSE inside it) — the bound form evaluates each density once."""
     n = n_words_col(text)
-    best_lang = F.lit("und")
-    best_score = F.lit(threshold)
-    for lang, markers in LANG_MARKERS.items():
-        score = marker_hits_col(text, markers) / n
-        better = score > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best_lang
+    dens = F.array(*[marker_hits_col(text, m).cast("double") / n
+                     for m in LANG_MARKERS.values()])
+
+    def pick(a: Column) -> Column:
+        best_lang = F.lit("und")
+        best_score = F.lit(float(threshold))
+        for i, lang in enumerate(LANG_MARKERS.keys()):
+            score = F.element_at(a, i + 1)
+            better = score > best_score
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(better, score).otherwise(best_score)
+        return best_lang
+
+    return F.element_at(F.transform(F.array(dens), pick), 1)
 
 
 def token_count_col(text: Column) -> Column:
@@ -54,12 +65,22 @@ def token_count_col(text: Column) -> Column:
 
 def quality_score_col(text: Column) -> Column:
     """Document quality in [0,1]: length band + mean word length band +
-    stopword-presence signal (the crawl-corpus quality gate)."""
-    n_chars = F.length(text)
-    n = n_words_col(text)
-    mean_wl = (n_chars - (n - 1)) / n                    # chars sans separators
-    len_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.3)
-    wl_ok = F.when((mean_wl >= 2.5) & (mean_wl <= 12.0), 1.0).otherwise(0.4)
-    stop = marker_hits_col(text, LANG_MARKERS["en"]) / n
-    stop_ok = F.when(stop > 0.01, 1.0).otherwise(0.5)
-    return F.round(0.4 * len_ok + 0.3 * wl_ok + 0.3 * stop_ok, 4)
+    stopword-presence signal (the crawl-corpus quality gate). Inputs
+    (n_chars, n_words, stopword hits) are let-bound once — see lang_id_col
+    for why inlining them would re-split the text per comparison."""
+    packed = F.array(
+        F.length(text).cast("double"),
+        n_words_col(text).cast("double"),
+        marker_hits_col(text, LANG_MARKERS["en"]).cast("double"))
+
+    def score(a: Column) -> Column:
+        n_chars = F.element_at(a, 1)
+        n = F.element_at(a, 2)
+        hits = F.element_at(a, 3)
+        mean_wl = (n_chars - (n - 1)) / n                # chars sans separators
+        len_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.3)
+        wl_ok = F.when((mean_wl >= 2.5) & (mean_wl <= 12.0), 1.0).otherwise(0.4)
+        stop_ok = F.when(hits / n > 0.01, 1.0).otherwise(0.5)
+        return F.round(0.4 * len_ok + 0.3 * wl_ok + 0.3 * stop_ok, 4)
+
+    return F.element_at(F.transform(F.array(packed), score), 1)

@@ -91,13 +91,89 @@ def decode_features(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(_decode, out_schema)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: shape-preserving stub (production: PIL resize inside the
-    same mapInPandas kernel)."""
-    raise NotImplementedError("image codecs not available in sandbox")
+def _fake_resize(buf: bytes, width: int, height: int) -> bytes:
+    """Codec stand-in: 'resample' the byte buffer to width*height bytes by
+    even-strided selection (deterministic). Production: PIL Image.resize."""
+    if _HAS_CODECS:  # pragma: no cover
+        raise NotImplementedError("real codec path not wired in sandbox")
+    n = max(1, width * height)
+    if not buf:
+        return b"\x00" * n
+    a = np.frombuffer(buf, dtype=np.uint8)
+    idx = (np.arange(n) * len(a)) // n
+    return a[idx].tobytes()
 
 
-def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling: production path decodes with av and emits one
-    row per sampled frame (mapInPandas, 1->N)."""
-    raise NotImplementedError("video codecs not available in sandbox")
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id",
+                  bin_col: str = "payload_bin") -> DataFrame:
+    """Image resize over Arrow batches (narrow mapInPandas, partitioning
+    preserved): (id, payload_bin, media_type) -> (id, payload_bin resized,
+    width, height). Non-image rows pass through untouched with null dims."""
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField(bin_col, StringType(), False),   # latin-1 carrier, see below
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ])
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, ws, hs = [], [], []
+            for b, t in zip(pdf[bin_col], pdf["media_type"]):
+                raw = bytes(b) if b is not None else b""
+                if t == "image":
+                    outs.append(_fake_resize(raw, width, height).decode("latin-1"))
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    outs.append(raw.decode("latin-1"))
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                bin_col: outs, "width": ws, "height": hs})
+
+    # NB: pandas->Arrow BinaryType round-trips via object arrays; a latin-1
+    # string carrier keeps the bytes intact and lets the test re-encode.
+    src = df.withColumn(bin_col, F.col(bin_col).cast("binary"))
+    return src.mapInPandas(_resize, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int, n_frames: int = 16,
+                  id_col: str = "doc_id",
+                  bin_col: str = "payload_bin") -> DataFrame:
+    """Video frame sampling: one input row -> one row per sampled frame
+    (the 1->N UDTF shape). The stand-in 'decoder' splits the payload into
+    n_frames equal byte slices and keeps every `every_n`-th; production
+    swaps the slicer for av/ffmpeg keyframe decode — schema, batch shape,
+    and fan-out stay identical."""
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", LongType(), False),
+        StructField("features", ArrayType(FloatType(), False), False),
+    ])
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _HAS_CODECS:  # pragma: no cover
+            raise NotImplementedError("real codec path not wired in sandbox")
+        for pdf in batches:
+            ids, idxs, sizes, feats = [], [], [], []
+            for i, b, t in zip(pdf[id_col], pdf[bin_col], pdf["media_type"]):
+                if t != "video":
+                    continue
+                raw = bytes(b) if b is not None else b""
+                frames = np.array_split(
+                    np.frombuffer(raw, dtype=np.uint8), n_frames)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    sizes.append(int(len(frames[fi])))
+                    feats.append(_fake_decode(frames[fi].tobytes(), t).tolist())
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame_bytes": pd.Series(sizes, dtype="int64"),
+                                "features": feats})
+
+    src = df.withColumn(bin_col, F.col(bin_col).cast("binary"))
+    return src.mapInPandas(_sample, out_schema)

@@ -104,6 +104,43 @@ def spend_tokens(tokens: DataFrame, final_selected: DataFrame) -> DataFrame:
                              ).alias("tokens")))
 
 
+def prune_salted(pending: DataFrame, tokens: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Skew guard (north_rule J5): per-(host, salt) top-`tokens` pre-prune.
+
+    The (host, salt) window shuffles on a uniform composite key, so a Zipf
+    host's pending set splits across n_salt groups; any row in the host's
+    GLOBAL top-k is necessarily in its salt-group's top-k, so downstream
+    selection over the pruned set equals selection over the full set
+    (tests/test_skew.py). Bounds the hot host's group to n_salt * tokens
+    rows before any per-host shuffle."""
+    w = Window.partitionBy("host", "_salt").orderBy("priority", "depth", "url_canon")
+    return (pending
+            .withColumn("_salt", F.pmod(F.xxhash64("url_canon"), F.lit(n_salt)))
+            .join(F.broadcast(tokens), "host", "left_outer")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.floor(F.coalesce(F.col("tokens"), F.lit(0.0))))
+            .drop("_rn", "_salt", "tokens"))
+
+
+def select_batch_salted(pending: DataFrame, tokens: DataFrame,
+                        n_salt: int = 16, use_pandas: bool = False) -> DataFrame:
+    """Skew-hardened selection with the same output contract as select_batch
+    (every pending row + `selected` flag).
+
+    Pipeline: salted pre-prune (uniform shuffle) -> per-host top-k over the
+    BOUNDED pruned set (window rank by default; the grouped-map token bucket
+    when use_pandas) -> broadcast the small selected-key set back onto
+    pending (map-side join, no shuffle of the full frontier)."""
+    pruned = prune_salted(pending, tokens, n_salt)
+    flagged = (select_batch if use_pandas else select_by_window)(pruned, tokens)
+    sel = (flagged.where(F.col("selected"))
+           .select("url_hash").withColumn("_sel", F.lit(True)))
+    out = (pending.join(F.broadcast(sel), "url_hash", "left_outer")
+           .withColumn("selected", F.coalesce(F.col("_sel"), F.lit(False)))
+           .drop("_sel"))
+    return out.select(*flagged.columns)
+
+
 def merge_host_state(old: DataFrame | None, updated: DataFrame) -> DataFrame:
     """Carry forward token state for hosts that were NOT active this wave."""
     if old is None:

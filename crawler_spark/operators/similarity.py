@@ -74,6 +74,60 @@ def ivf_topk(emb: DataFrame, query: DataFrame, k: int = 10,
             .where(F.col("rnk") <= k))
 
 
+def rh_sig_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: bit b = sign(vec . plane_b). Planes
+    are plain literals (deterministic, shared with the SQL oracle), so the
+    whole signature is codegen arithmetic."""
+    sig = F.lit(0)
+    for b, p in enumerate(planes):
+        d = dot_col(vec, F.array(*[F.lit(float(x)) for x in p]))
+        sig = sig + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(emb: DataFrame, query: DataFrame, planes: list[list[float]],
+             k: int = 10, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """LSH-bucketed ANN (the scale path when no coarse quantizer exists):
+    corpus and queries hash to sign-pattern buckets; a probe scans only its
+    bucket (1/2^n_planes of the corpus in expectation). At 100 TB the corpus
+    is written partitioned by bucket, pruning file scans like IVF cells."""
+    from pyspark.sql import Window
+    corpus = emb.withColumn(
+        "bucket", rh_sig_col(F.col(vec_col).cast("array<double>"), planes))
+    q = (query.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+         .withColumn("qbucket",
+                     rh_sig_col(F.col("qvec").cast("array<double>"), planes)))
+    scored = (corpus.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+              .where(F.col(id_col) != F.col("qid"))
+              .select("qid", F.col(id_col),
+                      F.round(cosine_col(
+                          F.col(vec_col).cast("array<double>"),
+                          F.col("qvec").cast("array<double>")), 4).alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            cell_col: str = "label", vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by coarse cell (near-
+    dups land in the same cell with high probability; cross-cell misses are
+    the recall/cost tradeoff every blocking scheme makes). Returns
+    (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (a.join(b, (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("vec_a"),
+                     F.col(f"b.{id_col}").alias("vec_b"),
+                     F.round(cosine_col(
+                         F.col(f"a.{vec_col}").cast("array<double>"),
+                         F.col(f"b.{vec_col}").cast("array<double>")), 4)
+                     .alias("cosine")))
+    return pairs.where(F.col("cosine") >= threshold)
+
+
 def cosine_pandas_udf(query_vec: list[float]):
     """Arrow-batched numpy cosine vs a fixed query vector — the wide-vector
     fast path (one BLAS dot per batch instead of per-element codegen)."""

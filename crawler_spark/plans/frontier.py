@@ -82,6 +82,11 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
     casefold representative is min(priority, depth, url_canon), identical to
     tests/oracle.py::admit.
     """
+    # Cheap JVM-codegen predicates run PRE-dedup (shrink the shuffle);
+    # the vectorized-Python robots gate runs LAST, after dedup AND the seen
+    # anti-join, so it prices only truly-new unique URLs (~5% of a wave's
+    # outlinks) instead of the full link fan-out. The per-URL predicates
+    # commute, and tests/oracle.py applies them in this same order.
     c = (cands
          .where(F.col("url_canon") != "")
          .where(F.col("depth") <= spec.max_depth)
@@ -90,9 +95,6 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
         c = c.where(~blacklist_col(F.col("url_canon"), spec.blacklist))
     c = c.withColumn("host", host_col(F.col("url_canon")))
     c = c.where(scope_col(F.col("host"), seed_hosts, spec.subdomains, spec.tld))
-    if spec.respect_robots_txt and robots is not None:
-        c = (gate_frontier(c, robots)
-             .where(F.col("robots_ok")).drop("robots_ok"))
     # A2: in-wave dedup on the casefold key, deterministic min representative
     c = (c.withColumn("url_fold", F.lower(F.col("url_canon")))
          .groupBy("url_fold")
@@ -104,13 +106,19 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
     # F1/J1: bloom prefilter + exact anti-join against seen
     if seen is not None:
         c = anti_join_seen(c, seen, bloom, spark)
-    return (c.withColumn("host", host_col(F.col("url_canon")))
-            .withColumn("discovered_wave", F.lit(wave)))
+    c = c.withColumn("host", host_col(F.col("url_canon")))
+    # F5: robots gate on the deduped, novel representatives only
+    if spec.respect_robots_txt and robots is not None:
+        c = (gate_frontier(c, robots)
+             .where(F.col("robots_ok")).drop("robots_ok"))
+    return c.withColumn("discovered_wave", F.lit(wave))
 
 
 def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
               robots_src: DataFrame | None = None,
-              sink=None, store=None, resume: bool = False) -> CrawlRun:
+              sink=None, store=None, resume: bool = False,
+              initial_frontier: DataFrame | None = None,
+              sitemap_src: DataFrame | None = None) -> CrawlRun:
     """EP2 `Crawl` batch mode (reference src/rpc/server.rs:54-88): run the
     wave loop to exhaustion/budget, return final tables.
 
@@ -130,12 +138,19 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         robots = build_robots_table(robots_src).localCheckpoint(eager=True)
 
     # seed hosts define the crawl scope (F2-F4) in both fresh and resumed runs
-    seeds_df = spark.createDataFrame([(s,) for s in spec.seeds], "url string")
-    seeds_canon = (seeds_df
-                   .withColumn("url_canon", canonicalize_udf(F.col("url"), F.lit("")))
-                   .where(F.col("url_canon") != "")
-                   .select("url_canon", F.lit(0).alias("depth"),
-                           F.lit(0.0).alias("priority")))
+    if initial_frontier is not None:
+        # bulk-seeded frontier drain (the north-rule metric's shape: a huge
+        # EXISTING frontier, e.g. a recrawl) — rows are already-canonical
+        # (url_canon, depth, priority); they still pass the full _admit path
+        seeds_canon = initial_frontier.select("url_canon", "depth", "priority")
+    else:
+        seeds_df = spark.createDataFrame([(s,) for s in spec.seeds], "url string")
+        seeds_canon = (seeds_df
+                       .withColumn("url_canon",
+                                   canonicalize_udf(F.col("url"), F.lit("")))
+                       .where(F.col("url_canon") != "")
+                       .select("url_canon", F.lit(0).alias("depth"),
+                               F.lit(0.0).alias("priority")))
     seed_hosts = sorted({r["host"] for r in
                          seeds_canon.select(host_col(F.col("url_canon")).alias("host"))
                          .distinct().collect()})
@@ -168,6 +183,20 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             log_parts.append(log0)
         wave = last + 1
     else:
+        # --- S4: sitemap seed expansion (reference crawl_sitemap +
+        # persist_links, scan.rs:71-74) — the seed hosts' sitemap URLs join
+        # the wave-0 frontier at depth 0 through the same admission path ---
+        if spec.sitemap and sitemap_src is not None and initial_frontier is None:
+            from crawler_spark.sources.sitemap import parse_sitemaps_df
+            sm = (parse_sitemaps_df(sitemap_src)
+                  .where(F.col("host").isin(seed_hosts))
+                  .select(F.explode("urls").alias("url")))
+            sm_canon = (sm.withColumn("url_canon",
+                                      canonicalize_udf(F.col("url"), F.lit("")))
+                        .where(F.col("url_canon") != "")
+                        .select("url_canon", F.lit(0).alias("depth"),
+                                F.lit(0.0).alias("priority")))
+            seeds_canon = seeds_canon.unionByName(sm_canon)
         # --- wave-0 admission: seeds (S3) ---
         pending = _admit(spark, seeds_canon, None, None, robots, spec,
                          seed_hosts, 0)
@@ -201,8 +230,15 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         tokens = politeness.refill_tokens(pending, hosts, robots, spec)
         tokens = tokens.localCheckpoint(eager=True)   # reused: select + spend
         _mark("tokens")
-        flagged = politeness.select_batch(pending, tokens)
-        flagged = flagged.localCheckpoint(eager=True)  # one applyInPandas pass
+        if spec.politeness_salt > 0:
+            flagged = politeness.select_batch_salted(
+                pending, tokens, spec.politeness_salt,
+                use_pandas=(spec.politeness_impl == "pandas"))
+        elif spec.politeness_impl == "pandas":
+            flagged = politeness.select_batch(pending, tokens)
+        else:
+            flagged = politeness.select_by_window(pending, tokens)
+        flagged = flagged.localCheckpoint(eager=True)
         _mark("select")
         selected = flagged.where(F.col("selected")).drop("selected")
         # --- W3/F7: global budget (top-k, TakeOrderedAndProject) ---
@@ -220,8 +256,11 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             hosts, politeness.spend_tokens(tokens, selected))
         _mark("budget")
 
-        # --- S5/P2/P3: fetch + parse + UA ---
-        batch = selected.withColumn("agent", ua_col(F.col("host"), spec.ua_pool))
+        # --- S5/P2/P3: fetch + parse + UA (explicit spec.agent overrides the
+        # per-host deterministic pick — reference scan.rs:34-36) ---
+        agent = (F.lit(spec.agent) if spec.agent
+                 else ua_col(F.col("host"), spec.ua_pool))
+        batch = selected.withColumn("agent", agent)
         parsed = parse_spans(fetcher.fetch(batch)).localCheckpoint(eager=True)
         _mark("fetch_parse")
         ok = parsed.where(F.col("status") == 200)
@@ -231,6 +270,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                              F.lit(wave).alias("wave"), "status", "bytes", "agent")
         if sink is not None:
             sink(wave, docs)
+            _mark("sink")
 
         # --- P2 outlinks -> admission (F*/A2/J1) ---
         links = (ok.select(

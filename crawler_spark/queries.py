@@ -95,6 +95,70 @@ def f3_scope_prefix(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+@q("f4_tld_scope", """
+SELECT doc_id, host FROM (
+  SELECT doc_id,
+         source || '.example.' || (CASE WHEN doc_id % 2 = 0 THEN 'com'
+                                        ELSE 'org' END) AS host
+  FROM documents)
+WHERE regexp_replace(host, '\\.[a-z]+$', '') = 'src1.example'
+""")
+def f4_tld_scope(spark, sf_dir):
+    """F4: TLD scope — admit the seed's registrable domain across any TLD
+    (example.com and example.org both pass for seed src1.example.com)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example."),
+                    F.when(F.col("doc_id") % 2 == 0, "com").otherwise("org"))
+    u = d.select("doc_id", host.alias("host"))
+    return u.where(
+        F.regexp_replace("host", r"\.[a-z]+$", "") == "src1.example")
+
+
+@q("f5_robots_gate", """
+SELECT doc_id, path FROM (
+  SELECT doc_id, '/p' || CAST(doc_id % 13 AS VARCHAR) AS path,
+         '/p' || substr(source, 4) AS deny,
+         '/p' || substr(source, 4) || '0' AS allow
+  FROM documents)
+WHERE NOT starts_with(path, deny) OR starts_with(path, allow)
+""")
+def f5_robots_gate(spark, sf_dir):
+    """F5 (SQL-expressible shape): robots allow/deny prefix gate with
+    longest-match-wins — the allow rule is a strict extension of the deny
+    rule, so 'denied unless the longer allow matches'. Full wildcard/$ rule
+    semantics live in operators/robots.py (pytest-golden-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(F.lit("/p"), (F.col("doc_id") % 13).cast("string")).alias("path"),
+        F.concat(F.lit("/p"), F.substring("source", 4, 10)).alias("deny"),
+        F.concat(F.lit("/p"), F.substring("source", 4, 10), F.lit("0")).alias("allow"))
+    return (u.where(~F.col("path").startswith(F.col("deny"))
+                    | F.col("path").startswith(F.col("allow")))
+            .select("doc_id", "path"))
+
+
+_UA_LIST = ("UA-linux", "UA-windows", "UA-mac", "UA-firefox")
+
+@q("p3_ua_assignment", f"""
+SELECT doc_id, host,
+       list_extract({list(_UA_LIST)!r},
+                    CAST(('0x' || substr(md5(host), 1, 8))::BIGINT % 4 + 1 AS INT))
+       AS agent
+FROM (SELECT doc_id, source || '.example.com' AS host FROM documents)
+""")
+def p3_ua_assignment(spark, sf_dir):
+    """P3: deterministic per-host user-agent pick (md5-keyed so the DuckDB
+    twin agrees bit-for-bit; the engine path uses xxhash64 — fetch.ua_col)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    u = d.select("doc_id", host.alias("host"))
+    idx = (F.pmod(F.conv(F.substring(F.md5("host"), 1, 8), 16, 10).cast("long"),
+                  F.lit(4)) + 1).cast("int")
+    ua = F.element_at(F.array(*[F.lit(x) for x in _UA_LIST]), idx)
+    return u.select("doc_id", "host", ua.alias("agent"))
+
+
 @q("f6_blacklist_regex", """
 SELECT doc_id FROM documents
 WHERE NOT regexp_matches(text, '\\bslow\\b') AND lang <> 'zh'
@@ -667,6 +731,74 @@ def an2_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qs = e.where(F.col("vec_id").isin(0, 1, 2))
     return ivf_topk(e, qs, k=10).select("qid", "vec_id", "cosine", "rnk")
+
+
+def _rh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic hyperplanes shared verbatim (as literals) by the Spark
+    expression and the DuckDB oracle — no cross-engine hashing needed."""
+    import hashlib
+    out = []
+    for b in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:8], 16)
+            row.append(round(h % 2001 / 1000.0 - 1.0, 3))
+        out.append(row)
+    return out
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+_PLANES = _rh_planes()
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql(p)}) > 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b, p in enumerate(_PLANES))
+
+
+@q("an4_lsh_ann", f"""
+WITH sig AS (
+  SELECT vec_id, embedding, ({_SIG_SQL}) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, bucket AS qbucket
+      FROM sig WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.qid, s.vec_id,
+         round(list_cosine_similarity(s.embedding::DOUBLE[], q.qvec), 4) AS cosine
+  FROM sig s JOIN q ON s.bucket = q.qbucket
+  WHERE s.vec_id <> q.qid)
+SELECT qid, vec_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 10
+""")
+def an4_lsh_ann(spark, sf_dir):
+    """Random-hyperplane LSH ANN: sign-pattern buckets (4 planes -> 16
+    buckets), probe scans only the query's bucket — the scale path when no
+    coarse quantizer exists (at 100 TB the corpus is partitioned by bucket)."""
+    from crawler_spark.operators.similarity import lsh_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    return lsh_topk(e, qs, _PLANES, k=10).select("qid", "vec_id", "cosine", "rnk")
+
+
+@q("dd6_embedding_neardup", """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+""")
+def dd6_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by coarse cell. Threshold
+    0.4 sits at this synthetic corpus's similarity ceiling (max in-cell
+    cosine ~0.47) so the operator produces verifiable pairs; production
+    near-dup thresholds are ~0.95 on real embeddings."""
+    from crawler_spark.operators.similarity import embedding_neardup_pairs
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.4)
 
 
 @q("an3_embedding_stats", """

@@ -15,6 +15,10 @@ def get_spark(app: str = "crawler_spark", master: str | None = None,
     if master:
         b = b.master(master)
     confs = {
+        # local-mode driver == the one executor JVM; the 1g default heap OOMs
+        # on wave-sized span tables (must be set before JVM launch)
+        "spark.driver.memory": "48g",
+        "spark.driver.maxResultSize": "4g",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

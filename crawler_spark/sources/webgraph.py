@@ -51,6 +51,8 @@ class WebGraphConfig:
     robots_deny_prob: float = 0.3     # fraction of hosts with a deny rule
     robots_delay_prob: float = 0.2    # fraction of hosts with Crawl-delay
     error_rate: float = 0.08          # 404/429/500 pages
+    sitemap_prob: float = 0.7         # fraction of primaries with sitemap.xml
+    sitemap_orphans: int = 2          # sitemap-only pages (no inbound links)
 
     def primary(self, i: int) -> str:
         return f"host{i}.example.com"
@@ -131,11 +133,49 @@ def robots_body(cfg: WebGraphConfig, host: str) -> str:
     return "\n".join(lines) if has_rule else ""
 
 
+def has_sitemap(cfg: WebGraphConfig, host: str) -> bool:
+    if host.startswith("sub.") or host.endswith(".org"):
+        return False
+    return (_h(cfg.seed, "sitemap", host) % 1000) < cfg.sitemap_prob * 1000
+
+
+def total_pages_of(cfg: WebGraphConfig, host: str) -> int:
+    """Organic pages + sitemap-only orphans (S4). Orphans live past the
+    organic index range, so no page ever links to them — only the sitemap
+    reaches them; link targets are always modulo the ORGANIC count."""
+    return cfg.pages_of(host) + (cfg.sitemap_orphans if has_sitemap(cfg, host)
+                                 else 0)
+
+
+def sitemap_body(cfg: WebGraphConfig, host: str) -> str:
+    """sitemap.xml for a host ('' = absent): every 3rd organic page plus the
+    orphan pages (reference: spider's `sitemap` feature fetches and seeds
+    /sitemap.xml URLs, Cargo.lock:2136-2145)."""
+    if not has_sitemap(cfg, host):
+        return ""
+    n = cfg.pages_of(host)
+    urls = [page_url(host, pi) for pi in range(0, n, 3)]
+    urls += [page_url(host, n + j) for j in range(cfg.sitemap_orphans)]
+    entries = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+    return ('<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + entries + "</urlset>")
+
+
+def gen_sitemaps_src(cfg: WebGraphConfig) -> pd.DataFrame:
+    rows = [(h, sitemap_body(cfg, h)) for h in cfg.hosts()]
+    return pd.DataFrame(rows, columns=["host", "xml"])
+
+
+def to_spark_sitemaps(spark, cfg: WebGraphConfig):
+    return spark.createDataFrame(gen_sitemaps_src(cfg))
+
+
 @lru_cache(maxsize=8)
 def _pages_cached(cfg: WebGraphConfig) -> pd.DataFrame:
     rows = []
     for host in cfg.hosts():
-        for pi in range(cfg.pages_of(host)):
+        for pi in range(total_pages_of(cfg, host)):
             html = _page_html(cfg, host, pi)
             rows.append((page_url(host, pi), host,
                          page_status(cfg, host, pi), len(html), html))
@@ -181,7 +221,7 @@ def to_spark_distributed(spark, cfg: WebGraphConfig, parts: int | None = None):
     from pyspark.sql import functions as F
 
     hosts = cfg.hosts()
-    hdf = spark.createDataFrame([(h, cfg.pages_of(h)) for h in hosts],
+    hdf = spark.createDataFrame([(h, total_pages_of(cfg, h)) for h in hosts],
                                 "host string, n int")
     pairs = hdf.select(
         "host", F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pi"))

@@ -38,6 +38,13 @@ class CrawlJobSpec:
     wave_ms: int = 1000                  # nominal wall-clock slice one wave models
     per_host_tokens: float = 8.0         # token refill per host per wave
     token_cap: float = 16.0              # bucket capacity
+    politeness_impl: str = "window"      # "window" (rank, no Python — default)
+                                         # or "pandas" (grouped-map bucket);
+                                         # provably equal selections, property-
+                                         # tested in tests/test_politeness.py
+    politeness_salt: int = 0             # >0: salted pre-prune before per-host
+                                         # selection (J5 skew guard; set 16-64
+                                         # for Zipf frontiers at cluster scale)
 
     # -- engine knobs --
     use_bloom: bool = True               # Bloom prefilter before exact anti-join

@@ -39,7 +39,8 @@ class OracleResult:
 
 
 def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
-               robots_src: pd.DataFrame) -> OracleResult:
+               robots_src: pd.DataFrame,
+               sitemaps: pd.DataFrame | None = None) -> OracleResult:
     """BFS wave loop over the fixture web. Mirrors crawler_spark.plans.frontier
     step for step; any divergence is a bug in one of the two."""
     web = {r.url_canon: (int(r.status), r.html, int(r.bytes))
@@ -53,25 +54,37 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
     # --- seed admission (wave 0 pending) ---
     seed_canon = [c for c in (canonicalize(s, "") for s in spec.seeds) if c]
     seed_hosts = {host_of(c) for c in seed_canon}
+    if spec.sitemap and sitemaps is not None:
+        # S4: seed hosts' sitemap URLs join wave 0 (same admission path)
+        from crawler_spark.sources.sitemap import parse_sitemap
+        for r in sitemaps.itertuples():
+            if r.host in seed_hosts:
+                seed_canon.extend(
+                    c for c in (canonicalize(u, "") for u in parse_sitemap(r.xml))
+                    if c)
     pending: list[tuple[float, int, str]] = []   # (priority, depth, url_canon)
     tokens: dict[str, float] = {}
 
     def admissible(url: str, depth: int) -> bool:
+        """Cheap pre-dedup predicates (depth/asset/blacklist/scope). The
+        robots gate intentionally runs LATER — after dedup and the seen
+        check — mirroring the engine's _admit order (frontier.py), which
+        prices the vectorized robots match only on novel representatives."""
         if depth > spec.max_depth or is_asset(url):
             return False
         if spec.blacklist and blacklisted(url, spec.blacklist):
             return False
-        h = host_of(url)
-        if not scope_ok(h, seed_hosts, spec.subdomains, spec.tld):
-            return False
-        if spec.respect_robots_txt:
-            allow, deny, _ = robots.get(h, ([], [], 0))
-            if not robots_allowed(path_of(url), allow, deny):
-                return False
-        return True
+        return scope_ok(host_of(url), seed_hosts, spec.subdomains, spec.tld)
+
+    def robots_ok(url: str) -> bool:
+        if not spec.respect_robots_txt:
+            return True
+        allow, deny, _ = robots.get(host_of(url), ([], [], 0))
+        return robots_allowed(path_of(url), allow, deny)
 
     def admit(cands: list[tuple[float, int, str]]) -> int:
-        """Wave-dedup (casefold, min-URL representative) then seen anti-join."""
+        """Wave-dedup (casefold, min-URL representative), seen anti-join,
+        then the robots gate on the surviving representative."""
         by_fold: dict[str, tuple[float, int, str]] = {}
         for prio, depth, url in sorted(cands, key=lambda t: (t[0], t[1], t[2])):
             by_fold.setdefault(url.lower(), (prio, depth, url))
@@ -79,6 +92,8 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
         folded_seen = {u.lower() for u in res.seen}
         for fold, (prio, depth, url) in sorted(by_fold.items()):
             if fold in folded_seen:
+                continue
+            if not robots_ok(url):
                 continue
             res.seen.add(url)
             folded_seen.add(fold)

@@ -60,3 +60,21 @@ def test_seen_has_no_duplicates(spark, small_cfg):
     assert run.seen.select("url_hash").distinct().count() == total
     from pyspark.sql import functions as F
     assert run.seen.select(F.lower("url_canon")).distinct().count() == total
+
+
+def test_agent_override(spark, small_cfg):
+    """P3: explicit spec.agent overrides the per-host UA pick (scan.rs:34-36)."""
+    from pyspark.sql import functions as F
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=3,
+                        agent="CustomBot/1.0")
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df), robots_src=robots_df)
+    agents = [r["agent"] for r in run.fetch_log.select("agent").distinct().collect()]
+    assert agents == ["CustomBot/1.0"]
+
+    spec2 = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=3)
+    run2 = run_crawl(spark, spec2, SimulatedFetcher(pages_df), robots_src=robots_df)
+    per_host = (run2.fetch_log.groupBy("host")
+                .agg(F.countDistinct("agent").alias("n")).collect())
+    assert all(r["n"] == 1 for r in per_host)          # deterministic per host
+    assert run2.fetch_log.select("agent").distinct().count() > 1

@@ -1,0 +1,67 @@
+"""Multimodal plumbing: binary payload columns, decode/feature UDFs, resize,
+1->N frame sampling. The codec kernels are deterministic stand-ins (no
+image/audio libs in the sandbox); what these tests pin down is the SPARK
+side — schemas, Arrow batch shapes, pass-through rules, fan-out counts —
+which is exactly what survives a codec swap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.multimodal import (
+    FEATURE_DIM, attach_payload, decode_features, resize_images, sample_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def media_df(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+             .select("doc_id", "text").limit(60)
+    return attach_payload(d)
+
+
+def test_decode_features_schema_and_determinism(spark, media_df):
+    out = decode_features(media_df)
+    assert [f.name for f in out.schema.fields] == \
+        ["doc_id", "media_type", "n_bytes", "features"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    again = {r["doc_id"]: r for r in decode_features(media_df).collect()}
+    assert rows.keys() == again.keys()
+    for k in rows:
+        assert rows[k]["features"] == again[k]["features"]
+        assert len(rows[k]["features"]) == FEATURE_DIM
+        assert rows[k]["n_bytes"] > 0
+
+
+def test_resize_images_only_touches_images(spark, media_df):
+    out = resize_images(media_df, width=4, height=3)
+    rows = out.collect()
+    assert len(rows) == media_df.count()
+    by_type = {r["doc_id"]: r for r in rows}
+    src = {r["doc_id"]: r["media_type"] for r in media_df.collect()}
+    for doc_id, r in by_type.items():
+        if src[doc_id] == "image":
+            assert (r["width"], r["height"]) == (4, 3)
+            assert len(r["payload_bin"].encode("latin-1")) == 12
+        else:
+            assert r["width"] is None and r["height"] is None
+
+
+def test_sample_frames_fan_out(spark, media_df):
+    every_n, n_frames = 4, 16
+    out = sample_frames(media_df, every_n=every_n, n_frames=n_frames)
+    n_videos = media_df.where(F.col("media_type") == "video").count()
+    assert n_videos > 0
+    rows = out.collect()
+    # 1 -> N fan-out: exactly n_frames/every_n rows per video, none for others
+    assert len(rows) == n_videos * (n_frames // every_n)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert len(r["features"]) == FEATURE_DIM
+    for idxs in per_doc.values():
+        assert sorted(idxs) == [0, 4, 8, 12]

@@ -1,0 +1,70 @@
+"""Sitemap seed expansion (S4): engine == oracle with `sitemap` set.
+
+The fixture gives some hosts a sitemap.xml listing every 3rd page plus
+orphan pages unreachable via links; with spec.sitemap the wave-0 frontier
+must include the seed hosts' sitemap URLs (post-admission), and the final
+seen set must equal the oracle's. Without the flag, sitemaps are ignored.
+"""
+
+from __future__ import annotations
+
+from crawler_spark.plans.frontier import run_crawl
+from crawler_spark.sources.fetch import SimulatedFetcher
+from crawler_spark.sources.sitemap import parse_sitemap
+from crawler_spark.sources.webgraph import (
+    gen_pages, gen_robots_src, gen_seeds, gen_sitemaps_src, sitemap_body,
+    to_spark, to_spark_sitemaps,
+)
+from crawler_spark.spec import CrawlJobSpec
+from tests.oracle import run_oracle
+
+
+def test_fixture_has_sitemaps_and_orphans(small_cfg):
+    bodies = {h: sitemap_body(small_cfg, h) for h in small_cfg.hosts()}
+    with_maps = [h for h, b in bodies.items() if b]
+    assert with_maps, "fixture must give some hosts a sitemap"
+    urls = [u for b in bodies.values() for u in parse_sitemap(b)]
+    assert urls and all(u.startswith("http://") for u in urls)
+
+
+def test_parse_sitemap_golden():
+    xml = ('<?xml version="1.0"?><urlset>'
+           "<url><loc>http://a/p0</loc></url>"
+           "<url><loc> http://a/p3 </loc><lastmod>2024</lastmod></url>"
+           "</urlset>")
+    assert parse_sitemap(xml) == ["http://a/p0", "http://a/p3"]
+    assert parse_sitemap("") == []
+    assert parse_sitemap("<urlset></urlset>") == []
+
+
+def _run_both(spark, cfg, spec):
+    oracle = run_oracle(spec, gen_pages(cfg), gen_robots_src(cfg),
+                        sitemaps=gen_sitemaps_src(cfg))
+    pages_df, robots_df = to_spark(spark, cfg)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=robots_df,
+                    sitemap_src=to_spark_sitemaps(spark, cfg))
+    return oracle, run
+
+
+def test_sitemap_crawl_matches_oracle(spark, small_cfg):
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20,
+                        sitemap=True)
+    oracle, run = _run_both(spark, small_cfg, spec)
+    got_seen = {r["url_canon"] for r in run.seen.select("url_canon").collect()}
+    assert got_seen == oracle.seen
+    e_metrics = [(m["wave"], m["fetched"], m["new_links"]) for m in run.metrics]
+    o_metrics = [(m["wave"], m["fetched"], m["new_links"]) for m in oracle.metrics]
+    assert e_metrics == o_metrics
+
+
+def test_sitemap_expands_reach(spark, small_cfg):
+    base = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20)
+    with_map = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20,
+                            sitemap=True)
+    o_plain = run_oracle(base, gen_pages(small_cfg), gen_robots_src(small_cfg))
+    o_map = run_oracle(with_map, gen_pages(small_cfg), gen_robots_src(small_cfg),
+                       sitemaps=gen_sitemaps_src(small_cfg))
+    assert o_map.seen >= o_plain.seen
+    assert o_map.seen != o_plain.seen, \
+        "sitemap must add URLs the link graph alone cannot reach"

@@ -1,0 +1,65 @@
+"""Host-skew handling (north_rule J5): salted politeness pre-prune.
+
+`select_batch_salted` bounds the per-host group fed to the stateful
+groupBy(host).applyInPandas token bucket: a uniform (host, salt) window keeps
+only each salt-group's top-`tokens` rows, so the hot host's group shrinks
+from |pending(host)| to at most n_salt * tokens rows BEFORE the skewed
+shuffle. Selection must be exactly the unsalted selection (any global
+top-k row is in its salt-group's top-k).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import politeness
+
+
+def _skewed_pending(spark, n_hot=5000, n_hosts=50):
+    """One Zipf-head host with n_hot pending URLs, a long tail of 3 each."""
+    rows = [(f"http://hot.example.com/p{i}", "hot.example.com",
+             0.0, 1 + (i % 7)) for i in range(n_hot)]
+    for h in range(n_hosts):
+        rows += [(f"http://h{h}.example.com/p{i}", f"h{h}.example.com",
+                  0.0, 1) for i in range(3)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url_canon", "host", "priority", "depth"]))
+    return df.withColumn("url_hash", F.xxhash64(F.lower("url_canon")))
+
+
+@pytest.mark.parametrize("tokens_per_host", [1.0, 4.0, 16.0])
+def test_salted_selection_equals_unsalted(spark, tokens_per_host):
+    pending = _skewed_pending(spark).localCheckpoint(eager=True)
+    tokens = (pending.select("host").distinct()
+              .withColumn("tokens", F.lit(tokens_per_host))
+              .localCheckpoint(eager=True))
+
+    plain = politeness.select_batch(pending, tokens)
+    plain_sel = {r["url_canon"] for r in
+                 plain.where("selected").select("url_canon").collect()}
+
+    salted = politeness.select_batch_salted(pending, tokens, n_salt=8)
+    salt_sel = {r["url_canon"] for r in
+                salted.where("selected").select("url_canon").collect()}
+    assert salt_sel == plain_sel
+
+    # unselected rows are preserved (they stay pending next wave)
+    assert salted.count() == pending.count()
+    assert salted.columns == plain.columns
+
+
+def test_salted_prune_bounds_hot_group(spark):
+    """The pre-pruned set entering the grouped UDF is bounded per host."""
+    pending = _skewed_pending(spark, n_hot=5000)
+    tokens = (pending.select("host").distinct()
+              .withColumn("tokens", F.lit(4.0)))
+    pruned = politeness.prune_salted(pending, tokens, n_salt=8)
+    per_host = {r["host"]: r["n"] for r in
+                pruned.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host["hot.example.com"] <= 8 * 4
+    # every selected row must appear in the pruned set (no false negatives)
+    sel = politeness.select_batch(pending, tokens).where("selected")
+    missing = sel.join(pruned.select("url_hash"), "url_hash", "left_anti")
+    assert missing.count() == 0

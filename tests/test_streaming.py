@@ -1,0 +1,99 @@
+"""Structured Streaming twins == batch queries (SURVEY.md §2.9).
+
+Each streaming operator runs over the same parquet input as its batch twin
+(file source, trigger=availableNow, memory sink) and must produce identical
+rows. Also: the scan-mode document stream (tail of the CLI --stream output)
+reproduces the crawl's per-wave document counts.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events_stream(spark):
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_DIR))
+
+
+def _run_to_table(df, mode: str) -> str:
+    name = "t" + uuid.uuid4().hex[:12]
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return name
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_window_stream_equals_batch(spark):
+    from crawler_spark.queries import st1_tumbling_window
+    from crawler_spark.streaming.windows import tumbling_counts
+    name = _run_to_table(tumbling_counts(_events_stream(spark)), "complete")
+    got = _rows(spark.table(name), ["win_start", "n", "sum_value"])
+    want = _rows(st1_tumbling_window(spark, SF_DIR),
+                 ["win_start", "n", "sum_value"])
+    assert got == want
+
+
+def test_session_windows_stream_equals_batch(spark):
+    from crawler_spark.queries import st2_sessionize
+    from crawler_spark.streaming.windows import session_counts
+    name = _run_to_table(session_counts(_events_stream(spark)), "complete")
+    sess = spark.table(name)
+    got = _rows(
+        sess.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").alias("n_events")),
+        ["user_id", "n_sessions", "n_events"])
+    want = _rows(st2_sessionize(spark, SF_DIR),
+                 ["user_id", "n_sessions", "n_events"])
+    assert got == want
+
+
+def test_stream_dedup_matches_batch_keys(spark):
+    from crawler_spark.queries import st3_event_dedup
+    from crawler_spark.streaming.windows import dedup_within_watermark
+    name = _run_to_table(dedup_within_watermark(_events_stream(spark)), "append")
+    got = spark.table(name)
+    # one survivor per key; the surviving key set equals the batch twin's.
+    # (WHICH duplicate survives is arrival-order-dependent by design —
+    # the batch twin pins min(event_id), the stream keeps first-arrived.)
+    assert got.groupBy("user_id", "event_type").count() \
+              .where(F.col("count") > 1).count() == 0
+    got_keys = _rows(got.select("user_id", "event_type"),
+                     ["user_id", "event_type"])
+    want_keys = _rows(st3_event_dedup(spark, SF_DIR)
+                      .select("user_id", "event_type"),
+                      ["user_id", "event_type"])
+    assert got_keys == want_keys
+
+
+def test_scan_stream_tails_crawl_output(spark, small_cfg, tmp_path):
+    from crawler_spark.plans.frontier import run_crawl
+    from crawler_spark.sources.fetch import SimulatedFetcher
+    from crawler_spark.sources.webgraph import gen_seeds, to_spark
+    from crawler_spark.spec import CrawlJobSpec
+    from crawler_spark.streaming.scan_stream import (
+        stream_documents, wave_doc_counts,
+    )
+    out = str(tmp_path / "docs")
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=3)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=robots_df,
+                    sink=lambda w, d: d.write.mode("append").parquet(out))
+    name = _run_to_table(wave_doc_counts(stream_documents(spark, out)),
+                         "complete")
+    got = {r["wave"]: r["n_docs"] for r in spark.table(name).collect()}
+    want = {m["wave"]: m["fetched"] - m["errors"] for m in run.metrics}
+    assert got == {w: n for w, n in want.items() if n > 0}

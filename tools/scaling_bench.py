@@ -27,13 +27,15 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def run_once(cpus: int, hosts: int, pages: int, degree: int,
-             enrich: bool) -> dict:
+             enrich: bool, drain: bool) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-only",
            "--hosts", str(hosts), "--pages", str(pages),
            "--degree", str(degree)]
     if enrich:
         cmd.append("--enrich")
+    if drain:
+        cmd.append("--drain")
     out = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
                          text=True)
     if out.returncode != 0:
@@ -48,19 +50,23 @@ def run_once(cpus: int, hosts: int, pages: int, degree: int,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="small config cores (N); big is 4N")
-    ap.add_argument("--hosts", type=int, default=2000)
+    ap.add_argument("--hosts", type=int, default=10000)
     ap.add_argument("--pages", type=int, default=1000)
     ap.add_argument("--degree", type=int, default=20)
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--no-enrich", action="store_true")
+    ap.add_argument("--no-drain", action="store_true",
+                    help="BFS discovery instead of frontier drain")
     args = ap.parse_args()
     enrich = not args.no_enrich
+    drain = not args.no_drain
     n, n4 = args.n, args.n * 4
 
     results: dict[int, list[dict]] = {n: [], n4: []}
     for cpus in (n4, n):                     # big first: fails fast on OOM
         for r in range(args.runs):
-            rec = run_once(cpus, args.hosts, args.pages, args.degree, enrich)
+            rec = run_once(cpus, args.hosts, args.pages, args.degree, enrich,
+                           drain)
             results[cpus].append(rec)
             print(f"local[{cpus}] run {r}: {rec['urls']} urls "
                   f"in {rec['sec']}s -> {rec['urls_per_sec']} urls/s",
@@ -88,9 +94,10 @@ instruction the same job ran at two parallelism levels on identical input.
 
 ## Workload
 
-One crawl of the deterministic synthetic web graph (seed=42): {args.hosts}
+{"A frontier DRAIN (the metric's shape: every URL of a known frontier pending at once, as in a 10^10-URL recrawl)" if drain else "A BFS discovery crawl"}
+over the deterministic synthetic web graph (seed=42): {args.hosts}
 hosts, Zipf page counts (cap {args.pages}/host), out-degree {args.degree},
-{urls:,} URLs fetched+deduped over {waves} BFS waves. Politeness modeled a
+{urls:,} URLs fetched+deduped over {waves} wave(s). Politeness modeled a
 1h wave slice (Crawl-delay honored, not wall-blocking). Per-wave sink ran
 the document-profile pipeline (language-ID, quality, token count,
 fingerprint, 16-bit simhash) — the realistic per-page corpus compute.
