@@ -95,14 +95,19 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
         c = c.where(~blacklist_col(F.col("url_canon"), spec.blacklist))
     c = c.withColumn("host", host_col(F.col("url_canon")))
     c = c.where(scope_col(F.col("host"), seed_hosts, spec.subdomains, spec.tld))
-    # A2: in-wave dedup on the casefold key, deterministic min representative
+    # A2: in-wave dedup on the casefold key, deterministic min representative.
+    # The same aggregate counts the URL's in-wave in-degree (n_refs): the
+    # admitted row's priority becomes -n_refs, so heavily-referenced pages
+    # are selected first — the W1 priority queue is in-degree-weighted, not
+    # flat (ties broken by depth then url_canon downstream).
     c = (c.withColumn("url_fold", F.lower(F.col("url_canon")))
          .groupBy("url_fold")
-         .agg(F.min(F.struct("priority", "depth", "url_canon")).alias("m"))
-         .select(F.col("m.priority").alias("priority"),
-                 F.col("m.depth").alias("depth"),
+         .agg(F.min(F.struct("priority", "depth", "url_canon")).alias("m"),
+              F.count("*").alias("n_refs"))
+         .select(F.col("m.depth").alias("depth"),
                  F.col("m.url_canon").alias("url_canon"),
-                 F.xxhash64("url_fold").alias("url_hash")))
+                 F.xxhash64("url_fold").alias("url_hash"),
+                 (-F.col("n_refs").cast("double")).alias("priority")))
     # F1/J1: bloom prefilter + exact anti-join against seen
     if seen is not None:
         c = anti_join_seen(c, seen, bloom, spark)
@@ -111,7 +116,8 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
     if spec.respect_robots_txt and robots is not None:
         c = (gate_frontier(c, robots)
              .where(F.col("robots_ok")).drop("robots_ok"))
-    return c.withColumn("discovered_wave", F.lit(wave))
+    return c.select("priority", "depth", "url_canon", "url_hash", "host") \
+            .withColumn("discovered_wave", F.lit(wave))
 
 
 def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,

@@ -84,10 +84,15 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
 
     def admit(cands: list[tuple[float, int, str]]) -> int:
         """Wave-dedup (casefold, min-URL representative), seen anti-join,
-        then the robots gate on the surviving representative."""
+        then the robots gate on the surviving representative. Admitted
+        priority = -(in-wave in-degree): heavily-referenced URLs rank
+        earlier (mirrors _admit's n_refs aggregate)."""
         by_fold: dict[str, tuple[float, int, str]] = {}
+        n_refs: dict[str, int] = {}
         for prio, depth, url in sorted(cands, key=lambda t: (t[0], t[1], t[2])):
-            by_fold.setdefault(url.lower(), (prio, depth, url))
+            fold = url.lower()
+            by_fold.setdefault(fold, (prio, depth, url))
+            n_refs[fold] = n_refs.get(fold, 0) + 1
         n_new = 0
         folded_seen = {u.lower() for u in res.seen}
         for fold, (prio, depth, url) in sorted(by_fold.items()):
@@ -97,7 +102,7 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
                 continue
             res.seen.add(url)
             folded_seen.add(fold)
-            pending.append((prio, depth, url))
+            pending.append((-float(n_refs[fold]), depth, url))
             n_new += 1
         return n_new
 
