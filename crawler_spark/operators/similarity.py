@@ -109,21 +109,36 @@ def lsh_topk(emb: DataFrame, query: DataFrame, planes: list[list[float]],
             .where(F.col("rnk") <= k))
 
 
+def normalized_vec(emb: DataFrame, vec_col: str = "embedding",
+                   out_col: str = "v") -> DataFrame:
+    """Unit-normalize the vector MAP-SIDE in two projections (norm bound as
+    its own column so it is computed once per row, not once per element).
+    Downstream cosines become single dot products — at pair volume this is
+    a 3x aggregate saving over dot/(|a||b|) per pair."""
+    keep = [c for c in emb.columns if c != vec_col]
+    step = emb.select(*keep, F.col(vec_col).cast("array<double>").alias("_v"))
+    step = step.select(*keep, "_v",
+                       F.sqrt(dot_col(F.col("_v"), F.col("_v"))).alias("_n"))
+    return step.select(
+        *keep,
+        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias(out_col))
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             cell_col: str = "label", vec_col: str = "embedding",
                             id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by coarse cell (near-
     dups land in the same cell with high probability; cross-cell misses are
     the recall/cost tradeoff every blocking scheme makes). Returns
-    (vec_a, vec_b, cosine) with vec_a < vec_b."""
-    a, b = emb.alias("a"), emb.alias("b")
+    (vec_a, vec_b, cosine) with vec_a < vec_b. Vectors are unit-normalized
+    map-side so each pair costs ONE dot product."""
+    nv = normalized_vec(emb.select(id_col, cell_col, vec_col), vec_col)
+    a, b = nv.alias("a"), nv.alias("b")
     pairs = (a.join(b, (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("vec_a"),
                      F.col(f"b.{id_col}").alias("vec_b"),
-                     F.round(cosine_col(
-                         F.col(f"a.{vec_col}").cast("array<double>"),
-                         F.col(f"b.{vec_col}").cast("array<double>")), 4)
+                     F.round(dot_col(F.col("a.v"), F.col("b.v")), 4)
                      .alias("cosine")))
     return pairs.where(F.col("cosine") >= threshold)
 

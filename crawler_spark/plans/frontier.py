@@ -171,10 +171,14 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
     if resume and last is None:
         raise ValueError("resume=True but the store has no committed wave "
                          "(missing/empty checkpoint_dir manifest)")
+    seen_rows = 0
     if last is not None:
         # --- resume: reload state committed at the end of wave `last` ---
         pending = store.read_full("frontier", last)
         seen = store.read_full("seen", last)
+        man0 = store.manifest(last)
+        seen_rows = int(man0.get("tables", {}).get("seen", {}).get("rows", 0)
+                        or seen.count())
         try:
             hosts = store.read_full("hosts", last)
         except Exception:
@@ -214,9 +218,24 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         wave = 0
 
     n_pending = pending.count()
-    if bloom is not None:
-        bloom.merge_from(build_bloom_parts(
-            seen, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
+    if last is None:
+        seen_rows = n_pending
+
+    # Adaptive sketch activation: below bloom_min_seen the filter is pure
+    # overhead (one applyInPandas + collect per wave) — the exact anti-join
+    # carries dedup alone, with identical results. Once `seen` crosses the
+    # threshold, build from the FULL seen table once, then merge per-wave
+    # deltas. At the 10^10 design point the filter is active from minute one.
+    bloom_active = False
+
+    def _maybe_activate_bloom() -> None:
+        nonlocal bloom_active
+        if bloom is not None and not bloom_active and seen_rows >= spec.bloom_min_seen:
+            bloom.merge_from(build_bloom_parts(
+                seen, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
+            bloom_active = True
+
+    _maybe_activate_bloom()
 
     while n_pending > 0 and wave < spec.max_waves:
         if spec.stop_flag_path and os.path.exists(spec.stop_flag_path):
@@ -287,8 +306,9 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             .select(F.col("s.media_ref").alias("url_canon"),
                     (F.col("depth") + 1).alias("depth"),
                     F.lit(0.0).alias("priority")))
-        new_rows = _admit(spark, links, seen, bloom, robots, spec,
-                          seed_hosts, wave + 1).localCheckpoint(eager=True)
+        new_rows = _admit(spark, links, seen, bloom if bloom_active else None,
+                          robots, spec, seed_hosts, wave + 1) \
+            .localCheckpoint(eager=True)
         _mark("admit")
         pending_next = rest.unionByName(new_rows)
         seen_next = seen.unionByName(
@@ -333,9 +353,12 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         pending, seen, hosts = state["frontier"], state["seen"], state["hosts"]
         docs_parts.append(state["documents"])
         log_parts.append(state["fetch_log"])
-        if bloom is not None and n_new:
+        seen_rows += n_new
+        if bloom_active and n_new:
             bloom.merge_from(build_bloom_parts(
                 new_rows, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
+        else:
+            _maybe_activate_bloom()
         _mark("commit_bloom")
         wave_metrics["stage_sec"] = stage_t
 

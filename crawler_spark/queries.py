@@ -785,11 +785,16 @@ def an4_lsh_ann(spark, sf_dir):
 
 
 @q("dd6_embedding_neardup", """
+WITH nrm AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings),
+nv AS (
+  SELECT vec_id, label, list_transform(ev, x -> x / n) AS v FROM nrm)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+       round(list_dot_product(a.v, b.v), 4) AS cosine
+FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v), 4) >= 0.4
 """)
 def dd6_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by coarse cell. Threshold

@@ -50,6 +50,10 @@ class CrawlJobSpec:
     use_bloom: bool = True               # Bloom prefilter before exact anti-join
     bloom_fpp: float = 0.01
     bloom_parts: int = 32                # salted bloom partitions
+    bloom_min_seen: int = 100_000        # build/probe only once `seen` exceeds
+                                         # this — below it the sketch is pure
+                                         # overhead (anti-join stays exact
+                                         # either way, results identical)
     shuffle_partitions: int = 32
     checkpoint_dir: str = ""             # '' = in-memory state only (no snapshots)
     stop_flag_path: str = ""             # existing file => graceful stop between

@@ -45,6 +45,7 @@ def _assert_equal(oracle, run, got):
     pytest.param({"per_host_tokens": 2.0, "token_cap": 4.0}, id="tight-politeness"),
     pytest.param({"max_pages": 15}, id="global-budget"),
     pytest.param({"delay_ms": 400, "use_bloom": False}, id="delay-no-bloom"),
+    pytest.param({"bloom_min_seen": 0}, id="bloom-forced-active"),
 ])
 def test_engine_matches_oracle(spark, small_cfg, spec_kw):
     spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20, **spec_kw)
