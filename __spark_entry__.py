@@ -4,7 +4,7 @@ entry(spark)      — flagship interleaved-span pipeline on sf0.001.
 queries()         — one entry per implemented operator (SURVEY.md §2 +
                     training-data ops), from crawler_spark.queries.
 oracle_sql()      — DuckDB twins for every SQL-expressible query; rows-only
-                    ops (crawl_bfs, mm1_multimodal_decode) are omitted by
+                    ops (crawl_bfs, mm1/mm2/mm3 multimodal) are omitted by
                     design (iterative / Python-kernel semantics).
 """
 

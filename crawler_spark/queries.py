@@ -853,3 +853,26 @@ def mm1_multimodal_decode(spark, sf_dir):
     feats = decode_features(attach_payload(d))
     return feats.select("doc_id", "media_type", "n_bytes",
                         F.round(F.element_at("features", 1), 2).alias("feat0"))
+
+
+@q("mm2_image_resize")
+def mm2_image_resize(spark, sf_dir):
+    """Multimodal resize: narrow mapInPandas over binary payloads; image rows
+    get (width, height), others pass through untouched. Deterministic stand-in
+    resampler (no codecs in sandbox) => rows-only check."""
+    from crawler_spark.operators.multimodal import attach_payload, resize_images
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = resize_images(attach_payload(d), width=8, height=8)
+    return out.select("doc_id", F.length("payload_bin").alias("n_out_bytes"),
+                      "width", "height")
+
+
+@q("mm3_frame_sample")
+def mm3_frame_sample(spark, sf_dir):
+    """Multimodal 1->N frame sampling (UDTF shape): one row per sampled video
+    frame with per-frame features. Python kernel => rows-only check."""
+    from crawler_spark.operators.multimodal import attach_payload, sample_frames
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = sample_frames(attach_payload(d), every_n=4, n_frames=16)
+    return out.select("doc_id", "frame_idx", "frame_bytes",
+                      F.round(F.element_at("features", 1), 2).alias("feat0"))

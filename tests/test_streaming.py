@@ -97,3 +97,45 @@ def test_scan_stream_tails_crawl_output(spark, small_cfg, tmp_path):
     got = {r["wave"]: r["n_docs"] for r in spark.table(name).collect()}
     want = {m["wave"]: m["fetched"] - m["errors"] for m in run.metrics}
     assert got == {w: n for w, n in want.items() if n > 0}
+
+
+def test_stateful_host_totals_accumulate_across_batches(spark, small_cfg, tmp_path):
+    """applyInPandasWithState: per-host GroupState accumulates across
+    micro-batches (maxFilesPerTrigger=1 => one batch per wave commit); the
+    final emitted totals per host equal the batch-mode aggregation."""
+    from crawler_spark.plans.frontier import run_crawl
+    from crawler_spark.sources.fetch import SimulatedFetcher
+    from crawler_spark.sources.webgraph import gen_seeds, to_spark
+    from crawler_spark.spec import CrawlJobSpec
+    from crawler_spark.streaming.scan_stream import stream_documents
+    from crawler_spark.streaming.stateful import host_running_totals
+
+    out = str(tmp_path / "docs")
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=4)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=robots_df,
+                    sink=lambda w, d: d.write.mode("append").parquet(out))
+    assert run.n_waves >= 3        # need multiple micro-batches for state
+
+    totals = host_running_totals(
+        stream_documents(spark, out, max_files_per_trigger=1))
+    name = _run_to_table(totals, "update")
+    # memory sink in update mode keeps every emission; the LAST row per host
+    # is the final running total
+    emitted = spark.table(name).collect()
+    final = {}
+    for r in emitted:               # rows arrive in emission order per batch
+        final[r["host"]] = (r["docs_total"], r["spans_total"])
+    want = {
+        r["host"]: (r["n"], r["s"])
+        for r in (spark.read.parquet(out)
+                  .groupBy(F.regexp_extract("doc_id", r"^[a-z]+://([^/:?#]+)", 1)
+                           .alias("host"))
+                  .agg(F.count("*").alias("n"),
+                       F.sum(F.size("spans")).alias("s"))).collect()}
+    assert final == want
+    # state really accumulated: some host must appear in >1 micro-batch
+    from collections import Counter
+    per_host_emissions = Counter(r["host"] for r in emitted)
+    assert max(per_host_emissions.values()) > 1
