@@ -172,12 +172,16 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         raise ValueError("resume=True but the store has no committed wave "
                          "(missing/empty checkpoint_dir manifest)")
     seen_rows = 0
+    seen_base = -1           # wave of the last full `seen` snapshot (delta mode)
     if last is not None:
         # --- resume: reload state committed at the end of wave `last` ---
         pending = store.read_full("frontier", last)
-        seen = store.read_full("seen", last)
+        seen = (store.read_seen(last) if hasattr(store, "read_seen")
+                else store.read_full("seen", last))
         man0 = store.manifest(last)
-        seen_rows = int(man0.get("tables", {}).get("seen", {}).get("rows", 0)
+        seen_base = int(man0.get("extra", {}).get("seen_base_wave", last))
+        seen_rows = int(man0.get("extra", {}).get("seen_rows", 0)
+                        or man0.get("tables", {}).get("seen", {}).get("rows", 0)
                         or seen.count())
         try:
             hosts = store.read_full("hosts", last)
@@ -311,9 +315,9 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             .localCheckpoint(eager=True)
         _mark("admit")
         pending_next = rest.unionByName(new_rows)
-        seen_next = seen.unionByName(
-            new_rows.select("url_hash", "url_canon", "host",
-                            F.lit(wave + 1).alias("wave")))
+        seen_delta_df = new_rows.select("url_hash", "url_canon", "host",
+                                        F.lit(wave + 1).alias("wave"))
+        seen_next = seen.unionByName(seen_delta_df)
 
         # --- A4: per-partition fetch/dedup metrics (lineage per north_rule) ---
         agg = parsed.groupBy(F.spark_partition_id().alias("part")).agg(
@@ -338,19 +342,36 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         }
         run.metrics.append(wave_metrics)
 
-        # --- §4.3 atomic snapshot commit ---
+        # --- §4.3 atomic snapshot commit. `seen` commits as a per-wave
+        # delta with periodic compaction to a full base (the Iceberg-style
+        # layout — a full rewrite per wave is O(total frontier) at 10^10);
+        # MemoryStore and seen_compact_every=0 keep the full-rewrite path ---
         metrics_df = spark.createDataFrame(
             [(wave, p["part"], p["fetched"], p["errors"], p["bytes"])
              for p in wave_metrics["parts"]],
             "wave int, part int, fetched long, errors long, bytes long")
+        delta_mode = (getattr(store, "resumable", False)
+                      and spec.seen_compact_every > 0)
+        compact_now = delta_mode and ((wave + 1) % spec.seen_compact_every == 0)
+        full_tables = {"frontier": pending_next, "hosts": hosts}
+        delta_tables = {"documents": docs, "fetch_log": flog,
+                        "metrics": metrics_df}
+        if not delta_mode or compact_now:
+            full_tables["seen"] = seen_next
+            next_base = wave if delta_mode else seen_base
+        else:
+            delta_tables["seen_delta"] = seen_delta_df
+            next_base = seen_base
         state = store.persist_wave(
-            wave,
-            full={"frontier": pending_next, "seen": seen_next,
-                  "hosts": hosts},
-            delta={"documents": docs, "fetch_log": flog, "metrics": metrics_df},
+            wave, full=full_tables, delta=delta_tables,
             extra={"n_fetched": run.n_fetched + n_sel,
+                   "seen_rows": seen_rows + n_new,
+                   "seen_base_wave": next_base,
                    "spec": spec.to_dict()})
-        pending, seen, hosts = state["frontier"], state["seen"], state["hosts"]
+        seen_base = next_base
+        pending, hosts = state["frontier"], state["hosts"]
+        seen = (state["seen"] if "seen" in state
+                else seen.unionByName(state["seen_delta"]))
         docs_parts.append(state["documents"])
         log_parts.append(state["fetch_log"])
         seen_rows += n_new

@@ -112,12 +112,28 @@ class SnapDirStore:
     def read_full(self, table: str, wave: int) -> DataFrame:
         return self.spark.read.parquet(self._snap_path(table, wave))
 
-    def read_delta_union(self, table: str, upto_wave: int) -> DataFrame | None:
-        paths = [self._snap_path(table, w) for w in range(upto_wave + 1)]
+    def read_delta_union(self, table: str, upto_wave: int,
+                         from_wave: int = 0) -> DataFrame | None:
+        paths = [self._snap_path(table, w)
+                 for w in range(from_wave, upto_wave + 1)]
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def read_seen(self, wave: int) -> DataFrame:
+        """Reconstruct `seen` as of `wave` under either layout: a full
+        snapshot at `wave`, or the last compacted base plus the per-wave
+        `seen_delta` chain since (manifest `extra.seen_base_wave`)."""
+        man = self.manifest(wave)
+        if "seen" in man.get("tables", {}):
+            return self.read_full("seen", wave)
+        base = man.get("extra", {}).get("seen_base_wave")
+        if base is None:
+            raise FileNotFoundError(f"no seen snapshot or base at wave {wave}")
+        df = self.read_full("seen", base)
+        deltas = self.read_delta_union("seen_delta", wave, from_wave=base + 1)
+        return df if deltas is None else df.unionByName(deltas)
 
 
 class IcebergStore:

@@ -56,6 +56,12 @@ class CrawlJobSpec:
                                          # either way, results identical)
     shuffle_partitions: int = 32
     checkpoint_dir: str = ""             # '' = in-memory state only (no snapshots)
+    seen_compact_every: int = 8          # snapshot `seen` as per-wave deltas,
+                                         # compacting to a full base every K
+                                         # waves (0 = full rewrite each wave).
+                                         # At 10^10 URLs a full rewrite is
+                                         # O(total) per wave; delta+compaction
+                                         # is the Iceberg-equivalent layout.
     stop_flag_path: str = ""             # existing file => graceful stop between
                                          # waves (the reference's "shutdown"
                                          # control message, src/rpc/client.rs:90-99)

@@ -22,15 +22,17 @@ from crawler_spark.spec import CrawlJobSpec
 
 
 def _snap_fp(spark, root: str) -> dict:
-    """Content fingerprints of the latest committed full state + all deltas."""
+    """Content fingerprints of the latest committed full state + all deltas.
+    `seen` reconstructs through the delta+compaction layout (read_seen)."""
     store = SnapDirStore(spark, root)
     last = store.latest_wave()
     out = {"last_wave": last}
-    for t in ("frontier", "seen", "hosts"):
+    for t in ("frontier", "hosts"):
         try:
             out[t] = content_fingerprint(store.read_full(t, last))
         except Exception:
             out[t] = None
+    out["seen"] = content_fingerprint(store.read_seen(last))
     for t in ("documents", "fetch_log"):
         df = store.read_delta_union(t, last)
         out[t] = content_fingerprint(df) if df is not None else None
@@ -115,3 +117,44 @@ def test_stop_flag_halts_and_resume_completes(spark, crawl_env, tmp_path):
                     fetcher, robots_src=robots_df)
     assert done.n_fetched == ref.n_fetched
     assert done.seen.count() == ref.seen.count()
+
+
+def test_seen_delta_compaction_layout(spark, crawl_env, tmp_path):
+    """seen commits as per-wave deltas with a full base every K waves; the
+    reconstructed table equals the full-rewrite layout's, and resume across
+    a compaction boundary stays bit-identical."""
+    fetcher, robots_df, seeds = crawl_env
+
+    # K=2: with a ~5-wave crawl we get deltas AND compactions interleaved
+    d_delta = str(tmp_path / "delta")
+    spec_d = CrawlJobSpec(seeds=seeds, max_waves=20, checkpoint_dir=d_delta,
+                          seen_compact_every=2)
+    run_d = run_crawl(spark, spec_d, fetcher, robots_src=robots_df)
+
+    d_full = str(tmp_path / "full")
+    spec_f = CrawlJobSpec(seeds=seeds, max_waves=20, checkpoint_dir=d_full,
+                          seen_compact_every=0)
+    run_f = run_crawl(spark, spec_f, fetcher, robots_src=robots_df)
+
+    s_d, s_f = SnapDirStore(spark, d_delta), SnapDirStore(spark, d_full)
+    last = s_d.latest_wave()
+    assert last == s_f.latest_wave()
+    assert content_fingerprint(s_d.read_seen(last)) == \
+           content_fingerprint(s_f.read_seen(last))
+    # the delta layout actually materialized: at least one seen_delta snap
+    # and at least one compacted full base exist
+    import os
+    assert os.path.exists(os.path.join(d_delta, "seen_delta"))
+    waves_with_full = [w for w in range(last + 1)
+                       if "seen" in s_d.manifest(w)["tables"]]
+    assert waves_with_full, "expected at least one compaction wave"
+
+    # kill right before a compaction boundary, resume across it
+    d_kr = str(tmp_path / "kr")
+    spec_k = CrawlJobSpec(seeds=seeds, max_waves=1, checkpoint_dir=d_kr,
+                          seen_compact_every=2)
+    run_crawl(spark, spec_k, fetcher, robots_src=robots_df)
+    spec_r = CrawlJobSpec(seeds=seeds, max_waves=20, checkpoint_dir=d_kr,
+                          seen_compact_every=2)
+    run_crawl(spark, spec_r, fetcher, robots_src=robots_df, resume=True)
+    assert _snap_fp(spark, d_kr) == _snap_fp(spark, d_delta)
