@@ -10,12 +10,14 @@ row counts and order-insensitive xxhash64 content fingerprints — the lineage
 a resume verifies against.
 
 Tables are committed in one of two modes:
-  * ``full``  — complete state each wave (frontier, seen, hosts, bloom);
+  * ``full``  — complete state each wave (frontier, hosts);
   * ``delta`` — append-only per-wave increment (documents, fetch_log,
     metrics); a read at wave W unions deltas 0..W.
-At the 10^10 design point `seen` would also move to delta-plus-compaction
-(Iceberg gives this for free via snapshot manifests); snapdir keeps `full`
-for bit-identical-resume simplicity at test scale.
+``seen`` uses delta-PLUS-COMPACTION (spec.seen_compact_every): per-wave
+``seen_delta`` snapshots with a full base every K waves, reconstructed by
+``read_seen`` — a full rewrite per wave would be O(total frontier) write
+volume at the 10^10 design point. Iceberg gives the same layout natively via
+snapshot manifests.
 """
 
 from __future__ import annotations
