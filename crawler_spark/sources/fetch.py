@@ -59,20 +59,81 @@ class SimulatedFetcher:
                 .withColumn("html", F.coalesce(F.col("html"), F.lit(""))))
 
 
-class HttpFetcher:
-    """Real-network fetcher: iterator pandas UDF with one HTTP connection
-    pool per Python worker (the Spark analog of reqwest's pooling). The
-    sandbox has no network; plumbing is real, transport is stubbed."""
+def _default_transport(session, url: str, agent: str,
+                       timeout_s: float) -> tuple[int, str]:
+    """Production transport: one pooled GET. The sandbox has no network, so
+    the default path raises at execution time — inject a transport (tests use
+    a deterministic fake) or use SimulatedFetcher."""
+    if session is None:
+        raise NotImplementedError(
+            "no network in sandbox — inject `transport=` or use "
+            "SimulatedFetcher (production: urllib3/requests pool per worker)")
+    r = session.get(url, timeout=timeout_s, headers={"User-Agent": agent})
+    return int(r.status_code), r.text
 
-    def __init__(self, timeout_s: float = 10.0, user_agent: str = ""):
+
+class HttpFetcher:
+    """Real-network fetcher (SURVEY.md §2.1 S5): the batch flows through ONE
+    `mapInPandas` pass; each Python worker lazily builds a single pooled HTTP
+    session (the Spark analog of reqwest's connection pooling,
+    Cargo.lock:1843) and reuses it across Arrow batches. Output contract is
+    identical to SimulatedFetcher: + (status, bytes, html); dead transport ->
+    status 0, empty body (matching the dead-link convention).
+
+    `transport(session, url, agent, timeout_s) -> (status, html)` is
+    injectable: tests drive the full plumbing — batching, per-worker session
+    reuse, error mapping — with a deterministic fake; production uses the
+    default pooled-GET transport.
+    """
+
+    def __init__(self, timeout_s: float = 10.0, user_agent: str = "",
+                 transport=None):
         self.timeout_s = timeout_s
         self.user_agent = user_agent
+        self.transport = transport or _default_transport
+
+    def _make_session(self):
+        try:  # pragma: no cover - requests absent/no network in sandbox
+            import requests
+            return requests.Session()
+        except Exception:
+            return None
 
     def fetch(self, batch: DataFrame) -> DataFrame:
-        raise NotImplementedError(
-            "no network in sandbox — use SimulatedFetcher; the production "
-            "path is mapInPandas(batch) with a urllib3/requests pool per "
-            "worker, same output contract (status, bytes, html)")
+        in_fields = list(batch.schema.fields)
+        out_schema = StructType(in_fields + [
+            StructField("status", LongType(), False),
+            StructField("bytes", LongType(), False),
+            StructField("html", StringType(), False),
+        ])
+        keep = [f.name for f in in_fields]
+        transport = self.transport
+        timeout_s = self.timeout_s
+        ua_override = self.user_agent
+        make_session = self._make_session
+
+        def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            session = make_session()           # one pool per Python worker
+            for pdf in batches:
+                statuses, sizes, bodies = [], [], []
+                agents = (pdf["agent"] if "agent" in pdf
+                          else pd.Series([ua_override] * len(pdf)))
+                for url, agent in zip(pdf["url_canon"], agents):
+                    try:
+                        status, html = transport(session, url,
+                                                 ua_override or agent, timeout_s)
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        status, html = 0, ""   # dead link convention
+                    statuses.append(int(status))
+                    sizes.append(len(html))
+                    bodies.append(html)
+                out = pdf[keep].copy()
+                out["status"], out["bytes"], out["html"] = statuses, sizes, bodies
+                yield out
+
+        return batch.mapInPandas(_fetch, out_schema)
 
 
 def parse_spans(fetched: DataFrame) -> DataFrame:
