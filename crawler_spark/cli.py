@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--stop-flag", default="",
                     help="path checked between waves; existing file => "
                          "graceful stop (the reference's shutdown message)")
+    ap.add_argument("--lazy-robots", action="store_true",
+                    help="no pre-warmed robots table: fetch {host}/robots.txt "
+                         "through the fetcher the first wave a host appears")
     ap.add_argument("--politeness-salt", type=int, default=0,
                     help=">0 enables the salted per-host selection pre-prune "
                          "(J5 skew guard; 16-64 for Zipf frontiers)")
@@ -84,12 +87,17 @@ def main(argv: list[str] | None = None) -> int:
                       shuffle_partitions=args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
 
-    from crawler_spark.sources.webgraph import to_spark_sitemaps, total_pages_of
+    from crawler_spark.sources.webgraph import (
+        to_spark_robots_pages, to_spark_sitemaps, total_pages_of,
+    )
     cfg = WebGraphConfig(n_hosts=args.fixture_hosts,
                          max_pages_per_host=args.fixture_pages)
     sitemap_df = None
+    robots_fetcher = None
     if args.http:
         fetcher, robots_df = HttpFetcher(user_agent=args.agent), None
+        if args.lazy_robots:
+            robots_fetcher = fetcher
     else:
         n_pages = sum(total_pages_of(cfg, h) for h in cfg.hosts())
         gen = to_spark_distributed if n_pages > 50_000 else to_spark
@@ -97,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
         fetcher = SimulatedFetcher(pages_df)
         if args.sitemap:
             sitemap_df = to_spark_sitemaps(spark, cfg)
+        if args.lazy_robots:
+            robots_df = None
+            robots_fetcher = SimulatedFetcher(to_spark_robots_pages(spark, cfg))
 
     seeds = tuple(args.seeds) if args.seeds else tuple(gen_seeds(cfg))
     spec = CrawlJobSpec(
@@ -116,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
             docs.write.mode("append").parquet(args.output)
 
     run = run_crawl(spark, spec, fetcher, robots_src=robots_df, sink=sink,
-                    resume=args.resume, sitemap_src=sitemap_df)
+                    resume=args.resume, sitemap_src=sitemap_df,
+                    robots_fetcher=robots_fetcher)
     summary = {
         "job_id": spec.job_id,
         "n_fetched": run.n_fetched,

@@ -143,6 +143,27 @@ def build_robots_table(robots_src: DataFrame, fetched_wave: int = 0) -> DataFram
     return robots_src.mapInPandas(_compile, ROBOTS_SCHEMA)
 
 
+def fetch_robots_rules(fetcher, hosts_df: DataFrame, wave: int,
+                       agent: str = "") -> DataFrame:
+    """Lazy robots-cache fill (production shape): synthesize
+    http://{host}/robots.txt URLs for the given hosts, run them through the
+    SAME fetcher interface as pages (SimulatedFetcher join or HttpFetcher
+    mapInPandas), and compile the bodies into rule rows stamped with
+    `fetched_wave`. Non-200 responses compile to empty rules = allow-all
+    (RFC 9309 unavailable-robots semantics for 4xx)."""
+    batch = hosts_df.select(
+        F.concat(F.lit("http://"), F.col("host"),
+                 F.lit("/robots.txt")).alias("url_canon"),
+        F.col("host"),
+        F.lit(agent or "robots-fetch").alias("agent"))
+    fetched = fetcher.fetch(batch)
+    bodies = fetched.select(
+        "host",
+        F.when(F.col("status") == 200, F.col("html")).otherwise(F.lit(""))
+        .alias("body"))
+    return build_robots_table(bodies, fetched_wave=wave)
+
+
 def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """frontier LEFT JOIN robots ON host -> keep allowed rows (J2 + F5).
 

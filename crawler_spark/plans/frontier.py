@@ -36,7 +36,9 @@ from crawler_spark.operators import politeness
 from crawler_spark.operators.dedup import (
     SeenBloom, anti_join_seen, build_bloom_parts, url_hash_col,
 )
-from crawler_spark.operators.robots import build_robots_table, gate_frontier
+from crawler_spark.operators.robots import (
+    build_robots_table, fetch_robots_rules, gate_frontier,
+)
 from crawler_spark.operators.scope import asset_col, blacklist_col, scope_col
 from crawler_spark.plans.tableio import MemoryStore, SnapDirStore
 from crawler_spark.sources.fetch import parse_spans, ua_col
@@ -124,7 +126,8 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
               robots_src: DataFrame | None = None,
               sink=None, store=None, resume: bool = False,
               initial_frontier: DataFrame | None = None,
-              sitemap_src: DataFrame | None = None) -> CrawlRun:
+              sitemap_src: DataFrame | None = None,
+              robots_fetcher=None) -> CrawlRun:
     """EP2 `Crawl` batch mode (reference src/rpc/server.rs:54-88): run the
     wave loop to exhaustion/budget, return final tables.
 
@@ -142,6 +145,29 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
     robots = None
     if robots_src is not None:
         robots = build_robots_table(robots_src).localCheckpoint(eager=True)
+    # lazy robots cache (production shape): no pre-warmed rules — hosts get
+    # their robots.txt fetched through the fetcher interface the first wave
+    # they appear as candidates; the cache table grows monotonically.
+    lazy_robots = (robots_src is None and robots_fetcher is not None
+                   and spec.respect_robots_txt)
+
+    def _ensure_robots(cand: DataFrame, wave_no: int) -> None:
+        nonlocal robots
+        hosts_df = cand.select("host").distinct()
+        if robots is not None:
+            hosts_df = hosts_df.join(robots.select("host"), "host", "left_anti")
+        missing = hosts_df.localCheckpoint(eager=True)
+        if missing.count() == 0:
+            return
+        rules = fetch_robots_rules(robots_fetcher, missing, wave_no, spec.agent)
+        robots = (rules if robots is None else robots.unionByName(rules)) \
+            .localCheckpoint(eager=True)
+
+    def _gate(c: DataFrame) -> DataFrame:
+        if spec.respect_robots_txt and robots is not None:
+            return (gate_frontier(c, robots)
+                    .where(F.col("robots_ok")).drop("robots_ok"))
+        return c
 
     # seed hosts define the crawl scope (F2-F4) in both fresh and resumed runs
     if initial_frontier is not None:
@@ -189,6 +215,10 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             hosts = None                   # killed before wave-0 commit
         man = store.manifest(last)
         run.n_fetched = int(man.get("extra", {}).get("n_fetched", 0))
+        if lazy_robots:
+            # rebuild the robots cache for hosts already pending (rules are
+            # deterministic, so re-fetch == the pre-kill cache)
+            _ensure_robots(pending, last + 1)
         docs0 = store.read_delta_union("documents", last)
         log0 = store.read_delta_union("fetch_log", last)
         if docs0 is not None:
@@ -214,6 +244,10 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         # --- wave-0 admission: seeds (S3) ---
         pending = _admit(spark, seeds_canon, None, None, robots, spec,
                          seed_hosts, 0)
+        if lazy_robots:
+            pending = pending.localCheckpoint(eager=True)
+            _ensure_robots(pending, 0)
+            pending = _gate(pending)
         seen = pending.select("url_hash", "url_canon", "host",
                               F.lit(0).alias("wave"))
         hosts = None
@@ -310,9 +344,14 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             .select(F.col("s.media_ref").alias("url_canon"),
                     (F.col("depth") + 1).alias("depth"),
                     F.lit(0.0).alias("priority")))
-        new_rows = _admit(spark, links, seen, bloom if bloom_active else None,
-                          robots, spec, seed_hosts, wave + 1) \
-            .localCheckpoint(eager=True)
+        new_pre = _admit(spark, links, seen, bloom if bloom_active else None,
+                         None if lazy_robots else robots, spec, seed_hosts,
+                         wave + 1).localCheckpoint(eager=True)
+        if lazy_robots:
+            _ensure_robots(new_pre, wave + 1)
+            new_rows = _gate(new_pre).localCheckpoint(eager=True)
+        else:
+            new_rows = new_pre
         _mark("admit")
         pending_next = rest.unionByName(new_rows)
         seen_delta_df = new_rows.select("url_hash", "url_canon", "host",

@@ -192,6 +192,23 @@ def gen_robots_src(cfg: WebGraphConfig) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["host", "body"])
 
 
+def gen_robots_pages(cfg: WebGraphConfig) -> pd.DataFrame:
+    """robots.txt as a FETCHABLE substrate (for the lazy robots-cache path):
+    one row per host, status 200 with the body, or 404/empty when the host
+    has no robots.txt — exactly what a GET {host}/robots.txt returns."""
+    rows = []
+    for h in cfg.hosts():
+        body = robots_body(cfg, h)
+        rows.append((f"http://{h}/robots.txt", h,
+                     200 if body else 404, len(body), body))
+    return pd.DataFrame(rows, columns=["url_canon", "host", "status",
+                                       "bytes", "html"])
+
+
+def to_spark_robots_pages(spark, cfg: WebGraphConfig):
+    return spark.createDataFrame(gen_robots_pages(cfg))
+
+
 def gen_seeds(cfg: WebGraphConfig, n_seeds: int = 3) -> list[str]:
     """Seed URLs: page 0 of the n_seeds largest primaries (uppercased host in
     one seed to exercise case-insensitive dedup, reference Cargo.lock:289)."""

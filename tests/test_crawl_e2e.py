@@ -79,3 +79,25 @@ def test_agent_override(spark, small_cfg):
                 .agg(F.countDistinct("agent").alias("n")).collect())
     assert all(r["n"] == 1 for r in per_host)          # deterministic per host
     assert run2.fetch_log.select("agent").distinct().count() > 1
+
+
+def test_lazy_robots_cache_matches_oracle(spark, small_cfg):
+    """F5 production shape: no pre-warmed robots table — rules are fetched
+    through the fetcher interface the first wave a host becomes a candidate.
+    Result must equal the oracle (which knows all rules upfront): lazy fill
+    is semantically identical because gating happens at admission time."""
+    from crawler_spark.sources.webgraph import to_spark_robots_pages
+    from tests.oracle import run_oracle
+    from crawler_spark.sources.webgraph import gen_pages, gen_robots_src
+
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20)
+    oracle = run_oracle(spec, gen_pages(small_cfg), gen_robots_src(small_cfg))
+    pages_df, _ = to_spark(spark, small_cfg)
+    run = run_crawl(
+        spark, spec, SimulatedFetcher(pages_df), robots_src=None,
+        robots_fetcher=SimulatedFetcher(to_spark_robots_pages(spark, small_cfg)))
+    got_seen = {r["url_canon"] for r in run.seen.select("url_canon").collect()}
+    assert got_seen == oracle.seen
+    e_metrics = [(m["wave"], m["fetched"], m["new_links"]) for m in run.metrics]
+    o_metrics = [(m["wave"], m["fetched"], m["new_links"]) for m in oracle.metrics]
+    assert e_metrics == o_metrics
