@@ -162,6 +162,45 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     return j
 
 
+ROLL_B = 69069               # LCG multiplier; acc*B + w stays < 2^63
+ROLL_M = 2147483647          # 2^31 - 1
+
+
+def rolling_hashes_col(h: Column, k: int = 4) -> Column:
+    """Rolling (Rabin-Karp/Horner) window hashes over a pre-projected word-
+    hash array `h`: window i = fold(0, h[i..i+k-1], acc -> (acc*B + w) % M).
+    Docs shorter than k words get one whole-doc window. Sequential fold in
+    both engines -> bit-identical values (DuckDB twin uses list_reduce with
+    a prepended 0 seed)."""
+    def win(i):
+        return F.aggregate(
+            F.slice(h, i + 1, k), F.lit(0).cast("long"),
+            lambda acc, x: (acc * ROLL_B + x) % ROLL_M)
+
+    windows = F.transform(F.sequence(F.lit(0), F.size(h) - k), win)
+    whole = F.array(F.aggregate(h, F.lit(0).cast("long"),
+                                lambda acc, x: (acc * ROLL_B + x) % ROLL_M))
+    return F.when(F.size(h) >= k, windows).otherwise(whole)
+
+
+def rolling_fingerprint_cols(h: Column, k: int = 4,
+                             sample_mod: int = 8) -> list[Column]:
+    """Winnowing-style document fingerprint summary from rolling hashes:
+    (n_windows, min_rh, n_sampled) where sampled = windows with rh % P == 0
+    (content-defined sampling — the same positions are picked no matter how
+    the document is split or shifted, which is the property that makes
+    rolling fingerprints robust to insertions for near-dup detection)."""
+    rolls = rolling_hashes_col(h, k)
+    bound = F.transform(F.array(rolls), lambda r: F.struct(
+        F.size(r).cast("long").alias("n_windows"),
+        F.array_min(r).alias("min_rh"),
+        F.size(F.filter(r, lambda x: x % sample_mod == 0))
+        .cast("long").alias("n_sampled")))
+    s = F.element_at(bound, 1)
+    return [s["n_windows"].alias("n_windows"), s["min_rh"].alias("min_rh"),
+            s["n_sampled"].alias("n_sampled")]
+
+
 def word_hashes_col(text: Column) -> Column:
     """Per-word 32-bit hashes (md5-derived, cross-engine reproducible).
     Project this into its own column BEFORE fanning out per-bit aggregates:

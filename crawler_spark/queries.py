@@ -688,6 +688,38 @@ def tx3_token_count(spark, sf_dir):
         token_count_col(F.col("text")).alias("n_tokens"))
 
 
+_WH_SQL = ("list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+           "w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)")
+
+@q("tx4_rolling_fingerprint", f"""
+WITH h AS (SELECT doc_id, {_WH_SQL} AS wh FROM documents),
+r AS (
+  SELECT doc_id, CASE WHEN len(wh) >= 4 THEN
+    list_transform(range(0, len(wh) - 3), i ->
+      list_reduce(list_prepend(0::BIGINT, list_slice(wh, i + 1, i + 4)),
+                  (acc, x) -> (acc * 69069 + x) % 2147483647))
+  ELSE
+    [list_reduce(list_prepend(0::BIGINT, wh),
+                 (acc, x) -> (acc * 69069 + x) % 2147483647)]
+  END AS rolls FROM h)
+SELECT doc_id, len(rolls)::BIGINT AS n_windows,
+       list_min(rolls) AS min_rh,
+       len(list_filter(rolls, x -> x % 8 = 0))::BIGINT AS n_sampled
+FROM r
+""")
+def tx4_rolling_fingerprint(spark, sf_dir):
+    """Rolling-hash (Rabin-Karp window) document fingerprinting with
+    content-defined sampling (winnowing family): per doc, the number of
+    4-word windows, the minimum rolling hash, and the count of mod-8-sampled
+    windows — shift/insertion-robust near-dup signatures."""
+    from crawler_spark.operators.textdedup import (
+        rolling_fingerprint_cols, word_hashes_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("doc_id", word_hashes_col(F.col("text")).alias("h"))
+    return h.select("doc_id", *rolling_fingerprint_cols(F.col("h"), 4, 8))
+
+
 # =====================================================================
 # Similarity search (embeddings table)
 # =====================================================================
