@@ -46,6 +46,9 @@ def _assert_equal(oracle, run, got):
     pytest.param({"max_pages": 15}, id="global-budget"),
     pytest.param({"delay_ms": 400, "use_bloom": False}, id="delay-no-bloom"),
     pytest.param({"bloom_min_seen": 0}, id="bloom-forced-active"),
+    pytest.param({"politeness_impl": "pandas"}, id="grouped-map-politeness"),
+    pytest.param({"politeness_salt": 8, "per_host_tokens": 3.0},
+                 id="salted-politeness"),
 ])
 def test_engine_matches_oracle(spark, small_cfg, spec_kw):
     spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20, **spec_kw)
