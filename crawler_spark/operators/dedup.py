@@ -145,6 +145,26 @@ class SeenBloom:
                     np.frombuffer(cur, dtype=np.uint8) | new).tobytes()
         self._bc = None  # invalidate broadcast
 
+    def to_rows(self) -> list[tuple[int, bytes]]:
+        """Snapshot payload (§4.3): the merged per-partition bitsets, sorted
+        by part id. Committed as the `bloom` table each wave so resume
+        reloads the prefilter instead of rebuilding it from `seen` — at the
+        10^10 design point a rebuild is a full seen-table scan."""
+        return sorted(self.parts.items())
+
+    def load_rows(self, rows) -> bool:
+        """Restore from snapshot rows [(part, bits)]. Returns False on
+        geometry mismatch (bloom spec changed between runs) — the caller
+        then falls back to rebuild-from-seen; correctness is unaffected
+        either way (the filter must only be a superset of seen keys)."""
+        expect = self.m // 8
+        incoming = {int(r["part"]): bytes(r["bits"]) for r in rows}
+        if not incoming or any(len(b) != expect for b in incoming.values()):
+            return False
+        self.parts = incoming
+        self._bc = None
+        return True
+
     def broadcast(self, spark: SparkSession):
         if self._bc is None:
             self._bc = spark.sparkContext.broadcast(

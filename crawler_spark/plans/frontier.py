@@ -10,8 +10,8 @@ Mirror of the reference's drain-and-refill crawl loop
       200-pages ── explode link spans ── scope/asset/blacklist filters (F2-F8)
         ── robots gate (F5/J2) ── wave dedup (A2) ── bloom probe + exact
         anti-join vs seen (F1/J1) ── admit to frontier wave W+1
-      commit {frontier, seen, hosts, bloom} full + {documents, fetch_log,
-        metrics} delta  (atomic manifest — §4.3)
+      commit {frontier, seen, hosts, robots, bloom} full + {documents,
+        fetch_log, metrics} delta  (atomic manifest — §4.3)
 
 Determinism contract (SURVEY.md §5.3): equal URL-seen set, equal per-wave URL
 sets, per-document span-sequence equality, all asserted against the
@@ -101,7 +101,10 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
     # The same aggregate counts the URL's in-wave in-degree (n_refs): the
     # admitted row's priority becomes -n_refs, so heavily-referenced pages
     # are selected first — the W1 priority queue is in-degree-weighted, not
-    # flat (ties broken by depth then url_canon downstream).
+    # flat (ties broken by depth then url_canon downstream). least() keeps
+    # any MORE-urgent injected priority (BFS links/seeds always carry 0.0,
+    # so the BFS path is bit-unchanged; recrawl re-admission injects -age
+    # staleness priorities through here — operators/recrawl.py).
     c = (c.withColumn("url_fold", F.lower(F.col("url_canon")))
          .groupBy("url_fold")
          .agg(F.min(F.struct("priority", "depth", "url_canon")).alias("m"),
@@ -109,7 +112,8 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
          .select(F.col("m.depth").alias("depth"),
                  F.col("m.url_canon").alias("url_canon"),
                  F.xxhash64("url_fold").alias("url_hash"),
-                 (-F.col("n_refs").cast("double")).alias("priority")))
+                 F.least(F.col("m.priority"),
+                         -F.col("n_refs").cast("double")).alias("priority")))
     # F1/J1: bloom prefilter + exact anti-join against seen
     if seen is not None:
         c = anti_join_seen(c, seen, bloom, spark)
@@ -189,6 +193,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
 
     bloom = SeenBloom(spec.bloom_parts,
                       keys_per_part=1 << 14, fpp=spec.bloom_fpp) if spec.use_bloom else None
+    bloom_active = False
     run = CrawlRun(spec=spec)
     docs_parts: list[DataFrame] = []
     log_parts: list[DataFrame] = []
@@ -216,9 +221,24 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         man = store.manifest(last)
         run.n_fetched = int(man.get("extra", {}).get("n_fetched", 0))
         if lazy_robots:
-            # rebuild the robots cache for hosts already pending (rules are
-            # deterministic, so re-fetch == the pre-kill cache)
-            _ensure_robots(pending, last + 1)
+            # the robots cache commits with every wave (§4.3); reload it
+            # rather than re-fetching. Pre-robots-snapshot checkpoints (or a
+            # kill before the wave-0 commit) fall back to re-fetch — rules
+            # are deterministic, so re-fetch == the pre-kill cache.
+            try:
+                robots = store.read_full("robots", last) \
+                    .localCheckpoint(eager=True)
+            except Exception:
+                _ensure_robots(pending, last + 1)
+        if bloom is not None:
+            # reload the committed prefilter bitsets; geometry mismatch or a
+            # checkpoint from a pre-bloom-snapshot layout -> rebuilt from
+            # `seen` by _maybe_activate_bloom below (identical bits)
+            try:
+                bloom_active = bloom.load_rows(
+                    store.read_full("bloom", last).collect())
+            except Exception:
+                bloom_active = False
         docs0 = store.read_delta_union("documents", last)
         log0 = store.read_delta_union("fetch_log", last)
         if docs0 is not None:
@@ -251,8 +271,12 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         seen = pending.select("url_hash", "url_canon", "host",
                               F.lit(0).alias("wave"))
         hosts = None
-        state = store.persist_wave(-1, {"frontier": pending, "seen": seen}, {})
+        init_full = {"frontier": pending, "seen": seen}
+        if lazy_robots and robots is not None:
+            init_full["robots"] = robots
+        state = store.persist_wave(-1, init_full, {})
         pending, seen = state["frontier"], state["seen"]
+        robots = state.get("robots", robots)
         wave = 0
 
     n_pending = pending.count()
@@ -264,8 +288,6 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
     # carries dedup alone, with identical results. Once `seen` crosses the
     # threshold, build from the FULL seen table once, then merge per-wave
     # deltas. At the 10^10 design point the filter is active from minute one.
-    bloom_active = False
-
     def _maybe_activate_bloom() -> None:
         nonlocal bloom_active
         if bloom is not None and not bloom_active and seen_rows >= spec.bloom_min_seen:
@@ -389,10 +411,35 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             [(wave, p["part"], p["fetched"], p["errors"], p["bytes"])
              for p in wave_metrics["parts"]],
             "wave int, part int, fetched long, errors long, bytes long")
+        # Bloom merge happens BEFORE the commit so the persisted `bloom`
+        # table covers this wave's admissions — the filter must remain a
+        # superset of `seen` keys, or a resumed probe would call a seen URL
+        # "definitely new" and re-admit it (correctness, not just perf).
+        if bloom is not None:
+            if bloom_active and n_new:
+                bloom.merge_from(build_bloom_parts(
+                    new_rows, bloom.n_parts, bloom.keys_per_part,
+                    bloom.fpp).collect())
+            elif not bloom_active and seen_rows + n_new >= spec.bloom_min_seen:
+                bloom.merge_from(build_bloom_parts(
+                    seen_next, bloom.n_parts, bloom.keys_per_part,
+                    bloom.fpp).collect())
+                bloom_active = True
         delta_mode = (getattr(store, "resumable", False)
                       and spec.seen_compact_every > 0)
         compact_now = delta_mode and ((wave + 1) % spec.seen_compact_every == 0)
         full_tables = {"frontier": pending_next, "hosts": hosts}
+        if getattr(store, "resumable", False):
+            # §4.3: robots cache + bloom partitions commit with the wave so
+            # resume restores them instead of re-fetching / re-scanning seen.
+            # Both are tiny next to frontier/seen (one row per host; one
+            # bitset per bloom part).
+            if lazy_robots and robots is not None:
+                full_tables["robots"] = robots
+            if bloom_active:
+                full_tables["bloom"] = spark.createDataFrame(
+                    [(p, bytearray(b)) for p, b in bloom.to_rows()],
+                    "part int, bits binary")
         delta_tables = {"documents": docs, "fetch_log": flog,
                         "metrics": metrics_df}
         if not delta_mode or compact_now:
@@ -409,16 +456,12 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                    "spec": spec.to_dict()})
         seen_base = next_base
         pending, hosts = state["frontier"], state["hosts"]
+        robots = state.get("robots", robots)
         seen = (state["seen"] if "seen" in state
                 else seen.unionByName(state["seen_delta"]))
         docs_parts.append(state["documents"])
         log_parts.append(state["fetch_log"])
         seen_rows += n_new
-        if bloom_active and n_new:
-            bloom.merge_from(build_bloom_parts(
-                new_rows, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
-        else:
-            _maybe_activate_bloom()
         _mark("commit_bloom")
         wave_metrics["stage_sec"] = stage_t
 

@@ -441,6 +441,34 @@ def p2_span_explode_media(spark, sf_dir):
             .select("doc_id", F.col("s.media_ref").alias("media_ref"),
                     F.col("s.offset").alias("span_offset")))
 
+@q("rc1_recrawl_due", """
+WITH last AS (
+  SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+), mx AS (SELECT max(ts) AS mx FROM events)
+SELECT l.user_id, CAST(floor(epoch(l.last_ts)) AS BIGINT) AS last_seen,
+       CAST(floor((floor(epoch(m.mx)) - floor(epoch(l.last_ts))) / 3600)
+            AS BIGINT) AS age_hours
+FROM last l, mx m
+WHERE l.last_ts <= m.mx - INTERVAL 12 HOUR
+""")
+def rc1_recrawl_due(spark, sf_dir):
+    """Recrawl scheduling analog (operators/recrawl.py TTL rule): keys whose
+    latest activity is >= 12h staler than the stream frontier, with
+    staleness age — one hash aggregate + broadcast of the scalar frontier.
+    floor() on both engines: DuckDB's double->BIGINT cast rounds, Spark's
+    unix_timestamp truncates."""
+    e = _t(spark, sf_dir, "events")
+    last = e.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    mx = e.agg(F.max("ts").alias("mx"))
+    return (last.crossJoin(F.broadcast(mx))
+            .where(F.col("last_ts") <= F.col("mx") - F.expr("INTERVAL 12 HOURS"))
+            .select("user_id",
+                    F.unix_timestamp("last_ts").cast("long").alias("last_seen"),
+                    F.floor((F.unix_timestamp("mx")
+                             - F.unix_timestamp("last_ts")) / 3600)
+                    .cast("long").alias("age_hours")))
+
+
 # =====================================================================
 # Streaming-analog queries (event time, sessions, late-data dedup)
 # =====================================================================

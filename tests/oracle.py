@@ -102,7 +102,9 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
                 continue
             res.seen.add(url)
             folded_seen.add(fold)
-            pending.append((-float(n_refs[fold]), depth, url))
+            # mirror _admit: least(injected priority, -in-degree); BFS
+            # candidates always inject 0.0, recrawl injects -age staleness
+            pending.append((min(prio, -float(n_refs[fold])), depth, url))
             n_new += 1
         return n_new
 

@@ -1,0 +1,145 @@
+"""Recrawl scheduling (operators/recrawl.py): TTL expiry + re-admission.
+
+The due-set computation is asserted against a plain-Python recomputation of
+the same TTL rule over the collected fetch_log; the recrawl drain must
+re-fetch exactly the due URLs (max_depth=0 = refresh-only mode), reproduce
+their span payloads bit-identically (deterministic fetcher), and partition
+`seen` into retained ∪ refetched with no overlap. The cuckoo path asserts
+the deletion semantics the filter exists for: expired keys stop probing as
+duplicates while retained keys still do.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+
+from crawler_spark.operators.recrawl import (
+    due_for_recrawl, expire_from_cuckoo, expire_seen, run_recrawl,
+)
+from crawler_spark.plans.frontier import run_crawl
+from crawler_spark.plans.tableio import SnapDirStore
+from crawler_spark.sources.fetch import SimulatedFetcher
+from crawler_spark.sources.webgraph import gen_seeds, to_spark
+from crawler_spark.spec import CrawlJobSpec
+
+
+@pytest.fixture(scope="module")
+def finished_crawl(spark, small_cfg, tmp_path_factory):
+    """A completed checkpointed crawl over the small fixture web."""
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    fetcher = SimulatedFetcher(pages_df)
+    d = str(tmp_path_factory.mktemp("recrawl") / "snap")
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20,
+                        checkpoint_dir=d)
+    run = run_crawl(spark, spec, fetcher, robots_src=robots_df)
+    assert run.n_waves >= 4
+    return spark, spec, fetcher, robots_df, SnapDirStore(spark, d), run
+
+
+def _expected_due(run, current_wave: int, ttl: int) -> dict[str, int]:
+    last: dict[str, int] = {}
+    for r in run.fetch_log.collect():
+        if r["status"] == 200:
+            last[r["url_canon"]] = max(last.get(r["url_canon"], -1), r["wave"])
+    return {u: current_wave - w for u, w in last.items()
+            if current_wave - w >= ttl}
+
+
+def test_due_set_matches_ttl_rule(finished_crawl):
+    spark, spec, fetcher, robots_df, store, run = finished_crawl
+    cur = store.latest_wave() + 1
+    for ttl in (2, 3, 10_000):
+        due = due_for_recrawl(run.fetch_log, cur, ttl)
+        got = {r["url_canon"]: r["age"] for r in due.collect()}
+        assert got == _expected_due(run, cur, ttl)
+    # ttl larger than the crawl's age -> nothing due
+    assert due_for_recrawl(run.fetch_log, cur, 10_000).count() == 0
+
+
+def test_recrawl_refetches_exactly_due(finished_crawl):
+    spark, spec, fetcher, robots_df, store, run = finished_crawl
+    ttl = 3
+    cur = store.latest_wave() + 1
+    expected = set(_expected_due(run, cur, ttl))
+    assert expected, "fixture must have due URLs at this ttl"
+    assert expected < {r["url_canon"] for r in run.seen.collect()}
+
+    # refresh-only recrawl: max_depth=0 stops outlink expansion (depth 1 >
+    # max_depth), so only the due set itself is admitted and drained
+    rspec = dataclasses.replace(spec, checkpoint_dir="", max_depth=0,
+                                per_host_tokens=1e9, token_cap=1e9)
+    due, rerun = run_recrawl(spark, rspec, fetcher, store, ttl,
+                             robots_src=robots_df)
+    refetched = {r["url_canon"] for r in rerun.fetch_log.collect()}
+    assert refetched == expected
+    assert rerun.n_fetched == len(expected)
+
+    # deterministic fetcher -> span payloads identical to the original crawl
+    orig = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+            for r in run.documents.collect() if r["doc_id"] in expected}
+    new = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+           for r in rerun.documents.collect()}
+    assert new == orig
+
+    # seen splits cleanly: retained ∪ refetched == original, no overlap
+    retained = {r["url_canon"]
+                for r in expire_seen(run.seen, due).collect()}
+    original = {r["url_canon"] for r in run.seen.collect()}
+    assert retained | refetched == original
+    assert not (retained & refetched)
+
+
+def test_staleness_orders_selection(finished_crawl):
+    """Older URLs carry more-negative priority -> selected before fresher
+    ones under a constrained per-wave budget."""
+    spark, spec, fetcher, robots_df, store, run = finished_crawl
+    cur = store.latest_wave() + 1
+    due_ages = _expected_due(run, cur, 2)
+    assert len(set(due_ages.values())) > 1, "need mixed staleness"
+    rspec = dataclasses.replace(
+        spec, checkpoint_dir="", max_depth=0,
+        per_host_tokens=1.0, token_cap=1.0)    # 1 URL/host/wave
+    _, rerun = run_recrawl(spark, rspec, fetcher, store, 2,
+                           robots_src=robots_df)
+    first_wave = {r["url_canon"]: r["wave"] for r in rerun.fetch_log.collect()}
+    # within each host, fetch-wave order must follow age (older first)
+    by_host: dict[str, list[tuple[int, int]]] = {}
+    for url, wave in first_wave.items():
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        by_host.setdefault(host, []).append((wave, due_ages[url]))
+    for host, pairs in by_host.items():
+        pairs.sort()
+        ages = [a for _, a in pairs]
+        assert ages == sorted(ages, reverse=True), (host, pairs)
+
+
+def test_cuckoo_expiry_reopens_urls(finished_crawl):
+    """Deleting expired keys makes the prefilter report them as new again,
+    while retained keys still probe as seen (no false negatives)."""
+    import numpy as np
+    from crawler_spark.operators.cuckoo import SeenCuckoo
+    from crawler_spark.operators.dedup import url_hash_col
+    from pyspark.sql import functions as F
+
+    spark, spec, fetcher, robots_df, store, run = finished_crawl
+    cur = store.latest_wave() + 1
+    due = due_for_recrawl(run.fetch_log, cur, 3).localCheckpoint(eager=True)
+
+    seen_keys = np.array([r["url_hash"] for r in run.seen.collect()],
+                         dtype=np.int64)
+    cf = SeenCuckoo(n_parts=4, keys_per_part=1 << 12)
+    cf.insert_keys(seen_keys)
+    assert cf.contains_keys(seen_keys).all()
+
+    n_del = expire_from_cuckoo(cf, due)
+    assert n_del == due.count() > 0
+
+    due_keys = np.array(
+        [r["url_hash"] for r in
+         due.select(url_hash_col(F.col("url_canon")).alias("url_hash"))
+         .collect()], dtype=np.int64)
+    retained_keys = np.setdiff1d(seen_keys, due_keys)
+    assert not cf.contains_keys(due_keys).any()
+    assert cf.contains_keys(retained_keys).all()

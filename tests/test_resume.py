@@ -119,6 +119,103 @@ def test_stop_flag_halts_and_resume_completes(spark, crawl_env, tmp_path):
     assert done.seen.count() == ref.seen.count()
 
 
+class _CountingFetcher:
+    """Transparent fetcher wrapper counting URLs resolved per fetch() call
+    (materializes the batch — test scale only)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.urls_fetched = 0
+
+    def fetch(self, batch):
+        self.urls_fetched += batch.count()
+        return self.inner.fetch(batch)
+
+
+def test_lazy_robots_cache_restored_not_refetched(spark, small_cfg, tmp_path):
+    """§4.3: the lazy robots cache commits with every wave; resume reloads it
+    from the snapshot, so only hosts first contacted AFTER the kill get their
+    robots.txt fetched — and the final state stays bit-identical."""
+    from crawler_spark.plans.tableio import content_fingerprint
+    from crawler_spark.sources.webgraph import to_spark_robots_pages
+
+    pages_df, _ = to_spark(spark, small_cfg)
+    seeds = tuple(gen_seeds(small_cfg))
+    robots_pages = to_spark_robots_pages(spark, small_cfg)
+    base = CrawlJobSpec(seeds=seeds, max_waves=20)
+
+    d_full = str(tmp_path / "full")
+    rf_full = _CountingFetcher(SimulatedFetcher(robots_pages))
+    run_full = run_crawl(
+        spark, dataclasses.replace(base, checkpoint_dir=d_full),
+        SimulatedFetcher(pages_df), robots_src=None, robots_fetcher=rf_full)
+
+    d = str(tmp_path / "part")
+    rf_kill = _CountingFetcher(SimulatedFetcher(robots_pages))
+    run_crawl(spark, dataclasses.replace(base, checkpoint_dir=d, max_waves=2),
+              SimulatedFetcher(pages_df), robots_src=None,
+              robots_fetcher=rf_kill)
+    store = SnapDirStore(spark, d)
+    k = store.latest_wave()
+    assert "robots" in store.manifest(k)["tables"]
+    cached_hosts = store.read_full("robots", k).count()
+
+    rf_res = _CountingFetcher(SimulatedFetcher(robots_pages))
+    run_r = run_crawl(spark, dataclasses.replace(base, checkpoint_dir=d),
+                      SimulatedFetcher(pages_df), robots_src=None,
+                      robots_fetcher=rf_res, resume=True)
+
+    last = store.latest_wave()
+    final_hosts = store.read_full("robots", last).count()
+    assert rf_res.urls_fetched == final_hosts - cached_hosts
+    assert rf_res.urls_fetched < rf_full.urls_fetched
+    assert _snap_fp(spark, d) == _snap_fp(spark, d_full)
+    assert run_r.n_fetched == run_full.n_fetched
+    assert content_fingerprint(store.read_full("robots", last)) == \
+        content_fingerprint(SnapDirStore(spark, d_full)
+                            .read_full("robots", last))
+
+
+def test_bloom_partitions_restored_on_resume(spark, crawl_env, tmp_path):
+    """§4.3: active bloom bitsets commit as the `bloom` table; the reloaded
+    filter is bit-equal to a from-scratch rebuild over `seen`, and a resumed
+    run keeps committing it while staying bit-identical."""
+    from crawler_spark.operators.dedup import SeenBloom, build_bloom_parts
+
+    fetcher, robots_df, seeds = crawl_env
+    base = CrawlJobSpec(seeds=seeds, max_waves=20, bloom_min_seen=0)
+
+    d = str(tmp_path / "kill")
+    run_crawl(spark, dataclasses.replace(base, checkpoint_dir=d, max_waves=2),
+              fetcher, robots_src=robots_df)
+    store = SnapDirStore(spark, d)
+    k = store.latest_wave()
+    assert "bloom" in store.manifest(k)["tables"]
+
+    restored = SeenBloom(base.bloom_parts, keys_per_part=1 << 14,
+                         fpp=base.bloom_fpp)
+    assert restored.load_rows(store.read_full("bloom", k).collect())
+    rebuilt = SeenBloom(base.bloom_parts, keys_per_part=1 << 14,
+                        fpp=base.bloom_fpp)
+    rebuilt.merge_from(build_bloom_parts(
+        store.read_seen(k), rebuilt.n_parts, rebuilt.keys_per_part,
+        rebuilt.fpp).collect())
+    # equality (not just superset): both OR exactly the seen-as-of-k keys
+    assert restored.parts == rebuilt.parts
+
+    run_crawl(spark, dataclasses.replace(base, checkpoint_dir=d),
+              fetcher, robots_src=robots_df, resume=True)
+    d_full = str(tmp_path / "full")
+    run_crawl(spark, dataclasses.replace(base, checkpoint_dir=d_full),
+              fetcher, robots_src=robots_df)
+    assert _snap_fp(spark, d) == _snap_fp(spark, d_full)
+    last = SnapDirStore(spark, d).latest_wave()
+    assert content_fingerprint(
+        SnapDirStore(spark, d).read_full("bloom", last)) == \
+        content_fingerprint(
+            SnapDirStore(spark, d_full).read_full("bloom", last))
+
+
 def test_seen_delta_compaction_layout(spark, crawl_env, tmp_path):
     """seen commits as per-wave deltas with a full base every K waves; the
     reconstructed table equals the full-rewrite layout's, and resume across
