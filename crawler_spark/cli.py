@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--politeness-salt", type=int, default=0,
                     help=">0 enables the salted per-host selection pre-prune "
                          "(J5 skew guard; 16-64 for Zipf frontiers)")
+    ap.add_argument("--recrawl-ttl", type=int, default=0,
+                    help=">0: instead of a fresh crawl, re-fetch URLs from "
+                         "the --checkpoint-dir store whose last successful "
+                         "fetch is >= this many waves old (refresh-only "
+                         "drain: max_depth forced to 0; "
+                         "operators/recrawl.py)")
     ap.add_argument("--stream", action="store_true",
                     help="EP1 scan mode: per-wave document sink to --output")
     ap.add_argument("--output", default="",
@@ -126,11 +132,27 @@ def main(argv: list[str] | None = None) -> int:
         def sink(wave: int, docs) -> None:
             docs.write.mode("append").parquet(args.output)
 
-    run = run_crawl(spark, spec, fetcher, robots_src=robots_df, sink=sink,
-                    resume=args.resume, sitemap_src=sitemap_df,
-                    robots_fetcher=robots_fetcher)
+    due = None
+    if args.recrawl_ttl > 0:
+        if not args.checkpoint_dir:
+            print("error: --recrawl-ttl requires --checkpoint-dir",
+                  file=sys.stderr)
+            return 2
+        import dataclasses
+        from crawler_spark.operators.recrawl import run_recrawl
+        from crawler_spark.plans.tableio import SnapDirStore
+        store = SnapDirStore(spark, args.checkpoint_dir)
+        rspec = dataclasses.replace(spec, checkpoint_dir="", max_depth=0)
+        due, run = run_recrawl(spark, rspec, fetcher, store,
+                               args.recrawl_ttl, robots_src=robots_df,
+                               sink=sink, robots_fetcher=robots_fetcher)
+    else:
+        run = run_crawl(spark, spec, fetcher, robots_src=robots_df, sink=sink,
+                        resume=args.resume, sitemap_src=sitemap_df,
+                        robots_fetcher=robots_fetcher)
     summary = {
         "job_id": spec.job_id,
+        **({"n_due": due.count()} if due is not None else {}),
         "n_fetched": run.n_fetched,
         "n_waves": run.n_waves,
         "seen": run.seen.count() if run.seen is not None else 0,

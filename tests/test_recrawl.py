@@ -115,6 +115,33 @@ def test_staleness_orders_selection(finished_crawl):
         assert ages == sorted(ages, reverse=True), (host, pairs)
 
 
+def test_cli_crawl_then_recrawl(spark, tmp_path, monkeypatch, capsys):
+    """The job surface end-to-end: a checkpointed CLI crawl followed by
+    `--recrawl-ttl` re-fetches exactly the due URLs of that store."""
+    import json as _json
+
+    from crawler_spark import cli
+
+    # the CLI calls spark.stop() on the shared getOrCreate() session — keep
+    # the test session alive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d = str(tmp_path / "snap")
+    assert cli.main(["--checkpoint-dir", d, "--max-waves", "20"]) == 0
+    crawl_summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert crawl_summary["n_fetched"] > 0 and crawl_summary["pending"] == 0
+
+    assert cli.main(["--checkpoint-dir", d, "--recrawl-ttl", "3"]) == 0
+    re_summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert re_summary["n_due"] > 0
+    assert re_summary["n_fetched"] == re_summary["n_due"]
+    assert re_summary["n_due"] < crawl_summary["n_fetched"]
+
+    # ttl larger than the job's age -> empty drain
+    assert cli.main(["--checkpoint-dir", d, "--recrawl-ttl", "10000"]) == 0
+    none_summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert none_summary["n_due"] == 0 and none_summary["n_fetched"] == 0
+
+
 def test_cuckoo_expiry_reopens_urls(finished_crawl):
     """Deleting expired keys makes the prefilter report them as new again,
     while retained keys still probe as seen (no false negatives)."""

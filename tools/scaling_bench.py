@@ -6,8 +6,15 @@ local[N] and local[4N] (default 8 vs 32 cores), each in a fresh JVM via
 `bench.py --crawl-only` — and reporting throughput at both plus
 efficiency = (throughput_4N / throughput_N) / 4.
 
-Writes BENCH/BASELINE.md (the measured table + caveats) and
-BENCH/scaling.json (raw per-run JSON).
+Measurement hygiene (learned from study 3, see BENCH/BASELINE.md): legs are
+INTERLEAVED (4N, N, 4N, N, ...) so a host-side ambient shift lands inside a
+study where the per-pair ratios expose it, instead of between the N-block
+and 4N-block where it silently corrupts the efficiency; a single-thread CPU
+probe (~0.95s quiet) is recorded before every leg as a contention witness.
+
+Writes BENCH/SCALING_RUN.md (the measured table + caveats) and
+BENCH/scaling.json (raw per-run JSON). BENCH/BASELINE.md is authored by
+hand from these artifacts — the tool does not overwrite it.
 
 Usage: python tools/scaling_bench.py [--n 8] [--hosts 2000] [--pages 1000]
                                      [--degree 20] [--runs 1] [--no-enrich]
@@ -24,6 +31,18 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+
+
+def cpu_probe() -> float:
+    """Single-thread contention witness: fixed integer-loop work, ~0.95s on
+    this box when the (shared) host is quiet. A probe much above that means
+    host-side neighbors are stealing cycles vmstat cannot see."""
+    import time
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i & 1023
+    return round(time.perf_counter() - t0, 3)
 
 
 def run_once(cpus: int, hosts: int, pages: int, degree: int,
@@ -63,14 +82,19 @@ def main() -> None:
     n, n4 = args.n, args.n * 4
 
     results: dict[int, list[dict]] = {n: [], n4: []}
-    for cpus in (n4, n):                     # big first: fails fast on OOM
-        for r in range(args.runs):
-            rec = run_once(cpus, args.hosts, args.pages, args.degree, enrich,
-                           drain)
-            results[cpus].append(rec)
-            print(f"local[{cpus}] run {r}: {rec['urls']} urls "
-                  f"in {rec['sec']}s -> {rec['urls_per_sec']} urls/s",
-                  flush=True)
+    # interleaved legs: (4N, N) pairs, big first within each pair (fails
+    # fast on OOM) — an ambient shift then degrades both members of a pair
+    # comparably instead of silently skewing one whole block
+    order = [(c, r) for r in range(args.runs) for c in (n4, n)]
+    for cpus, r in order:
+        probe = cpu_probe()
+        rec = run_once(cpus, args.hosts, args.pages, args.degree, enrich,
+                       drain)
+        rec["probe_sec"] = probe
+        results[cpus].append(rec)
+        print(f"local[{cpus}] run {r}: {rec['urls']} urls "
+              f"in {rec['sec']}s -> {rec['urls_per_sec']} urls/s "
+              f"(probe {probe}s)", flush=True)
 
     tput = {c: statistics.median(x["urls_per_sec"] for x in results[c])
             for c in (n, n4)}
@@ -86,7 +110,7 @@ def main() -> None:
         "results": {str(k): v for k, v in results.items()},
         "throughput": tput, "efficiency": round(eff, 3)}, indent=1))
 
-    md = f"""# BENCH/BASELINE.md — measured N vs 4N scaling (sandbox evidence)
+    md = f"""# BENCH/SCALING_RUN.md — latest measured N vs 4N pair (raw report)
 
 north_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. No real cluster exists in this sandbox; per the driver
@@ -131,8 +155,8 @@ only. {args.runs} run(s) per level (deterministic workload), fresh JVM each.
   wide shuffles per wave, Arrow-vectorized parse, and snapshot commits that
   bound lineage. See SURVEY.md §4.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
-    print(f"\nefficiency = {eff:.3f}  ->  BENCH/BASELINE.md")
+    (bench_dir / "SCALING_RUN.md").write_text(md)
+    print(f"\nefficiency = {eff:.3f}  ->  BENCH/SCALING_RUN.md")
 
 
 if __name__ == "__main__":
