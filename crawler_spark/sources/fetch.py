@@ -136,6 +136,34 @@ class HttpFetcher:
         return batch.mapInPandas(_fetch, out_schema)
 
 
+def _chrome_transport(session, url: str, agent: str,
+                      timeout_s: float) -> tuple[int, str]:
+    """Headless-browser transport (reference features `chrome`/`smart`,
+    Cargo.toml:44-45; chromiumoxide Cargo.lock:325-340): navigate, await
+    network-idle, return the rendered DOM. No browser exists in this
+    sandbox, so the default raises at execution time — inject a transport
+    (tests use a deterministic fake) or run where a Chrome DevTools
+    endpoint is reachable (production: one CDP websocket + tab pool per
+    Python worker; Page.navigate then
+    Runtime.evaluate(document.documentElement.outerHTML))."""
+    raise NotImplementedError(
+        "no headless browser in sandbox — inject `transport=` or use "
+        "HttpFetcher/SimulatedFetcher")
+
+
+class ChromeFetcher(HttpFetcher):
+    """S6 smart/JS-rendering fetch on the SAME pluggable fetcher surface
+    (SURVEY.md §2.1 S6): identical batch contract and mapInPandas plumbing
+    as HttpFetcher — only the transport differs, mirroring how the
+    reference gates rendering behind the `chrome` feature flag while the
+    crawl loop stays unchanged."""
+
+    def __init__(self, timeout_s: float = 30.0, user_agent: str = "",
+                 transport=None):
+        super().__init__(timeout_s=timeout_s, user_agent=user_agent,
+                         transport=transport or _chrome_transport)
+
+
 def parse_spans(fetched: DataFrame) -> DataFrame:
     """Add `spans: array<struct<kind,text,media_ref,offset>>`, drop `html`.
 

@@ -64,6 +64,35 @@ def test_full_crawl_through_http_fetcher(spark, small_cfg):
     assert a == b and via_http.n_fetched == via_join.n_fetched
 
 
+def test_chrome_fetcher_same_surface(spark, small_cfg):
+    """S6: ChromeFetcher is the same pluggable fetch surface — with an
+    injected transport (standing in for a CDP-rendered DOM) a crawl through
+    it equals the SimulatedFetcher crawl; without one, the stage raises
+    NotImplementedError loudly (no browser in sandbox) instead of yielding
+    silent empties."""
+    from crawler_spark.plans.frontier import run_crawl
+    from crawler_spark.sources.fetch import ChromeFetcher, SimulatedFetcher
+    from crawler_spark.sources.webgraph import to_spark
+    from crawler_spark.spec import CrawlJobSpec
+
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=4)
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    via_chrome = run_crawl(
+        spark, spec, ChromeFetcher(transport=_fixture_transport(small_cfg)),
+        robots_src=robots_df)
+    via_join = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                         robots_src=robots_df)
+    a = {r["url_canon"] for r in via_chrome.seen.select("url_canon").collect()}
+    b = {r["url_canon"] for r in via_join.seen.select("url_canon").collect()}
+    assert a == b and via_chrome.n_fetched == via_join.n_fetched
+
+    stub = ChromeFetcher()
+    batch = spark.createDataFrame([("http://h0.example.com/p0", "a")],
+                                  "url_canon string, agent string")
+    with pytest.raises(Exception, match="no headless browser in sandbox"):
+        stub.fetch(batch).collect()
+
+
 def test_default_transport_without_network(spark):
     """Default transport behavior, no injection: with `requests` importable
     but no network, connection failures map to the dead-link convention
