@@ -84,6 +84,50 @@ def test_agent_override(spark, small_cfg):
     assert run2.fetch_log.select("agent").distinct().count() > 1
 
 
+def test_drain_mode_fetches_all_admissible_once(spark, small_cfg):
+    """Frontier-drain mode (the north-rule metric shape: every known URL
+    pending at once, as in a recrawl of a 10^10-URL frontier): the engine
+    must fetch exactly the asset/robots-admissible fixture set, once each,
+    in ONE saturated wave — independent of the link structure BFS would
+    follow. Expectation recomputed with the shared pure predicates."""
+    from pyspark.sql import functions as F
+    from crawler_spark.functions.canon import host_of
+    from crawler_spark.operators.robots import (
+        parse_robots, path_of, robots_allowed,
+    )
+    from crawler_spark.operators.scope import is_asset
+
+    pages = gen_pages(small_cfg)
+    rules = {r.host: parse_robots(r.body)
+             for r in gen_robots_src(small_cfg).itertuples()}
+    expected = set()
+    for r in pages.itertuples():
+        u = r.url_canon
+        if is_asset(u):
+            continue
+        a, d, _ = rules.get(host_of(u), ([], [], 0))
+        if robots_allowed(path_of(u), a, d):
+            expected.add(u)
+    assert expected and len(expected) < len(pages)
+
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    init = pages_df.select("url_canon", F.lit(0).alias("depth"),
+                           F.lit(0.0).alias("priority"))
+    # wave_ms models a 1h slice so robots Crawl-delay hosts are not clamped
+    # to 1 URL/wave (the bench's drain setup does the same)
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20,
+                        max_depth=0, per_host_tokens=1e9, token_cap=1e9,
+                        wave_ms=3_600_000)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=robots_df, initial_frontier=init)
+    fetched = [r["url_canon"] for r in run.fetch_log.collect()]
+    assert run.n_waves == 1                       # one saturated wave
+    assert len(fetched) == len(set(fetched))      # once each
+    assert set(fetched) == expected
+    assert {r["url_canon"] for r in run.seen.collect()} == expected
+    assert run.n_fetched == len(expected)
+
+
 def test_lazy_robots_cache_matches_oracle(spark, small_cfg):
     """F5 production shape: no pre-warmed robots table — rules are fetched
     through the fetcher interface the first wave a host becomes a candidate.
