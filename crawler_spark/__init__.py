@@ -10,7 +10,9 @@ see SURVEY.md) as a wave-based DataFrame engine:
 - per-host politeness token buckets via groupBy(host).applyInPandas,
 - vectorized pandas/Arrow fetch-and-parse UDFs emitting interleaved
   text+media span arrays,
-- BFS wave loop (each wave = one DataFrame job).
+- BFS wave loop (each wave = one DataFrame job) with frontier-drain and
+  TTL recrawl modes, bit-identical checkpoint resume, and Structured
+  Streaming twins.
 
 Everything here derives from public knowledge only (Apache Spark APIs, the
 reference repo's observable behavior, published crawl/dedup literature).
