@@ -268,8 +268,9 @@ def so1_except(spark, sf_dir):
 
 
 @q("a4_metrics_rollup", """
-SELECT lang, source, count(*) AS fetched, sum(n_chars) AS bytes,
-       sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS errors
+SELECT lang, source, count(*) AS fetched,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS errors
 FROM documents GROUP BY ROLLUP (lang, source)
 """)
 def a4_metrics_rollup(spark, sf_dir):
@@ -419,11 +420,32 @@ def _spans_df(spark, sf_dir):
     return base.select("doc_id", spans.alias("spans"))
 
 
-@q("p2_span_derive", _SPAN_SQL)
+@q("p2_span_derive", """
+WITH spans AS (""" + _SPAN_SQL + """)
+SELECT doc_id,
+       array_to_string(list_transform(spans, s ->
+           s.kind || chr(31) || s.text || chr(31) || s.media_ref
+                  || chr(31) || s."offset"), chr(30)) AS spans_flat
+FROM spans
+""")
 def p2_span_derive(spark, sf_dir):
     """P2: interleaved text+media span arrays (the input_hint payload),
-    derived deterministically from the flat documents table."""
-    return _spans_df(spark, sf_dir)
+    derived deterministically from the flat documents table.
+
+    Driver-gate projection note: the driver's comparator hashes via pandas
+    sort_values, and array<struct> is unhashable there — so this query emits
+    a hash-stable flat serialization (one string per doc: spans joined by
+    \\x1e, fields by \\x1f — deterministic on both engines, no JSON-encoder
+    variance). The typed array<struct> shape itself is covered by
+    p2_span_explode_media below plus tests/test_parse.py byte-offset goldens
+    and the e2e span-sequence equality."""
+    s = _spans_df(spark, sf_dir)
+    flat = F.array_join(
+        F.transform("spans", lambda sp: F.concat_ws(
+            "\x1f", sp.kind, sp.text, sp.media_ref,
+            sp.offset.cast("string"))),
+        "\x1e")
+    return s.select("doc_id", flat.alias("spans_flat"))
 
 
 @q("p2_span_explode_media", """
