@@ -74,6 +74,39 @@ def ivf_topk(emb: DataFrame, query: DataFrame, k: int = 10,
             .where(F.col("rnk") <= k))
 
 
+def rh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes (md5-seeded) shared verbatim — as
+    plain literals — by the Spark expressions and any SQL oracle twin, so no
+    cross-engine RNG or hashing parity is needed."""
+    import hashlib
+    out = []
+    for b in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:8], 16)
+            row.append(round(h % 2001 / 1000.0 - 1.0, 3))
+        out.append(row)
+    return out
+
+
+def rh_band_cols(vec: Column, planes: list[list[float]],
+                 band_size: int = 2) -> list[Column]:
+    """Per-band sign signatures: band b covers planes[b*bs:(b+1)*bs]; bit k
+    of the band signature = sign(vec . plane_{b*bs+k}). Used to sub-block
+    hot cells in embedding_neardup_pairs (banded OR-amplification: a pair is
+    kept if ANY band agrees, which preserves high-cosine pairs with high
+    probability while splitting a hot cell into ~2^band_size sub-buckets)."""
+    assert len(planes) % band_size == 0
+    out = []
+    for b in range(len(planes) // band_size):
+        sig = F.lit(0)
+        for k, p in enumerate(planes[b * band_size:(b + 1) * band_size]):
+            d = dot_col(vec, F.array(*[F.lit(float(x)) for x in p]))
+            sig = sig + F.when(d > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        out.append(sig)
+    return out
+
+
 def rh_sig_col(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: bit b = sign(vec . plane_b). Planes
     are plain literals (deterministic, shared with the SQL oracle), so the
@@ -126,21 +159,66 @@ def normalized_vec(emb: DataFrame, vec_col: str = "embedding",
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             cell_col: str = "label", vec_col: str = "embedding",
-                            id_col: str = "vec_id") -> DataFrame:
+                            id_col: str = "vec_id",
+                            max_cell: int | None = 64,
+                            planes: list[list[float]] | None = None,
+                            band_size: int = 2) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by coarse cell (near-
     dups land in the same cell with high probability; cross-cell misses are
     the recall/cost tradeoff every blocking scheme makes). Returns
     (vec_a, vec_b, cosine) with vec_a < vec_b. Vectors are unit-normalized
-    map-side so each pair costs ONE dot product."""
+    map-side so each pair costs ONE dot product.
+
+    `max_cell` is the hot-cell quadratic guard: cells wider than `max_cell`
+    rows are SUB-BLOCKED by banded random-hyperplane signatures instead of
+    being joined all-pairs — each of the len(planes)/band_size bands splits
+    the cell into ~2^band_size sign sub-buckets, pairs are generated inside
+    (cell, band, sub) and OR-merged via distinct. A pair survives if any
+    band agrees; for genuinely near-duplicate vectors (cosine ~0.95+) per-
+    band agreement is ~cos-angle^band_size ≈ 0.8 and 2-band recall ≈ 0.96,
+    while the pair fan-out of a skewed cell drops from O(w²) to
+    O(bands · (w/2^band_size)²). Cells at or under `max_cell` keep the exact
+    all-pairs join (sub = 0, one band). max_cell=None disables the guard.
+    """
     nv = normalized_vec(emb.select(id_col, cell_col, vec_col), vec_col)
-    a, b = nv.alias("a"), nv.alias("b")
+    if max_cell is None:
+        a, b = nv.alias("a"), nv.alias("b")
+        pairs = (a.join(b, (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+                        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                 .select(F.col(f"a.{id_col}").alias("vec_a"),
+                         F.col(f"b.{id_col}").alias("vec_b"),
+                         F.round(dot_col(F.col("a.v"), F.col("b.v")), 4)
+                         .alias("cosine")))
+        return pairs.where(F.col("cosine") >= threshold)
+    if planes is None:
+        planes = rh_planes()
+    # Cell widths: one tiny dim (n_cells rows), explicitly broadcast.
+    counts = nv.groupBy(cell_col).agg(F.count("*").alias("_cn"))
+    wide = nv.join(F.broadcast(counts), cell_col)
+    bands = rh_band_cols(F.col("v"), planes, band_size)
+    hot = F.array(*[F.struct(F.lit(b).alias("band"),
+                             s.cast("int").alias("sub"))
+                    for b, s in enumerate(bands)])
+    cold = F.array(F.struct(F.lit(0).alias("band"),
+                            F.lit(0).cast("int").alias("sub")))
+    blocked = (wide
+               .withColumn("bk", F.explode(
+                   F.when(F.col("_cn") > max_cell, hot).otherwise(cold)))
+               .select(id_col, cell_col, "v",
+                       F.col("bk.band").alias("_band"),
+                       F.col("bk.sub").alias("_sub")))
+    a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (a.join(b, (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+                    & (F.col("a._band") == F.col("b._band"))
+                    & (F.col("a._sub") == F.col("b._sub"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("vec_a"),
                      F.col(f"b.{id_col}").alias("vec_b"),
                      F.round(dot_col(F.col("a.v"), F.col("b.v")), 4)
                      .alias("cosine")))
-    return pairs.where(F.col("cosine") >= threshold)
+    # A pair matching in both bands appears twice with the identical rounded
+    # cosine — OR-merge via distinct.
+    return pairs.where(F.col("cosine") >= threshold).distinct()
 
 
 def cosine_pandas_udf(query_vec: list[float]):

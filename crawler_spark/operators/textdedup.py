@@ -124,22 +124,39 @@ def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold.
+                        threshold: float = 0.8,
+                        max_df: int | None = 64) -> DataFrame:
+    """N-gram Jaccard similarity pairs >= threshold.
 
-    explode(shingles) -> self-join on shingle -> |A∩B| / (|A|+|B|-|A∩B|).
-    Quadratic in co-shingled docs — the verification stage after LSH, or a
-    direct method at modest corpus sizes.
+    explode(shingles) -> groupBy(shingle) -> in-bucket pair gen ->
+    |A∩B| / (|A|+|B|-|A∩B|).
+
+    `max_df` is the hot-bucket quadratic guard (same role as dd3's
+    `max_bucket`): shingles appearing in more than `max_df` docs are dropped
+    from BOTH the intersection and the per-doc sizes, so the result is the
+    exact Jaccard over the df-filtered shingle universe — the standard
+    boilerplate-shingle cap ("terms of service"-grade grams carry no dedup
+    signal and alone turn one bucket into O(corpus²) pairs at 100x scale).
+    Pass max_df=None for the uncapped exact form (only safe as the
+    verification stage over LSH candidates, never as a direct method at
+    scale).
     """
     sh = docs.select(F.col(id_col).alias("doc_id"),
                      shingles_col(F.col(text_col), shingle_n).alias("sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    # |A| per doc from the array length — no second pass over exploded rows
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
     # groupBy(shingle) + in-bucket pair generation == the ex⋈ex self-join on
     # shingle, but evaluates the shingle expression once and shuffles once.
-    buckets = (ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
-               .where(F.size("ids") >= 2))
+    all_buckets = ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+    if max_df is not None:
+        all_buckets = all_buckets.where(F.size("ids") <= max_df)
+        # |A| per doc over the SAME filtered universe as the intersection —
+        # recomputed from the kept buckets, not from the raw array length.
+        sizes = (all_buckets.select(F.explode("ids").alias("doc_id"))
+                 .groupBy("doc_id").agg(F.count("*").alias("n")))
+    else:
+        # |A| per doc from the array length — no second pass over exploded rows
+        sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    buckets = all_buckets.where(F.size("ids") >= 2)
     pair_arr = F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(

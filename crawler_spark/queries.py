@@ -626,10 +626,13 @@ def dd3_minhash_lsh(spark, sf_dir):
 @q("dd4_ngram_jaccard", """
 WITH sh AS (""" + _SHINGLE_SQL + """),
 ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+fex AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s
+        WHERE df.df <= 64),
+sizes AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM fex a JOIN fex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(inter / (sa.n + sb.n - inter), 4) AS jaccard
@@ -639,9 +642,12 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.8
 """)
 def dd4_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard >= 0.8 near-dup pairs (LSH verification)."""
+    """Word-3-gram Jaccard >= 0.8 near-dup pairs over the df<=64-filtered
+    shingle universe (max_df is the hot-bucket quadratic guard — see
+    ngram_jaccard_pairs; at this corpus max df is ~7 so the cap is
+    semantics-neutral here, but the plan carries the guard)."""
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.8)
+    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.8, max_df=64)
 
 
 @q("dd5_simhash", """
@@ -815,18 +821,7 @@ def an2_ivf_topk(spark, sf_dir):
     return ivf_topk(e, qs, k=10).select("qid", "vec_id", "cosine", "rnk")
 
 
-def _rh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
-    """Deterministic hyperplanes shared verbatim (as literals) by the Spark
-    expression and the DuckDB oracle — no cross-engine hashing needed."""
-    import hashlib
-    out = []
-    for b in range(n_planes):
-        row = []
-        for i in range(dim):
-            h = int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:8], 16)
-            row.append(round(h % 2001 / 1000.0 - 1.0, 3))
-        out.append(row)
-    return out
+from crawler_spark.operators.similarity import rh_planes as _rh_planes  # noqa: E402
 
 
 def _plane_sql(p: list[float]) -> str:
@@ -866,26 +861,54 @@ def an4_lsh_ann(spark, sf_dir):
     return lsh_topk(e, qs, _PLANES, k=10).select("qid", "vec_id", "cosine", "rnk")
 
 
-@q("dd6_embedding_neardup", """
+def _band_sig_sql(vec_expr: str, band: int, band_size: int = 2) -> str:
+    """DuckDB twin of similarity.rh_band_cols for one band."""
+    terms = []
+    for k in range(band_size):
+        p = _plane_sql(_PLANES[band * band_size + k])
+        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {p}) > 0 "
+                     f"THEN {1 << k} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@q("dd6_embedding_neardup", f"""
 WITH nrm AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS ev,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
   FROM embeddings),
 nv AS (
-  SELECT vec_id, label, list_transform(ev, x -> x / n) AS v FROM nrm)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  SELECT vec_id, label, list_transform(ev, x -> x / n) AS v FROM nrm),
+cn AS (SELECT label, count(*) AS cn FROM embeddings GROUP BY label),
+blocked AS (
+  SELECT vec_id, label, v, bk.band AS band, bk.sub AS sub FROM (
+    SELECT nv.vec_id, nv.label, nv.v,
+           unnest(CASE WHEN cn.cn > 64 THEN
+             [struct_pack(band := 0, sub := {{B0}}),
+              struct_pack(band := 1, sub := {{B1}})]
+           ELSE [struct_pack(band := 0, sub := 0)] END) AS bk
+    FROM nv JOIN cn ON nv.label = cn.label) t(vec_id, label, v, bk),
+  LATERAL (SELECT bk.band AS band, bk.sub AS sub))
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v), 4) AS cosine
-FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM blocked a JOIN blocked b
+  ON a.label = b.label AND a.band = b.band AND a.sub = b.sub
+ AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v), 4) >= 0.4
-""")
+""".replace("{B0}", _band_sig_sql("nv.v", 0))
+   .replace("{B1}", _band_sig_sql("nv.v", 1)))
 def dd6_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by coarse cell. Threshold
+    """Embedding-cosine near-dup pairs, blocked by coarse cell, with hot
+    cells (> max_cell=64 rows) sub-blocked by 2 bands of 2-plane RH-LSH
+    signatures (the quadratic guard — see embedding_neardup_pairs). At
+    sf0.01 every cell is <= 64 wide so the guard is semantics-neutral for
+    the gate; at sf0.1+ it activates and bounds the pair fan-out. Threshold
     0.4 sits at this synthetic corpus's similarity ceiling (max in-cell
     cosine ~0.47) so the operator produces verifiable pairs; production
     near-dup thresholds are ~0.95 on real embeddings."""
     from crawler_spark.operators.similarity import embedding_neardup_pairs
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.4)
+    return embedding_neardup_pairs(e, threshold=0.4, max_cell=64,
+                                   planes=_PLANES, band_size=2)
 
 
 @q("an3_embedding_stats", """

@@ -1,0 +1,64 @@
+"""Tests for the embedding near-dup hot-cell guard (dd6): banded RH-LSH
+sub-blocking must bound a skewed cell's pair fan-out while keeping true
+near-duplicates and leaving small cells exact."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from crawler_spark.operators.similarity import (
+    embedding_neardup_pairs, rh_planes,
+)
+
+DIM = 64
+
+
+def _emb_df(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    # hot cell 0: 40 vectors — far wider than max_cell=10
+    for i in range(40):
+        rows.append((i, 0, [float(x) for x in rng.normal(size=DIM)]))
+    # engineered near-dup: vec 100 ≈ vec 0 (cosine ~ 1.0)
+    base = np.asarray(rows[0][2])
+    near = base + rng.normal(scale=1e-3, size=DIM)
+    rows.append((100, 0, [float(x) for x in near]))
+    # cold cell 1: 5 vectors — stays exact all-pairs
+    for i in range(200, 205):
+        rows.append((i, 1, [float(x) for x in rng.normal(size=DIM)]))
+    return spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>")
+
+
+def test_neardup_hot_cell_subblock_bounds_fanout(spark):
+    emb = _emb_df(spark)
+    planes = rh_planes(4, DIM)
+    # threshold=-1 keeps every generated pair: the count IS the fan-out
+    uncapped = {(r["vec_a"], r["vec_b"])
+                for r in embedding_neardup_pairs(
+                    emb, threshold=-1.0, max_cell=None).collect()}
+    capped_df = embedding_neardup_pairs(
+        emb, threshold=-1.0, max_cell=10, planes=planes, band_size=2)
+    capped = {(r["vec_a"], r["vec_b"]) for r in capped_df.collect()}
+
+    hot_allpairs = 41 * 40 // 2
+    cold_allpairs = 5 * 4 // 2
+    assert len(uncapped) == hot_allpairs + cold_allpairs
+    # sub-blocking generates only within (band, sub) blocks: strictly fewer
+    # pairs than all-pairs in the hot cell, never more than 2-band union
+    assert capped <= uncapped
+    assert len(capped) < hot_allpairs
+    # cold cell is untouched (exact all-pairs)
+    cold = {(a, b) for a, b in uncapped if a >= 200}
+    assert cold <= capped
+
+
+def test_neardup_subblock_keeps_true_neardups(spark):
+    """A near-identical pair has the same sign pattern under every plane, so
+    it lands in the same sub-bucket in every band and survives the guard."""
+    emb = _emb_df(spark)
+    got = embedding_neardup_pairs(
+        emb, threshold=0.95, max_cell=10,
+        planes=rh_planes(4, DIM), band_size=2).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 100)}
+    assert got[0]["cosine"] >= 0.999

@@ -44,3 +44,39 @@ def test_shingles_contract(spark):
            df.select("id", shingles_col(F.col("text"), 3).alias("s")).collect()}
     assert got[0] == ["a b c", "b c d"]
     assert got[1] == ["a b"]                    # short doc: whole-text shingle
+
+
+def _jacc_py(a_grams, b_grams):
+    i = len(a_grams & b_grams)
+    return round(i / (len(a_grams) + len(b_grams) - i), 4)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """The max_df guard: a boilerplate sentence shared by every doc must not
+    turn the corpus into all-pairs candidates. With threshold=0 the operator
+    returns every co-bucketed pair, so the pair count IS the fan-out."""
+    from crawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved terms of service apply to this site"
+    rows = [(f"d{i:02d}", f"{boiler} unique{i}a unique{i}b unique{i}c")
+            for i in range(30)]
+    # one engineered near-dup pair sharing non-boilerplate grams
+    rows.append(("nd1", "alpha beta gamma delta epsilon zeta eta"))
+    rows.append(("nd2", "alpha beta gamma delta epsilon zeta theta"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=None).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=8)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+
+    # 30 boilerplate docs are all-pairs without the cap (plus the nd pair)
+    assert uncapped >= 30 * 29 // 2
+    # with df cap 8 the hot grams vanish; only the engineered pair survives
+    assert set(got) == {("nd1", "nd2")}
+    # and its value is the exact Jaccard over the df-filtered universe
+    # (every nd-gram has df<=2, so the filter is a no-op for these docs)
+    a = {"alpha beta gamma", "beta gamma delta", "gamma delta epsilon",
+         "delta epsilon zeta", "epsilon zeta eta"}
+    b = {"alpha beta gamma", "beta gamma delta", "gamma delta epsilon",
+         "delta epsilon zeta", "epsilon zeta theta"}
+    assert got[("nd1", "nd2")] == _jacc_py(a, b)
