@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--tld", action="store_true")
     ap.add_argument("--sitemap", action="store_true",
                     help="seed-expand from /sitemap.xml (`sitemap`)")
+    ap.add_argument("--proxy", default="",
+                    help="http(s) proxy URL for the real-network fetcher "
+                         "(`proxy`, reference scan.rs:30-32)")
     ap.add_argument("--delay-ms", type=int, default=0, help="`delay`")
     # spider::Configuration analogs
     ap.add_argument("--max-depth", type=int, default=25)
@@ -101,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
     sitemap_df = None
     robots_fetcher = None
     if args.http:
-        fetcher, robots_df = HttpFetcher(user_agent=args.agent), None
+        fetcher, robots_df = HttpFetcher(user_agent=args.agent,
+                                         proxy=args.proxy), None
         if args.lazy_robots:
             robots_fetcher = fetcher
     else:
@@ -120,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         seeds=seeds, job_id=args.job_id,
         respect_robots_txt=not args.norobots, agent=args.agent,
         subdomains=args.subdomains, tld=args.tld, sitemap=args.sitemap,
-        delay_ms=args.delay_ms,
+        proxy=args.proxy, delay_ms=args.delay_ms,
         max_depth=args.max_depth, max_pages=args.max_pages,
         max_waves=args.max_waves, blacklist=tuple(args.blacklist),
         shuffle_partitions=args.shuffle_partitions,
@@ -143,9 +147,13 @@ def main(argv: list[str] | None = None) -> int:
         from crawler_spark.plans.tableio import SnapDirStore
         store = SnapDirStore(spark, args.checkpoint_dir)
         rspec = dataclasses.replace(spec, checkpoint_dir="", max_depth=0)
-        due, run = run_recrawl(spark, rspec, fetcher, store,
-                               args.recrawl_ttl, robots_src=robots_df,
-                               sink=sink, robots_fetcher=robots_fetcher)
+        try:
+            due, run = run_recrawl(spark, rspec, fetcher, store,
+                                   args.recrawl_ttl, robots_src=robots_df,
+                                   sink=sink, robots_fetcher=robots_fetcher)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     else:
         run = run_crawl(spark, spec, fetcher, robots_src=robots_df, sink=sink,
                         resume=args.resume, sitemap_src=sitemap_df,

@@ -27,6 +27,7 @@ bitset from the snapshot store instead of a full broadcast (same layout).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -89,6 +90,30 @@ class BloomFilter:
         np.bitwise_or(self.bits, other.bits, out=self.bits)
 
 
+# Per-Python-worker cache for spilled bloom partitions: (dir, part) -> bytes
+# or None (part never had keys). The spill dir is epoch-stamped, so a new
+# merge state is a new directory and stale entries are simply never hit.
+_PART_CACHE: dict[tuple[str, int], bytes | None] = {}
+
+
+def _resolve_part(state: dict, part: int) -> bytes | None:
+    """Fetch one part's bitset from the broadcast payload (broadcast mode)
+    or from the spill directory with a per-worker cache (spilled mode). A
+    missing file means no key was ever added to that partition — a correct
+    'definitely new' for every probe that lands there."""
+    if "parts" in state:
+        return state["parts"].get(part)
+    key = (state["dir"], part)
+    if key not in _PART_CACHE:
+        path = os.path.join(state["dir"], f"part={part}.bloom")
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                _PART_CACHE[key] = fh.read()
+        else:
+            _PART_CACHE[key] = None
+    return _PART_CACHE[key]
+
+
 BLOOM_SCHEMA = StructType([
     StructField("part", IntegerType(), False),
     StructField("bits", BinaryType(), False),
@@ -132,6 +157,8 @@ class SeenBloom:
         self.m, self.k = proto.m, proto.k
         self.parts: dict[int, bytes] = {}
         self._bc = None
+        self._epoch = 0          # bumps on every merge/load — versions spills
+        self.spill_dir: str | None = None
 
     def merge_from(self, bloom_rows: list) -> None:
         """Final aggregate: OR new per-partition bitsets into driver state."""
@@ -143,33 +170,97 @@ class SeenBloom:
             else:
                 self.parts[row["part"]] = (
                     np.frombuffer(cur, dtype=np.uint8) | new).tobytes()
-        self._bc = None  # invalidate broadcast
+        self._bc = None          # invalidate broadcast
+        self._epoch += 1         # any prior spill is stale: the filter grew
+        self.spill_dir = None    # (a stale probe would false-negative)
 
-    def to_rows(self) -> list[tuple[int, bytes]]:
+    def to_rows(self) -> list[tuple[int, bytes, int, int, int]]:
         """Snapshot payload (§4.3): the merged per-partition bitsets, sorted
-        by part id. Committed as the `bloom` table each wave so resume
-        reloads the prefilter instead of rebuilding it from `seen` — at the
-        10^10 design point a rebuild is a full seen-table scan."""
-        return sorted(self.parts.items())
+        by part id, each row carrying the FULL geometry (n_parts, m, k).
+        Committed as the `bloom` table each wave so resume reloads the
+        prefilter instead of rebuilding it from `seen` — at the 10^10 design
+        point a rebuild is a full seen-table scan. Geometry travels with the
+        bits because partition assignment is pmod(url_hash, n_parts): a
+        resume under a different n_parts would probe the wrong bitset and
+        return false negatives, silently re-admitting seen URLs."""
+        return [(p, b, self.n_parts, self.m, self.k)
+                for p, b in sorted(self.parts.items())]
 
     def load_rows(self, rows) -> bool:
-        """Restore from snapshot rows [(part, bits)]. Returns False on
-        geometry mismatch (bloom spec changed between runs) — the caller
-        then falls back to rebuild-from-seen; correctness is unaffected
-        either way (the filter must only be a superset of seen keys)."""
+        """Restore from snapshot rows [(part, bits, n_parts, m, k)]. Returns
+        False on ANY geometry mismatch — n_parts (partition assignment), m
+        (bitset width), or k (hash count) — including legacy rows that
+        predate geometry columns; the caller then falls back to
+        rebuild-from-seen. A byte-length check alone is not enough: a
+        different bloom_parts (or an fpp rounding to the same pow2 m) keeps
+        len(bits) identical while keys hash to different partitions."""
         expect = self.m // 8
-        incoming = {int(r["part"]): bytes(r["bits"]) for r in rows}
+        incoming = {}
+        for r in rows:
+            d = r.asDict() if hasattr(r, "asDict") else dict(r)
+            if (int(d.get("n_parts", -1)) != self.n_parts
+                    or int(d.get("m", -1)) != self.m
+                    or int(d.get("k", -1)) != self.k):
+                return False
+            incoming[int(d["part"])] = bytes(d["bits"])
         if not incoming or any(len(b) != expect for b in incoming.values()):
             return False
         self.parts = incoming
         self._bc = None
+        self._epoch += 1
+        self.spill_dir = None
         return True
+
+    # ---- probe-side distribution -------------------------------------
+    #
+    # Two modes:
+    #   * broadcast (default): every executor receives ALL part bitsets.
+    #     Fine while the merged filter is small; at the 10^10-key/fpp=0.01
+    #     design point it is ~12 GB — too big to ship to every executor.
+    #   * spilled (partition-local): `spill(dir)` writes one blob per part
+    #     to a shared store (the snapshot dir in this repo; an object store
+    #     at cluster scale) and the broadcast carries only geometry + path.
+    #     Each task lazy-loads exactly the partitions its Arrow batch
+    #     probes, with a per-worker cache keyed by (dir, epoch, part), so
+    #     probe memory is proportional to the partitions a task touches —
+    #     one, when the probe side is repartitioned by pmod(url_hash,
+    #     n_parts) — not to n_parts. The epoch ties cache entries to a
+    #     specific merge state: the filter only grows, so a stale bitset
+    #     would yield false negatives (re-admission), never just waste.
+
+    def total_bytes(self) -> int:
+        """Current merged-filter payload size (what a full broadcast ships)."""
+        return sum(len(b) for b in self.parts.values())
+
+    def spill(self, dirpath: str) -> str:
+        """Write per-part bitsets to `dirpath` and switch the probe to
+        partition-local lazy loading. Returns the epoch-stamped directory
+        actually written (stable for a given merge state)."""
+        self._epoch += 1
+        d = os.path.join(dirpath, f"epoch={self._epoch}")
+        os.makedirs(d, exist_ok=True)
+        for p, b in self.parts.items():
+            tmp = os.path.join(d, f"part={p}.bloom.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(b)
+            os.replace(tmp, os.path.join(d, f"part={p}.bloom"))
+        self.spill_dir = d
+        self._bc = None
+        return d
+
+    def unspill(self) -> None:
+        """Back to full-broadcast probing (test/debug aid)."""
+        self.spill_dir = None
+        self._bc = None
 
     def broadcast(self, spark: SparkSession):
         if self._bc is None:
-            self._bc = spark.sparkContext.broadcast(
-                {"parts": self.parts, "m": self.m, "k": self.k,
-                 "n_parts": self.n_parts})
+            payload = {"m": self.m, "k": self.k, "n_parts": self.n_parts}
+            if getattr(self, "spill_dir", None):
+                payload["dir"] = self.spill_dir
+            else:
+                payload["parts"] = self.parts
+            self._bc = spark.sparkContext.broadcast(payload)
         return self._bc
 
     def probe_udf(self, spark: SparkSession):
@@ -183,7 +274,7 @@ class SeenBloom:
             parts = (keys % np.uint64(state["n_parts"])).astype(np.int64)
             out = np.zeros(len(keys), dtype=bool)
             for p in np.unique(parts):
-                blob = state["parts"].get(int(p))
+                blob = _resolve_part(state, int(p))
                 if blob is None:
                     continue
                 bf = BloomFilter(1, 0.5, bits=np.frombuffer(blob, dtype=np.uint8))

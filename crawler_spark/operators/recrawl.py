@@ -102,6 +102,16 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
     if last is None or last < 0:
         raise ValueError("run_recrawl needs a store with at least one "
                          "committed crawl wave")
+    # Enforce the COMPLETED precondition: a store killed mid-crawl still has
+    # pending frontier rows; those URLs have no fetch_log rows, so they would
+    # be neither due nor crawled — a silently incomplete refresh. Resume the
+    # crawl to completion first.
+    n_pending = store.read_full("frontier", last).count()
+    if n_pending:
+        raise ValueError(
+            f"store at wave {last} is not a completed crawl: {n_pending} "
+            "frontier URL(s) still pending — resume the crawl to completion "
+            "before recrawling")
     log = store.read_delta_union("fetch_log", last)
     if log is None:
         raise ValueError("store has no fetch_log deltas to age")

@@ -200,6 +200,71 @@ def rolling_hashes_col(h: Column, k: int = 4) -> Column:
     return F.when(F.size(h) >= k, windows).otherwise(whole)
 
 
+def rolling_hashes_incremental(docs: DataFrame, k: int = 4,
+                               h_col: str = "h",
+                               out_col: str = "rolls") -> DataFrame:
+    """True O(n)-per-doc incremental Rabin-Karp over a pre-projected word-
+    hash array column — bit-identical values to `rolling_hashes_col` (the
+    recurrence W[i+1] = (W[i]*B - h[i]*(B^k mod M) + h[i+k]) mod M computes
+    the same polynomial mod M as the per-window Horner re-fold).
+
+    This is the large-k scale path: the column-algebra form re-folds k
+    elements per window (O(n*k) work inside codegen — fine at k=4, the
+    wrong asymptotics at winnowing-grade k≈50). A modular prefix scan is
+    not expressible in Spark's HOFs without an O(n^2) array-append
+    accumulator, so the scan runs in ONE mapInPandas stage, numpy-
+    vectorized ACROSS the Arrow batch: documents are padded into a
+    (batch, max_len) matrix and the sequential position loop advances ALL
+    rows per step — per-element Python cost is amortized to ~1/batch_size.
+
+    Contract matches rolling_hashes_col: docs shorter than k words get one
+    whole-doc Horner window.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(list(docs.schema.fields)
+                            + [StructField(out_col, ArrayType(LongType()))])
+    bk = pow(ROLL_B, k, ROLL_M)          # B^k mod M, python-int precomputed
+
+    def _scan(batches):
+        for pdf in batches:
+            res = []
+            arrs = [np.asarray(a, dtype=np.int64) % ROLL_M for a in pdf[h_col]]
+            if arrs:
+                lens = np.array([len(a) for a in arrs])
+                H = np.zeros((len(arrs), int(lens.max()) if len(lens) else 0),
+                             dtype=np.int64)
+                for i, a in enumerate(arrs):
+                    H[i, :len(a)] = a
+                # W[:,0]: Horner over the first k columns (k vectorized steps)
+                w = np.zeros(len(arrs), dtype=np.int64)
+                for j in range(min(k, H.shape[1])):
+                    w = (w * ROLL_B + H[:, j]) % ROLL_M
+                wins = [w.copy()]
+                # the scan: one whole-batch vectorized step per position.
+                # magnitudes stay in int64: w*B < 2^31*69069 ≈ 2^47;
+                # H*bk < 2^31 * 2^31 = 2^62 (H reduced mod M above).
+                for t in range(1, H.shape[1] - k + 1):
+                    w = (w * ROLL_B - H[:, t - 1] * bk + H[:, t + k - 1]) % ROLL_M
+                    wins.append(w.copy())
+                W = np.stack(wins, axis=1) if wins else np.zeros((len(arrs), 0))
+                for i, a in enumerate(arrs):
+                    n = len(a)
+                    if n >= k:
+                        res.append(W[i, : n - k + 1].tolist())
+                    else:             # whole-doc window (short-doc contract)
+                        acc = 0
+                        for x in a.tolist():
+                            acc = (acc * ROLL_B + x) % ROLL_M
+                        res.append([acc])
+            out = pdf.copy()
+            out[out_col] = res
+            yield out
+
+    return docs.mapInPandas(_scan, out_schema)
+
+
 def rolling_fingerprint_cols(h: Column, k: int = 4,
                              sample_mod: int = 8) -> list[Column]:
     """Winnowing-style document fingerprint summary from rolling hashes:

@@ -44,6 +44,13 @@ from crawler_spark.plans.tableio import MemoryStore, SnapDirStore
 from crawler_spark.sources.fetch import parse_spans, ua_col
 from crawler_spark.spec import CrawlJobSpec
 
+# S9 lifecycle sentinel: the job-end metrics row's `wave` (SURVEY §1.2's
+# "wave=∞"; INT32_MAX so it sorts after every real wave in the int column).
+JOB_END_WAVE = 2_147_483_647
+
+METRICS_SCHEMA = ("wave int, part int, fetched long, errors long, "
+                  "bytes long, job_id long, event string")
+
 
 @dataclass
 class CrawlRun:
@@ -197,6 +204,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
     run = CrawlRun(spec=spec)
     docs_parts: list[DataFrame] = []
     log_parts: list[DataFrame] = []
+    tot_errors = tot_bytes = 0   # job-lifetime counters (restored on resume)
 
     last = store.latest_wave() if (resume and getattr(store, "resumable", False)) else None
     if resume and last is None:
@@ -220,6 +228,8 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             hosts = None                   # killed before wave-0 commit
         man = store.manifest(last)
         run.n_fetched = int(man.get("extra", {}).get("n_fetched", 0))
+        tot_errors = int(man.get("extra", {}).get("tot_errors", 0))
+        tot_bytes = int(man.get("extra", {}).get("tot_bytes", 0))
         if lazy_robots:
             # the robots cache commits with every wave (§4.3); reload it
             # rather than re-fetching. Pre-robots-snapshot checkpoints (or a
@@ -295,7 +305,18 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                 seen, bloom.n_parts, bloom.keys_per_part, bloom.fpp).collect())
             bloom_active = True
 
+    def _maybe_spill_bloom() -> None:
+        # Size-bounded probe distribution: past the broadcast budget, write
+        # per-part bitsets next to the snapshots and let each probe task
+        # lazy-load only its partitions (dedup.SeenBloom spilled mode) —
+        # probe memory ∝ parts touched per task, not n_parts.
+        if (bloom is not None and bloom_active
+                and getattr(store, "root", None)
+                and bloom.total_bytes() > spec.bloom_broadcast_max_bytes):
+            bloom.spill(os.path.join(store.root, "_bloom_spill"))
+
     _maybe_activate_bloom()
+    _maybe_spill_bloom()
 
     while n_pending > 0 and wave < spec.max_waves:
         if spec.stop_flag_path and os.path.exists(spec.stop_flag_path):
@@ -407,10 +428,29 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         # delta with periodic compaction to a full base (the Iceberg-style
         # layout — a full rewrite per wave is O(total frontier) at 10^10);
         # MemoryStore and seen_compact_every=0 keep the full-rewrite path ---
-        metrics_df = spark.createDataFrame(
-            [(wave, p["part"], p["fetched"], p["errors"], p["bytes"])
-             for p in wave_metrics["parts"]],
-            "wave int, part int, fetched long, errors long, bytes long")
+        # S9 lifecycle rows (reference ScanStart/ScanEnd, src/rpc/client.rs:
+        # 31-52, emitted at scan.rs:44-46/66-68): a job-start row (wave=-1)
+        # rides wave 0's commit and a job-end row (wave=JOB_END_WAVE, with
+        # job-lifetime totals) rides the commit of the wave that completes
+        # the job — drains the frontier or exhausts the global budget. A
+        # stop-flag or max_waves exit is a PAUSE (resumable), not an end, so
+        # it gets no end row; a killed-and-resumed run therefore commits the
+        # exact same lifecycle rows as an uninterrupted one (bit-identical
+        # resume contract). part=-1 marks lifecycle rows; per-partition
+        # lineage rows keep part >= 0.
+        mrows = [(wave, p["part"], p["fetched"], p["errors"], p["bytes"],
+                  spec.job_id, "wave") for p in wave_metrics["parts"]]
+        if wave == 0:
+            mrows.insert(0, (-1, -1, 0, 0, 0, spec.job_id, "start"))
+        tot_errors += wave_metrics["errors"]
+        tot_bytes += wave_metrics["bytes"]
+        job_complete = ((n_pending - n_sel + n_new) == 0
+                        or (spec.max_pages
+                            and run.n_fetched + n_sel >= spec.max_pages))
+        if job_complete:
+            mrows.append((JOB_END_WAVE, -1, run.n_fetched + n_sel,
+                          tot_errors, tot_bytes, spec.job_id, "end"))
+        metrics_df = spark.createDataFrame(mrows, METRICS_SCHEMA)
         # Bloom merge happens BEFORE the commit so the persisted `bloom`
         # table covers this wave's admissions — the filter must remain a
         # superset of `seen` keys, or a resumed probe would call a seen URL
@@ -425,6 +465,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                     seen_next, bloom.n_parts, bloom.keys_per_part,
                     bloom.fpp).collect())
                 bloom_active = True
+            _maybe_spill_bloom()
         delta_mode = (getattr(store, "resumable", False)
                       and spec.seen_compact_every > 0)
         compact_now = delta_mode and ((wave + 1) % spec.seen_compact_every == 0)
@@ -437,9 +478,13 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             if lazy_robots and robots is not None:
                 full_tables["robots"] = robots
             if bloom_active:
+                # Geometry columns travel with the bits: load_rows refuses a
+                # snapshot built under a different (n_parts, m, k) — a wrong
+                # n_parts silently re-partitions keys and false-negatives.
                 full_tables["bloom"] = spark.createDataFrame(
-                    [(p, bytearray(b)) for p, b in bloom.to_rows()],
-                    "part int, bits binary")
+                    [(p, bytearray(b), np_, m_, k_)
+                     for p, b, np_, m_, k_ in bloom.to_rows()],
+                    "part int, bits binary, n_parts int, m long, k int")
         delta_tables = {"documents": docs, "fetch_log": flog,
                         "metrics": metrics_df}
         if not delta_mode or compact_now:
@@ -451,6 +496,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         state = store.persist_wave(
             wave, full=full_tables, delta=delta_tables,
             extra={"n_fetched": run.n_fetched + n_sel,
+                   "tot_errors": tot_errors, "tot_bytes": tot_bytes,
                    "seen_rows": seen_rows + n_new,
                    "seen_base_wave": next_base,
                    "spec": spec.to_dict()})

@@ -84,20 +84,37 @@ class HttpFetcher:
     injectable: tests drive the full plumbing — batching, per-worker session
     reuse, error mapping — with a deterministic fake; production uses the
     default pooled-GET transport.
+
+    `proxy` mirrors the reference's ScanRequest.proxy field
+    (proto/crawler.proto:24, plumbed at src/scanner/scan.rs:30-32): a
+    non-empty value is installed on each worker's pooled session as the
+    http+https proxy, so every GET issued by the transport routes through
+    it. `session_factory` is injectable alongside `transport` so tests can
+    assert the proxy actually reaches the session config without a network.
     """
 
     def __init__(self, timeout_s: float = 10.0, user_agent: str = "",
-                 transport=None):
+                 transport=None, proxy: str = "", session_factory=None):
         self.timeout_s = timeout_s
         self.user_agent = user_agent
         self.transport = transport or _default_transport
+        self.proxy = proxy
+        self.session_factory = session_factory
 
     def _make_session(self):
-        try:  # pragma: no cover - requests absent/no network in sandbox
-            import requests
-            return requests.Session()
-        except Exception:
-            return None
+        if self.session_factory is not None:
+            session = self.session_factory()
+        else:
+            try:  # pragma: no cover - requests absent/no network in sandbox
+                import requests
+                session = requests.Session()
+            except Exception:
+                session = None
+        if session is not None and self.proxy:
+            # requests.Session carries per-scheme proxies; the same dict
+            # shape works for any injected session object exposing .proxies.
+            session.proxies.update({"http": self.proxy, "https": self.proxy})
+        return session
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         in_fields = list(batch.schema.fields)
@@ -159,9 +176,10 @@ class ChromeFetcher(HttpFetcher):
     crawl loop stays unchanged."""
 
     def __init__(self, timeout_s: float = 30.0, user_agent: str = "",
-                 transport=None):
+                 transport=None, proxy: str = "", session_factory=None):
         super().__init__(timeout_s=timeout_s, user_agent=user_agent,
-                         transport=transport or _chrome_transport)
+                         transport=transport or _chrome_transport,
+                         proxy=proxy, session_factory=session_factory)
 
 
 def parse_spans(fetched: DataFrame) -> DataFrame:

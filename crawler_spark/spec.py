@@ -24,7 +24,9 @@ class CrawlJobSpec:
     agent: str = ""                      # explicit UA override ('' = per-host pick)
     subdomains: bool = False             # admit *.seed-domain
     tld: bool = False                    # admit seed-domain across any TLD
-    proxy: str = ""                      # carried, unused by simulated fetcher
+    proxy: str = ""                      # http(s) proxy for HttpFetcher
+                                         # sessions (scan.rs:30-32); the
+                                         # simulated fetcher ignores it
     sitemap: bool = False                # seed-expand from /sitemap.xml
     delay_ms: int = 0                    # politeness delay between same-host fetches
 
@@ -54,6 +56,14 @@ class CrawlJobSpec:
                                          # this — below it the sketch is pure
                                          # overhead (anti-join stays exact
                                          # either way, results identical)
+    bloom_broadcast_max_bytes: int = 64 << 20
+                                         # merged-bitset size above which the
+                                         # probe switches from full broadcast
+                                         # to partition-local spill files
+                                         # (SeenBloom.spill): each task lazy-
+                                         # loads only the parts it probes. At
+                                         # 10^10 keys/fpp=0.01 the filter is
+                                         # ~12 GB — never broadcast that.
     shuffle_partitions: int = 32
     checkpoint_dir: str = ""             # '' = in-memory state only (no snapshots)
     seen_compact_every: int = 8          # snapshot `seen` as per-wave deltas,

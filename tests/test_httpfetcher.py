@@ -93,6 +93,33 @@ def test_chrome_fetcher_same_surface(spark, small_cfg):
         stub.fetch(batch).collect()
 
 
+def test_proxy_reaches_session_config(spark):
+    """S5 proxy plumbing (reference proto/crawler.proto:24 -> scan.rs:30-32):
+    a spec-level proxy URL must land on the per-worker pooled session as the
+    http+https proxy BEFORE the transport issues any request. Injected
+    session factory + recording transport prove it without a network."""
+    import types
+
+    def factory():
+        return types.SimpleNamespace(proxies={})
+
+    def transport(session, url, agent, timeout_s):
+        # executes on the worker: serialize what the fetch stage configured
+        return 200, ";".join(f"{k}={v}" for k, v in sorted(session.proxies.items()))
+
+    f = HttpFetcher(transport=transport, proxy="http://proxy.example:3128",
+                    session_factory=factory)
+    batch = spark.createDataFrame([("http://h0.example.com/p0", "a")],
+                                  "url_canon string, agent string")
+    [row] = f.fetch(batch).collect()
+    assert row["html"] == ("http=http://proxy.example:3128;"
+                           "https=http://proxy.example:3128")
+    # no proxy configured -> session untouched
+    f2 = HttpFetcher(transport=transport, session_factory=factory)
+    [row2] = f2.fetch(batch).collect()
+    assert row2["html"] == ""
+
+
 def test_default_transport_without_network(spark):
     """Default transport behavior, no injection: with `requests` importable
     but no network, connection failures map to the dead-link convention

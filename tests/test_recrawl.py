@@ -91,6 +91,24 @@ def test_recrawl_refetches_exactly_due(finished_crawl):
     assert not (retained & refetched)
 
 
+def test_recrawl_refuses_incomplete_store(spark, small_cfg, tmp_path):
+    """The COMPLETED-crawl precondition is enforced, not just documented: a
+    store killed mid-crawl (pending frontier rows at its latest wave) would
+    silently treat never-fetched URLs as nonexistent — neither due nor
+    crawled — so run_recrawl must refuse it."""
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    fetcher = SimulatedFetcher(pages_df)
+    d = str(tmp_path / "killed")
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=2,
+                        checkpoint_dir=d)
+    run = run_crawl(spark, spec, fetcher, robots_src=robots_df)
+    assert run.frontier.count() > 0, "fixture kill must leave pending URLs"
+    store = SnapDirStore(spark, d)
+    rspec = dataclasses.replace(spec, checkpoint_dir="", max_depth=0)
+    with pytest.raises(ValueError, match="not a completed crawl"):
+        run_recrawl(spark, rspec, fetcher, store, 1, robots_src=robots_df)
+
+
 def test_staleness_orders_selection(finished_crawl):
     """Older URLs carry more-negative priority -> selected before fresher
     ones under a constrained per-wave budget."""

@@ -33,7 +33,7 @@ def _snap_fp(spark, root: str) -> dict:
         except Exception:
             out[t] = None
     out["seen"] = content_fingerprint(store.read_seen(last))
-    for t in ("documents", "fetch_log"):
+    for t in ("documents", "fetch_log", "metrics"):
         df = store.read_delta_union(t, last)
         out[t] = content_fingerprint(df) if df is not None else None
     return out
@@ -89,6 +89,47 @@ def test_resume_is_idempotent_when_complete(spark, crawl_env, tmp_path):
     assert again.n_fetched == first.n_fetched    # restored count, no new fetches
     assert again.metrics == []                   # zero waves actually ran
     assert _snap_fp(spark, d) == before
+
+
+def test_lifecycle_metrics_rows(spark, crawl_env, tmp_path):
+    """S9 lifecycle sink (reference ScanStart/ScanEnd, src/rpc/client.rs:
+    31-52): the committed metrics table carries exactly one job-start row
+    (wave=-1) and, once the frontier drains, exactly one job-end row
+    (wave=JOB_END_WAVE) whose counters are the job-lifetime totals — all
+    rows keyed by job_id. (Kill/resume bit-identity of these rows is
+    covered by _snap_fp, which fingerprints the metrics delta-union.)"""
+    from crawler_spark.plans.frontier import JOB_END_WAVE
+
+    fetcher, robots_df, seeds = crawl_env
+    d = str(tmp_path / "life")
+    spec = CrawlJobSpec(seeds=seeds, max_waves=20, checkpoint_dir=d,
+                        job_id=77)
+    run = run_crawl(spark, spec, fetcher, robots_src=robots_df)
+    store = SnapDirStore(spark, d)
+    rows = store.read_delta_union("metrics", store.latest_wave()).collect()
+
+    assert all(r["job_id"] == 77 for r in rows)
+    starts = [r for r in rows if r["event"] == "start"]
+    ends = [r for r in rows if r["event"] == "end"]
+    waves = [r for r in rows if r["event"] == "wave"]
+    assert len(starts) == 1 and starts[0]["wave"] == -1 \
+        and starts[0]["part"] == -1
+    assert len(ends) == 1 and ends[0]["wave"] == JOB_END_WAVE
+    assert all(r["part"] >= 0 for r in waves)   # lineage rows stay per-part
+    assert ends[0]["fetched"] == run.n_fetched \
+        == sum(r["fetched"] for r in waves)
+    assert ends[0]["errors"] == sum(r["errors"] for r in waves)
+    assert ends[0]["bytes"] == sum(r["bytes"] for r in waves)
+
+    # a paused (max_waves-capped) job is NOT complete: start row, no end row
+    d2 = str(tmp_path / "paused")
+    run_crawl(spark, dataclasses.replace(spec, checkpoint_dir=d2,
+                                         max_waves=2),
+              fetcher, robots_src=robots_df)
+    s2 = SnapDirStore(spark, d2)
+    rows2 = s2.read_delta_union("metrics", s2.latest_wave()).collect()
+    assert sum(r["event"] == "start" for r in rows2) == 1
+    assert sum(r["event"] == "end" for r in rows2) == 0
 
 
 def test_resume_without_checkpoint_raises(spark, crawl_env, tmp_path):

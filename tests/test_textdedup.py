@@ -37,6 +37,34 @@ def test_rolling_hash_short_doc_single_window(spark):
     assert len(r[0]) == 1
 
 
+def test_incremental_rolling_equals_refold(spark):
+    """The O(n)-per-doc incremental Rabin-Karp scan (mapInPandas, the
+    large-k scale path) is bit-identical to the column-algebra per-window
+    re-fold across k values and edge shapes: short docs (< k words), docs
+    of exactly k words, empty text, and a mixed batch — same recurrence
+    mod M, so same values, and the tx4 oracle stays valid for either."""
+    from crawler_spark.operators.textdedup import rolling_hashes_incremental
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "one two three",                       # < k for k >= 4
+        "a b c d",                             # exactly 4 words
+        "",                                    # empty text
+        " ".join(f"w{i % 7}" for i in range(200)),   # long, repetitive
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    h = df.select("id", word_hashes_col(F.col("text")).alias("h"))
+    for k in (2, 4, 16, 50):
+        col = {r["id"]: list(r["r"]) for r in
+               h.select("id", rolling_hashes_col(F.col("h"), k).alias("r"))
+               .collect()}
+        inc = {r["rid"]: list(r["rolls"]) for r in
+               rolling_hashes_incremental(
+                   h.select(F.col("id").alias("rid"), "h"), k=k).collect()}
+        assert inc == col, f"k={k}"
+
+
 def test_shingles_contract(spark):
     df = spark.createDataFrame([(0, "a b c d"), (1, "a b")],
                                "id long, text string")
