@@ -1,0 +1,143 @@
+"""Duplicate-cluster resolution: connected components + canonical selection.
+
+Near-dup detection (operators/textdedup.py, operators/similarity.py) emits
+candidate PAIRS; a training-data pipeline needs CLUSTERS — the transitive
+closure of the pair graph — and then one canonical document per cluster to
+keep (the rest are dropped). This module closes that gap:
+
+  * `connected_components(edges)` — alternating large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", SoCC 2014): the standard
+    shuffle-native CC algorithm. State is the edge set only (no per-node
+    adjacency lists, no vertex programs), each operation is one hash
+    shuffle on the star center + one distinct, and the edge set provably
+    contracts to per-component stars rooted at the component minimum in
+    O(log n) rounds — this is the 100 TB-shaped formulation. Naive
+    min-label propagation needs O(diameter) rounds (a chained near-dup
+    corpus makes that linear) and carries a labels table through every
+    round; large-star/small-star needs neither.
+  * `dup_clusters(docs, pairs)` — every document mapped to its cluster id
+    (component minimum), singletons mapped to themselves.
+  * `canonical_docs(clustered, quality)` — per cluster, keep exactly the
+    highest-quality member (ties broken by min doc_id), a boolean keep
+    flag per document.
+
+Reference parity note: the reference crawler (a11ywatch/crawler) has no
+cluster resolution — this is part of the beyond-reference LLM-pipeline
+surface, with DuckDB recursive-CTE oracles in crawler_spark/queries.py
+(dd7/dd8).
+
+Scale notes:
+  * Each star operation shuffles edges by their star center `u`; a single
+    pathological super-node concentrates one partition — AQE skew-split
+    handles it (the op is a plain window-agg + filter, fully splittable).
+  * Rounds run driver-side with a convergence check (edge set fixed).
+    Each round ends in `localCheckpoint(eager=True)` to cut lineage —
+    iterative plans otherwise grow exponentially in Catalyst.
+  * Works for any orderable id type (long doc ids here; string ids work —
+    min/greatest are lexicographic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Undirected view: both orientations, self-loops dropped, distinct."""
+    return (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star: every node u connects its strictly-larger neighbors to
+    m(u) = min(N(u) ∪ {u}). Emitted over the symmetric view, so each
+    undirected edge {u,v} (u<v) is processed at u and re-rooted to m(u);
+    connectivity is preserved because (u, m(m(u))) is emitted at m(u)
+    (u ∈ N(m(u)) by symmetry) — Lemma 1 of the paper."""
+    s = _sym(e)
+    w = Window.partitionBy("u")
+    return (s.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star: orient every edge large→small, then every node u
+    connects its (all-smaller) neighbors AND itself to m(u) = min of those
+    neighbors. Flattens the downward trees built by large-star."""
+    e2 = (e.select(F.greatest("u", "v").alias("u"),
+                   F.least("u", "v").alias("v"))
+          .where(F.col("u") != F.col("v")).distinct())
+    w = Window.partitionBy("u")
+    withm = e2.withColumn("m", F.min("v").over(w))
+    return (withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(withm.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_rounds: int = 50) -> DataFrame:
+    """Connected components of an undirected edge list.
+
+    Returns (node, cluster) for every node incident to >= 1 edge, where
+    `cluster` is the minimum node id of its component. Isolated nodes do
+    not appear (callers left-join and coalesce to self — see
+    `dup_clusters`).
+
+    Alternates large-star / small-star until the edge set is a fixpoint;
+    at convergence the edges ARE the component stars (node → component
+    min). O(log n) rounds (SoCC 2014, Thm 2); each round costs two
+    shuffle-on-center window aggregates plus the distincts.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    if not e.take(1):
+        return e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixpoint test: equal sets (both are distinct by construction)
+        if nxt.count() == e.count() and not nxt.subtract(e).take(1):
+            e = nxt
+            break
+        e = nxt
+    else:  # pragma: no cover - O(log n) bound makes this unreachable
+        raise RuntimeError(f"connected_components: no fixpoint in "
+                           f"{max_rounds} rounds")
+    roots = e.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()
+    return (e.union(roots).distinct()
+            .select(F.col("u").alias("node"), F.col("v").alias("cluster")))
+
+
+def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Map EVERY document to its duplicate-cluster id: the component
+    minimum for documents reached by any candidate pair, the document's
+    own id for singletons. Output: (doc_id, cluster)."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    return (docs.select(id_col)
+            .join(cc, F.col(id_col) == F.col("node"), "left")
+            .select(F.col(id_col),
+                    F.coalesce("cluster", F.col(id_col)).alias("cluster")))
+
+
+def canonical_docs(clustered: DataFrame, quality: DataFrame,
+                   id_col: str = "doc_id",
+                   quality_col: str = "quality") -> DataFrame:
+    """Per-cluster canonical selection: keep exactly one document per
+    cluster — the highest `quality`, ties broken by smallest doc_id (the
+    deterministic tie-break matters: a nondeterministic keep-choice breaks
+    resume/re-run reproducibility). Output: (doc_id, cluster, keep).
+
+    `clustered` is (doc_id, cluster) from `dup_clusters`; `quality` is
+    (doc_id, quality) — e.g. functions.text.quality_score_col. Join is on
+    doc_id (both sides pre-shuffled on it at scale via bucketing); the
+    keep-rank is one window shuffle on cluster."""
+    w = Window.partitionBy("cluster").orderBy(F.col(quality_col).desc(),
+                                              F.col(id_col))
+    return (clustered.join(quality, id_col)
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select(id_col, "cluster", "keep"))

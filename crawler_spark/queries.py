@@ -576,16 +576,19 @@ def dd2_fingerprint(spark, sf_dir):
 
 
 _SHINGLE_SQL = """
-  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+  SELECT doc_id, source, CASE WHEN len(words) >= 3 THEN
            list_distinct(list_transform(range(0, len(words) - 2),
              j -> words[j+1] || ' ' || words[j+2] || ' ' || words[j+3]))
          ELSE [array_to_string(words, ' ')] END AS sh
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS words
         FROM documents)
 """
 
-@q("dd3_minhash_lsh", """
-WITH sh AS (""" + _SHINGLE_SQL + """),
+# dd3's CTE chain and final pair-select are factored out so dd7/dd8 can
+# reuse the exact same candidate-pair SQL under a WITH RECURSIVE prefix —
+# the oracle pair graph must be bit-identical to dd3's.
+_LSH_CTES = """sh AS (""" + _SHINGLE_SQL + """),
 sig AS (
   SELECT doc_id,
          list_min(list_transform(sh, s -> md5('0:' || s))) AS mh0,
@@ -609,12 +612,16 @@ bands AS (
 sized AS (
   SELECT doc_id, band, key,
          count(*) OVER (PARTITION BY band, key) AS bucket_n
-  FROM bands)
+  FROM bands)"""
+
+_LSH_PAIRS_SQL = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id AND a.bucket_n <= 64 AND b.bucket_n <= 64
 GROUP BY 1, 2
-""")
+"""
+
+@q("dd3_minhash_lsh", "WITH " + _LSH_CTES + _LSH_PAIRS_SQL)
 def dd3_minhash_lsh(spark, sf_dir):
     """MinHash (8 perms, md5-keyed) + banded LSH (4 bands x 2) candidate
     near-dup pairs. Hex-min == value-min, so Spark and DuckDB agree
@@ -715,14 +722,17 @@ def tx1_lang_id(spark, sf_dir):
                     lang_id_col(F.col("text")).alias("lang_pred"))
 
 
-@q("tx2_quality_score", f"""
-SELECT doc_id, round(
+# quality expression factored so dd8's canonical-keep oracle scores with
+# the exact same formula tx2 is gated on
+_QUALITY_EXPR = f"""round(
   0.4 * (CASE WHEN {_NW} BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.3 END)
 + 0.3 * (CASE WHEN (length(text) - ({_NW} - 1)) * 1.0 / {_NW} BETWEEN 2.5 AND 12.0
          THEN 1.0 ELSE 0.4 END)
 + 0.3 * (CASE WHEN {_hits(_LM['en'])} * 1.0 / {_NW} > 0.01 THEN 1.0 ELSE 0.5 END)
-, 4)::DOUBLE AS quality FROM documents
-""")
+, 4)::DOUBLE"""
+
+@q("tx2_quality_score",
+   f"SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents")
 def tx2_quality_score(spark, sf_dir):
     """Quality gate: length band + mean word length + stopword signal."""
     d = _t(spark, sf_dir, "documents")
@@ -981,3 +991,94 @@ def mm3_frame_sample(spark, sf_dir):
     out = sample_frames(attach_payload(d), every_n=4, n_frames=16)
     return out.select("doc_id", "frame_idx", "frame_bytes",
                       F.round(F.element_at("features", 1), 2).alias("feat0"))
+
+
+# =====================================================================
+# Dup-cluster resolution + decontamination (training-data pipeline ops)
+# =====================================================================
+
+# Transitive closure of the dd3 LSH pair graph as a recursive CTE: cc
+# enumerates every (node, reaching-label) pair — UNION dedup terminates it —
+# and min(label) per node is the component minimum, exactly what the
+# large-star/small-star algorithm converges to on the Spark side.
+_CC_CTES = _LSH_CTES + """,
+pairs AS (""" + _LSH_PAIRS_SQL + """),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+cc(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t(u)
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node),
+lab AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)"""
+
+
+@q("dd7_dup_clusters", "WITH RECURSIVE " + _CC_CTES + """
+SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+""")
+def dd7_dup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components over dd3's candidate-pair
+    graph (alternating large-star/small-star, operators/clusters.py — the
+    shuffle-native O(log n)-round CC), every document mapped to its
+    component-minimum cluster id, singletons to themselves. The oracle
+    computes the same transitive closure with a recursive CTE."""
+    from crawler_spark.operators.clusters import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_band_pairs(d, n_perm=8, band_size=2, shingle_n=3,
+                           max_bucket=64)
+    return dup_clusters(d, pairs)
+
+
+@q("dd8_canonical_keep", "WITH RECURSIVE " + _CC_CTES + f""",
+q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents),
+j AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster, q.quality
+      FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id)
+SELECT doc_id, cluster,
+       CAST(CASE WHEN row_number() OVER (PARTITION BY cluster
+            ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT)
+       AS keep
+FROM j
+""")
+def dd8_canonical_keep(spark, sf_dir):
+    """Canonical-document selection: within each dup cluster keep exactly
+    the highest-quality member (tx2's score; ties broken by min doc_id —
+    the deterministic tie-break keeps re-runs reproducible). Every document
+    gets a row; keep=1 marks the survivor of its cluster."""
+    from crawler_spark.operators.clusters import canonical_docs, dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_band_pairs(d, n_perm=8, band_size=2, shingle_n=3,
+                           max_bucket=64)
+    quality = d.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+    out = canonical_docs(dup_clusters(d, pairs), quality)
+    return out.select("doc_id", "cluster",
+                      F.col("keep").cast("int").alias("keep"))
+
+
+@q("tx5_decontaminate", """
+WITH sh AS (""" + _SHINGLE_SQL + """),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src0'),
+corp AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE source <> 'src0')
+SELECT c.doc_id, count(*) AS n_hits
+FROM corp c JOIN bench b ON c.s = b.s
+GROUP BY 1
+""")
+def tx5_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing >= 1 word-3-gram
+    with the held-out 'benchmark' slice (source='src0' stands in for an
+    eval set), with the count of distinct overlapping grams. Scale shape:
+    the eval-set gram universe is tiny next to a 100 TB corpus, so it is
+    DISTINCT-ed and broadcast — the corpus side never shuffles."""
+    from crawler_spark.operators.textdedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source",
+                  shingles_col(F.col("text"), 3).alias("sh"))
+    bench = (sh.where(F.col("source") == "src0")
+             .select(F.explode("sh").alias("s")).distinct())
+    corp = (sh.where(F.col("source") != "src0")
+            .select("doc_id", F.explode("sh").alias("s")))
+    return (corp.join(F.broadcast(bench), "s")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))

@@ -1,0 +1,110 @@
+"""Dup-cluster resolution: connected components (large-star/small-star)
+verified against a driver-side union-find ground truth, plus the
+dup_clusters / canonical_docs composition contracts."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.clusters import (
+    canonical_docs, connected_components, dup_clusters,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per component, only for nodes incident to an edge
+    touched = {x for e in edges for x in e}
+    comp = {}
+    for x in touched:
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(mem) for mem in comp.values() for x in mem}
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame([(a, b) for a, b in edges],
+                               "doc_a long, doc_b long")
+    return {r["node"]: r["cluster"]
+            for r in connected_components(df).collect()}
+
+
+@pytest.mark.parametrize("shape", ["path", "clique", "star_max", "two_comps"])
+def test_cc_known_shapes(spark, shape):
+    """Deterministic shapes exercising the algorithm's edge cases: a long
+    path (worst case for naive label propagation), a clique, a star rooted
+    at the LARGEST id (forces re-rooting to the min), two components."""
+    if shape == "path":
+        edges = [(i, i + 1) for i in range(40)]
+    elif shape == "clique":
+        edges = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    elif shape == "star_max":
+        edges = [(99, i) for i in range(7)]
+    else:
+        edges = [(0, 1), (1, 2), (10, 11), (12, 11)]
+    want = _union_find(200, edges)
+    assert _cc_spark(spark, edges) == want
+
+
+def test_cc_random_graphs(spark):
+    """Randomized Erdős–Rényi graphs (seeded) vs union-find: exact
+    component-min labels on every incident node, no extra nodes."""
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find(n, edges)
+        assert _cc_spark(spark, edges) == want, f"trial {trial}"
+
+
+def test_cc_string_ids(spark):
+    """Orderable-id genericity: string node ids cluster by lexicographic
+    min (url-keyed dedup graphs use string keys)."""
+    df = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "z")], "doc_a string, doc_b string")
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(df).collect()}
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "z": "x"}
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dup_clusters_singletons(spark):
+    """Every doc appears exactly once; docs untouched by any pair map to
+    themselves."""
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster"]
+           for r in dup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+def test_canonical_docs_keep_contract(spark):
+    """Exactly one keep per cluster: max quality wins, min doc_id breaks
+    ties; singletons keep themselves."""
+    clustered = spark.createDataFrame(
+        [(1, 1), (4, 1), (5, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, cluster long")
+    quality = spark.createDataFrame(
+        [(1, 0.5), (4, 0.9), (5, 0.9), (7, 0.3), (8, 0.3), (9, 0.2)],
+        "doc_id long, quality double")
+    rows = canonical_docs(clustered, quality).collect()
+    keeps = {r["cluster"]: r["doc_id"] for r in rows if r["keep"]}
+    assert keeps == {1: 4, 7: 7, 9: 9}          # 4 beats 5 on tie (min id)
+    assert sum(r["keep"] for r in rows) == 3    # exactly one per cluster
+    assert len(rows) == 6                       # every doc still present
