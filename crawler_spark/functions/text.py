@@ -84,3 +84,53 @@ def quality_score_col(text: Column) -> Column:
         return F.round(0.4 * len_ok + 0.3 * wl_ok + 0.3 * stop_ok, 4)
 
     return F.element_at(F.transform(F.array(packed), score), 1)
+
+
+# --- PII scrubbing (tx6) -------------------------------------------------
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark codegen) and RE2 (DuckDB oracle): character classes, bounded +
+# unbounded greedy quantifiers — no backrefs, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub_col(text: Column) -> Column:
+    """Redact emails then phones with typed placeholders — map-side
+    regexp_replace chain, pure codegen (the standard pre-training scrub)."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_count_col(text: Column, pattern: str) -> Column:
+    """Non-overlapping match count (audit metric for the scrub)."""
+    return F.regexp_count(text, F.lit(pattern)).cast("long")
+
+
+# --- Repetition signals (tx7, Gopher-style) ------------------------------
+def repetition_signals_col(text: Column) -> Column:
+    """struct(n_words, dup_tok_frac, dup_2gram_frac): per-row array algebra
+    (no shuffle). dup fraction = 1 - distinct/total over tokens and over
+    non-distinct word bigrams — the Gopher repetition filters. The word
+    array and the bigram array are each let-bound once (see lang_id_col)."""
+    def over_words(w: Column) -> Column:
+        n = F.size(w)
+        grams = F.when(
+            n >= 2,
+            F.transform(F.sequence(F.lit(0), n - 2),
+                        lambda j: F.array_join(F.slice(w, j + 1, 2), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+        def over_bi(bi: Column) -> Column:
+            return F.struct(
+                n.alias("n_words"),
+                F.round(F.lit(1.0) - F.size(F.array_distinct(w)) / n, 4)
+                 .alias("dup_tok_frac"),
+                F.when(F.size(bi) > 0,
+                       F.round(F.lit(1.0)
+                               - F.size(F.array_distinct(bi)) / F.size(bi), 4))
+                 .otherwise(F.lit(0.0)).alias("dup_2gram_frac"))
+
+        return F.element_at(F.transform(F.array(grams), over_bi), 1)
+
+    words = F.split(F.trim(text), r"\s+")
+    return F.element_at(F.transform(F.array(words), over_words), 1)

@@ -1,0 +1,122 @@
+"""Host-rank priority: fixed-iteration PageRank over the host link graph.
+
+The reference delegates crawl ordering entirely to spider's internal queue
+(reference: src/scanner/scan.rs:38-48 just drives `website.crawl()`); the
+north-rule instead asks for "a priority queue expressed as a depth/host-rank
+window over the frontier DataFrame".  `plans/frontier` already ranks by
+(priority, depth, url); this module supplies the *host-rank* dimension of
+that key: a damped, fixed-iteration PageRank over the (src_host ->
+dst_host) graph observed in crawled pages' outlinks, reduced to per-host
+priority boosts that `_admit` folds into every admitted frontier row
+(`priority + host_boost`, boost in [-1, 0]).  In-degree urgency (W1) keeps
+ordering pages *within* a wave; host rank orders *hosts* across the whole
+frontier — the classic OPIC/recrawl prioritization split.
+
+Scale notes (10^10-URL design point):
+- The host graph is 2-3 orders of magnitude smaller than the URL space
+  (~10^7-10^8 hosts).  Each PageRank iteration is ONE shuffle join on
+  `src` plus ONE groupBy on `dst`, both at host cardinality — far cheaper
+  than any single crawl wave, and the boost join in `_admit` is an
+  explicit broadcast (hosts dim << frontier).
+- Lineage is cut per iteration (`localCheckpoint`); without it the plan
+  doubles every iteration.  On a real cluster prefer
+  `sc.setCheckpointDir` + `.checkpoint()` so the cut survives executor
+  loss.
+- Dangling hosts (no outlinks) simply contribute no mass: the
+  non-normalized `r = (1-d) + d*sum(r_in/outdeg)` formulation is used.
+  Priority only consumes the *ordering* of ranks, which matches the
+  normalized variant; no global mass-redistribution shuffle is spent on
+  a constant that cancels in the sort key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from crawler_spark.functions.canon import host_col
+
+
+def host_edges(docs: DataFrame) -> DataFrame:
+    """Distinct (src, dst) host edges from crawled documents.
+
+    `docs` is the sink/store table `(doc_id=url_canon, spans, ...)`; link
+    targets live in span rows with kind='link' (sources/parse.py).  Self
+    edges are dropped — they only add a constant to a host's own rank.
+    """
+    return (docs
+            .select(host_col(F.col("doc_id")).alias("src"),
+                    F.explode(F.expr(
+                        "filter(spans, s -> s.kind = 'link' AND s.media_ref != '')"
+                    )).alias("s"))
+            .select("src", host_col(F.col("s.media_ref")).alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def pagerank_hosts(edges: DataFrame, iters: int = 5,
+                   damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over distinct (src, dst) host edges.
+
+    Returns (host, rank:double) for every host appearing as src or dst.
+    rank_0 = 1.0; rank_{t+1}(v) = (1-d) + d * sum_{u->v} rank_t(u)/outdeg(u).
+    Deterministic given the edge set — `iters` is fixed, not
+    convergence-tested, so the result is reproducible across engines
+    (the DuckDB oracle unrolls the same K iterations as chained CTEs).
+    """
+    e = edges.select("src", "dst").distinct()
+    hosts = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    out = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_w = e.join(out, "src").localCheckpoint(eager=True)  # (src, dst, outdeg)
+    ranks = hosts.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (e_w.join(ranks.withColumnRenamed("host", "src"), "src")
+                   .groupBy(F.col("dst").alias("host"))
+                   .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass")))
+        ranks = (hosts.join(contrib, "host", "left")
+                 .select("host",
+                         (F.lit(1.0 - damping)
+                          + F.lit(damping) * F.coalesce(F.col("mass"),
+                                                        F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))   # cut per-iteration lineage
+    return ranks
+
+
+def hostrank_boosts(ranks: DataFrame) -> DataFrame:
+    """(host, host_boost) with boost = -rank / max(rank) in [-1, 0).
+
+    Scaled to unit magnitude so the boost composes with in-degree priority
+    (integral -n_refs) as a fractional cross-host tiebreak: host order is
+    decided by rank between equal-in-degree URLs, while a heavily-cited
+    URL still outranks any boost.  Feed to
+    `run_crawl(..., host_priorities=...)`.
+    """
+    mx = ranks.agg(F.max("rank").alias("mx"))
+    return (ranks.crossJoin(F.broadcast(mx))
+            .select("host", (-F.col("rank") / F.col("mx")).alias("host_boost")))
+
+
+def pagerank_oracle_sql(edges_cte: str, iters: int = 5,
+                        damping: float = 0.85) -> str:
+    """DuckDB twin of `pagerank_hosts`: the K iterations unrolled as
+    chained CTEs (no recursive aggregate needed).  `edges_cte` must be a
+    complete CTE body yielding DISTINCT (src, dst)."""
+    d = damping
+    ctes = [f"e AS ({edges_cte})",
+            "hosts AS (SELECT src AS host FROM e UNION "
+            "SELECT dst AS host FROM e)",
+            "outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+            "r0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS rank FROM hosts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS host, SUM(r.rank / o.outdeg) AS mass "
+            f"FROM e JOIN r{k-1} r ON r.host = e.src "
+            f"JOIN outd o ON o.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{k} AS (SELECT h.host, {1.0 - d} + {d} * COALESCE(c.mass, 0) "
+            f"AS rank FROM hosts h LEFT JOIN c{k} c USING (host))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT host, ROUND(rank, 4) AS rank FROM r{iters}")

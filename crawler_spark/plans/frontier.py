@@ -83,7 +83,8 @@ class CrawlRun:
 
 def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
            bloom: SeenBloom | None, robots: DataFrame | None,
-           spec: CrawlJobSpec, seed_hosts: list[str], wave: int) -> DataFrame:
+           spec: CrawlJobSpec, seed_hosts: list[str], wave: int,
+           host_priorities: DataFrame | None = None) -> DataFrame:
     """Admission pipeline: filters -> wave dedup -> seen anti-join.
 
     cands: (url_canon, depth, priority). Returns new frontier rows
@@ -125,6 +126,16 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
     if seen is not None:
         c = anti_join_seen(c, seen, bloom, spark)
     c = c.withColumn("host", host_col(F.col("url_canon")))
+    # W1 host-rank dimension: per-host boost (PageRank-scaled, [-1, 0] —
+    # operators/hostrank.py) folds ADDITIVELY into the representative's
+    # priority AFTER the least() above: a fractional cross-host tiebreak
+    # between equal-in-degree URLs. Broadcast — hosts dim << frontier.
+    if host_priorities is not None:
+        c = (c.join(F.broadcast(host_priorities), "host", "left")
+             .withColumn("priority",
+                         F.col("priority")
+                         + F.coalesce(F.col("host_boost"), F.lit(0.0)))
+             .drop("host_boost"))
     # F5: robots gate on the deduped, novel representatives only
     if spec.respect_robots_txt and robots is not None:
         c = (gate_frontier(c, robots)
@@ -138,7 +149,8 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
               sink=None, store=None, resume: bool = False,
               initial_frontier: DataFrame | None = None,
               sitemap_src: DataFrame | None = None,
-              robots_fetcher=None) -> CrawlRun:
+              robots_fetcher=None,
+              host_priorities: DataFrame | None = None) -> CrawlRun:
     """EP2 `Crawl` batch mode (reference src/rpc/server.rs:54-88): run the
     wave loop to exhaustion/budget, return final tables.
 
@@ -273,7 +285,7 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
             seeds_canon = seeds_canon.unionByName(sm_canon)
         # --- wave-0 admission: seeds (S3) ---
         pending = _admit(spark, seeds_canon, None, None, robots, spec,
-                         seed_hosts, 0)
+                         seed_hosts, 0, host_priorities=host_priorities)
         if lazy_robots:
             pending = pending.localCheckpoint(eager=True)
             _ensure_robots(pending, 0)
@@ -389,7 +401,9 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                     F.lit(0.0).alias("priority")))
         new_pre = _admit(spark, links, seen, bloom if bloom_active else None,
                          None if lazy_robots else robots, spec, seed_hosts,
-                         wave + 1).localCheckpoint(eager=True)
+                         wave + 1,
+                         host_priorities=host_priorities) \
+            .localCheckpoint(eager=True)
         if lazy_robots:
             _ensure_robots(new_pre, wave + 1)
             new_rows = _gate(new_pre).localCheckpoint(eager=True)

@@ -1082,3 +1082,116 @@ def tx5_decontaminate(spark, sf_dir):
             .select("doc_id", F.explode("sh").alias("s")))
     return (corp.join(F.broadcast(bench), "s")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+
+
+# =====================================================================
+# Host-rank priority (north-rule "depth/host-rank window") + more
+# training-data ops: PII scrub, Gopher repetition signals
+# =====================================================================
+
+_G1_EDGES_SQL = (
+    "SELECT DISTINCT source AS src, "
+    "'src' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst FROM documents "
+    "WHERE source <> 'src' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR)")
+
+from crawler_spark.operators.hostrank import (  # noqa: E402
+    pagerank_hosts, pagerank_oracle_sql,
+)
+
+
+@q("g1_hostrank", pagerank_oracle_sql(_G1_EDGES_SQL, iters=5, damping=0.85))
+def g1_hostrank(spark, sf_dir):
+    """W1 host-rank dimension: 5-iteration damped PageRank over a host
+    graph derived deterministically from `documents` (src = source host,
+    dst = hashed synthetic target — includes dangling sink-only hosts).
+    The engine path (operators/hostrank.py -> run_crawl(host_priorities=))
+    ranks crawl hosts the same way; the oracle unrolls the iterations as
+    chained CTEs. Per iteration: one join on src + one groupBy dst at host
+    cardinality — 2-3 orders below URL cardinality at the design point."""
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    ranks = pagerank_hosts(edges, iters=5, damping=0.85)
+    return ranks.select("host", F.round("rank", 4).alias("rank"))
+
+
+_TX6_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@ex' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.org call +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+_TX6_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_TX6_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+@q("tx6_pii_scrub", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_TX6_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_TX6_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(aug, '{_TX6_EMAIL}', '<EMAIL>', 'g'),
+                          '{_TX6_PHONE}', '<PHONE>', 'g')) AS clean_md5
+FROM (SELECT doc_id, {_TX6_AUG_SQL} AS aug FROM documents)
+""")
+def tx6_pii_scrub(spark, sf_dir):
+    """PII scrubbing: redact emails/phones with typed placeholders and
+    count redactions. PII is injected deterministically (the synthetic
+    corpus has none) so the scrub provably fires on every row; map-side
+    regexp chain, zero shuffles — embarrassingly parallel at 100 TB."""
+    from crawler_spark.functions.text import (
+        PII_EMAIL_RE, PII_PHONE_RE, pii_count_col, pii_scrub_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        (F.col("doc_id") % 50).cast("string"), F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".org call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return (d.select("doc_id", aug.alias("aug"))
+            .select("doc_id",
+                    pii_count_col(F.col("aug"), PII_EMAIL_RE).alias("n_emails"),
+                    pii_count_col(F.col("aug"), PII_PHONE_RE).alias("n_phones"),
+                    F.md5(pii_scrub_col(F.col("aug"))).alias("clean_md5")))
+
+
+@q("tx7_repetition", """
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           FROM documents),
+per AS (
+  SELECT doc_id, len(ws) AS n_words,
+         round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 4)
+           AS dup_tok_frac,
+         CASE WHEN len(bi) > 0
+              THEN round(1.0 - len(list_distinct(bi)) * 1.0 / len(bi), 4)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM (SELECT doc_id, ws,
+               CASE WHEN len(ws) >= 2 THEN
+                 list_transform(range(0, len(ws) - 1),
+                                j -> ws[j+1] || ' ' || ws[j+2])
+               ELSE [] END AS bi
+        FROM w)),
+cnt AS (SELECT doc_id, tk, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS tk FROM w) GROUP BY 1, 2),
+top AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_tok_frac
+        FROM cnt GROUP BY 1)
+SELECT p.doc_id, p.n_words, p.dup_tok_frac, p.dup_2gram_frac, t.top_tok_frac
+FROM per p JOIN top t USING (doc_id)
+""")
+def tx7_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-token fraction and
+    duplicate-bigram fraction (per-row array algebra, NO shuffle) plus
+    top-token fraction (two-level partial agg on doc_id — even keys, no
+    skew). The per-row signals would filter 100 TB map-side; only the
+    mode computation shuffles, at one row per (doc, distinct token)."""
+    from crawler_spark.functions.text import repetition_signals_col
+    d = _t(spark, sf_dir, "documents")
+    per = d.select("doc_id",
+                   repetition_signals_col(F.col("text")).alias("r")) \
+           .select("doc_id", "r.n_words", "r.dup_tok_frac", "r.dup_2gram_frac")
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.trim("text"), r"\s+")).alias("tk"))
+    cnt = toks.groupBy("doc_id", "tk").agg(F.count("*").alias("c"))
+    top = cnt.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_tok_frac"))
+    return per.join(top, "doc_id")

@@ -40,7 +40,8 @@ class OracleResult:
 
 def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
                robots_src: pd.DataFrame,
-               sitemaps: pd.DataFrame | None = None) -> OracleResult:
+               sitemaps: pd.DataFrame | None = None,
+               host_boosts: dict[str, float] | None = None) -> OracleResult:
     """BFS wave loop over the fixture web. Mirrors crawler_spark.plans.frontier
     step for step; any divergence is a bug in one of the two."""
     web = {r.url_canon: (int(r.status), r.html, int(r.bytes))
@@ -103,8 +104,11 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
             res.seen.add(url)
             folded_seen.add(fold)
             # mirror _admit: least(injected priority, -in-degree); BFS
-            # candidates always inject 0.0, recrawl injects -age staleness
-            pending.append((min(prio, -float(n_refs[fold])), depth, url))
+            # candidates always inject 0.0, recrawl injects -age staleness.
+            # Host-rank boost (operators/hostrank.py) adds AFTER the min.
+            boost = (host_boosts or {}).get(host_of(url), 0.0)
+            pending.append((min(prio, -float(n_refs[fold])) + boost,
+                            depth, url))
             n_new += 1
         return n_new
 

@@ -1,0 +1,128 @@
+"""Host-rank priority (operators/hostrank.py): PageRank vs a pure-Python
+mirror, boost scaling, _admit wiring, and full-crawl equality with the
+extended oracle when host_priorities are injected."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.hostrank import (
+    host_edges, hostrank_boosts, pagerank_hosts,
+)
+from crawler_spark.plans.frontier import run_crawl
+from crawler_spark.sources.fetch import SimulatedFetcher
+from crawler_spark.sources.webgraph import (
+    gen_pages, gen_robots_src, gen_seeds, to_spark,
+)
+from crawler_spark.spec import CrawlJobSpec
+from tests.oracle import run_oracle
+
+# cycle + fan-in + dangling sink (e has no outlinks) + disconnected pair
+EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+         ("b", "e"), ("c", "e"), ("f", "g")]
+
+
+def _pure_pagerank(edges, iters=5, d=0.85):
+    hosts = sorted({u for e in edges for u in e})
+    out: dict[str, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {h: 1.0 for h in hosts}
+    for _ in range(iters):
+        nxt = {h: 1.0 - d for h in hosts}
+        for s, t in edges:
+            nxt[t] += d * r[s] / out[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_pure_python(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["host"]: r["rank"]
+           for r in pagerank_hosts(e, iters=5, damping=0.85).collect()}
+    want = _pure_pagerank(EDGES)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-9, h
+
+
+def test_host_edges_distinct_no_self_loops(spark):
+    docs = spark.createDataFrame(
+        [("http://a.com/p1",
+          [("link", "", "http://b.com/x", 0), ("link", "", "http://a.com/y", 1),
+           ("text", "hi", "", 2), ("link", "", "http://b.com/z", 3)]),
+         ("http://b.com/p1", [("link", "", "http://a.com/p1", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    got = {(r["src"], r["dst"]) for r in host_edges(docs).collect()}
+    # a.com->a.com self loop dropped; the two b.com links collapse to one edge
+    assert got == {("a.com", "b.com"), ("b.com", "a.com")}
+
+
+def test_boosts_unit_scaled(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    boosts = {r["host"]: r["host_boost"]
+              for r in hostrank_boosts(pagerank_hosts(e)).collect()}
+    assert all(-1.0 <= b < 0.0 for b in boosts.values())
+    assert min(boosts.values()) == -1.0          # max-rank host pins the scale
+    # rank order preserved under negation: highest-rank host = smallest boost
+    ranks = _pure_pagerank(EDGES)
+    assert min(boosts, key=boosts.get) == max(ranks, key=ranks.get)
+
+
+def test_admit_folds_boost_additively(spark):
+    """_admit: boost adds AFTER least(injected, -n_refs) — per-host constant
+    fractional tiebreak, in-degree priority preserved."""
+    from crawler_spark.plans.frontier import _admit
+    cands = spark.createDataFrame(
+        [("http://a.com/x", 1, 0.0), ("http://a.com/X", 1, 0.0),
+         ("http://b.com/y", 1, 0.0)],
+        "url_canon string, depth int, priority double")
+    hp = spark.createDataFrame([("a.com", -0.25)],
+                               "host string, host_boost double")
+    spec = CrawlJobSpec(seeds=("http://a.com/",), respect_robots_txt=False)
+    rows = {r["url_canon"]: r["priority"]
+            for r in _admit(spark, cands, None, None, None, spec,
+                            ["a.com", "b.com"], 1,
+                            host_priorities=hp).collect()}
+    assert rows == {"http://a.com/X": -2.25,   # least(0, -2 refs) - 0.25
+                    "http://b.com/y": -1.0}    # no boost row -> unchanged
+
+
+def test_crawl_with_host_priorities_matches_oracle(spark, small_cfg):
+    """Full-crawl equality under injected host-rank boosts: engine and the
+    pure-Python oracle get the same per-host boost table; a global budget
+    makes cross-host priority order decide the fetch schedule."""
+    boosts = {h: -((i % 7) / 7.0) for i, h in enumerate(small_cfg.hosts())}
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20,
+                        max_pages=25, per_host_tokens=2.0, token_cap=4.0)
+    oracle = run_oracle(spec, gen_pages(small_cfg), gen_robots_src(small_cfg),
+                        host_boosts=boosts)
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    hp = spark.createDataFrame(list(boosts.items()),
+                               "host string, host_boost double")
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=robots_df, host_priorities=hp)
+    got = run.to_python()
+    assert got["seen"] == oracle.seen
+    assert got["waves"] == oracle.waves
+    assert got["doc_wave"] == oracle.doc_wave
+
+
+def test_end_to_end_rank_then_recrawl_ordering(spark, small_cfg):
+    """The intended production loop: crawl -> host_edges over the result
+    docs -> pagerank -> boosts for the next (re)crawl. Checks the chain
+    composes and produces fractional (boosted) frontier priorities."""
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=4)
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=robots_df)
+    docs = run.documents.select("doc_id", "spans")
+    ranks = pagerank_hosts(host_edges(docs))
+    assert ranks.count() > 0
+    hp = hostrank_boosts(ranks)
+    run2 = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                     robots_src=robots_df, host_priorities=hp)
+    # same admissible web => same seen set; only ordering shifts
+    assert {r["url_canon"] for r in run2.seen.collect()} == \
+           {r["url_canon"] for r in run.seen.collect()}

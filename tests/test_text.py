@@ -1,0 +1,57 @@
+"""Unit specs for the tx6/tx7 text kernels (functions/text.py). The
+cross-engine value contract is the oracle gate (queries.py tx6/tx7); these
+pin the per-row semantics on hand-computable fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import (
+    PII_EMAIL_RE, PII_PHONE_RE, pii_count_col, pii_scrub_col,
+    repetition_signals_col,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col(F.col("text")).alias("v")).collect()[0]["v"]
+
+
+def test_pii_scrub_redacts_both_kinds(spark):
+    t = "mail bob.smith+x@sub.ex.org or call +44-123-4567 now"
+    assert _one(spark, t, pii_scrub_col) == \
+        "mail <EMAIL> or call <PHONE> now"
+
+
+def test_pii_counts(spark):
+    t = "a@b.com c@d.org +1-555-0100 plain text +12-345-6789"
+    df = spark.createDataFrame([(t,)], "text string")
+    r = df.select(
+        pii_count_col(F.col("text"), PII_EMAIL_RE).alias("e"),
+        pii_count_col(F.col("text"), PII_PHONE_RE).alias("p")).collect()[0]
+    assert (r["e"], r["p"]) == (2, 2)
+
+
+def test_pii_scrub_no_match_identity(spark):
+    t = "nothing sensitive here at all"
+    assert _one(spark, t, pii_scrub_col) == t
+
+
+def test_repetition_signals_hand_computed(spark):
+    r = _one(spark, "a a a b", repetition_signals_col)
+    # tokens [a,a,a,b]: 4 words, distinct 2 -> dup_tok 0.5
+    # bigrams [a a, a a, a b]: distinct 2 of 3 -> dup_2gram 1-2/3
+    assert r["n_words"] == 4
+    assert r["dup_tok_frac"] == 0.5
+    assert r["dup_2gram_frac"] == round(1 - 2 / 3, 4)
+
+
+def test_repetition_signals_all_unique(spark):
+    r = _one(spark, "w x y z", repetition_signals_col)
+    assert (r["dup_tok_frac"], r["dup_2gram_frac"]) == (0.0, 0.0)
+
+
+def test_repetition_single_word_no_bigrams(spark):
+    r = _one(spark, "solo", repetition_signals_col)
+    assert r["n_words"] == 1
+    assert r["dup_2gram_frac"] == 0.0
