@@ -313,3 +313,63 @@ def simhash_from_hashes(h: Column, bits: int = 16) -> Column:
         vote = F.aggregate(h, F.lit(0).cast("long"), vote_fn(b))
         out = out + F.when(vote > 0, F.lit(2 ** b)).otherwise(0).cast("long")
     return out
+
+
+# --- Line-level dedup (CCNet/C4 style) -----------------------------------
+def doc_lines_col(text: Column, words_per_line: int = 8) -> Column:
+    """Split a document into fixed-width word "lines" (the corpus has no
+    newlines; real HTML text would split on '\\n'). Casefolded so the dup
+    key is normalization-invariant. Empty docs yield an empty array."""
+    def chunks(w: Column) -> Column:
+        n = F.ceil(F.size(w) / float(words_per_line)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * words_per_line + 1, words_per_line), " "))
+
+    bound = F.transform(F.array(words_col(F.lower(text))), chunks)
+    return F.when(F.length(F.trim(text)) > 0, F.element_at(bound, 1)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               lines_col_name: str = "lines",
+               max_docs: int = 1) -> DataFrame:
+    """CCNet/C4-style line-level dedup: drop every line that appears in more
+    than `max_docs` DISTINCT documents (boilerplate: nav bars, cookie
+    banners, footers), keep the rest in original order.
+
+    Input: (id_col, lines: array<string>). Output: (id_col, n_lines,
+    n_kept, clean_md5) — md5 of the surviving lines re-joined, so the row
+    stays flat/hashable for the driver gate.
+
+    Scale shape (100 TB): explode is map-side; the corpus-wide line count
+    is ONE partial-agg shuffle keyed on the line string (at scale key on
+    xxhash64(line) instead — 8-byte shuffle keys; the string key here keeps
+    the DuckDB oracle bit-identical). The dup set (only lines with >max_docs
+    docs) is far smaller than the corpus and lands in an AQE-elected
+    broadcast for the anti-join at our sizes; reassembly is a second
+    partial-agg shuffle on doc id, even keys. No step is quadratic and no
+    driver-side collection occurs.
+    """
+    ln = (docs.select(id_col, F.posexplode(lines_col_name)
+                      .alias("pos", "line")))
+    dup = (ln.groupBy("line")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .where(F.col("nd") > max_docs)
+           .select("line"))
+    kept = ln.join(dup, "line", "left_anti")
+    agg = (kept.groupBy(id_col)
+           .agg(F.count("*").alias("n_kept"),
+                F.md5(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "line"))),
+                        lambda s: s.line), "\n")).alias("clean_md5")))
+    base = docs.select(id_col, F.size(lines_col_name).alias("n_lines"))
+    return (base.join(agg, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    F.coalesce("clean_md5", F.md5(F.lit("")))
+                     .alias("clean_md5")))

@@ -1195,3 +1195,97 @@ def tx7_repetition(spark, sf_dir):
     top = cnt.groupBy("doc_id").agg(
         F.round(F.max("c") / F.sum("c"), 4).alias("top_tok_frac"))
     return per.join(top, "doc_id")
+
+
+_DD9_BP = "'subscribe to channel ' || CAST(doc_id % 5 AS VARCHAR)"
+
+
+@q("dd9_line_dedup", f"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                  len(trim(text)) AS lt
+           FROM documents),
+base AS (SELECT doc_id,
+  list_append(
+    CASE WHEN lt > 0 THEN
+      list_transform(range(0, (len(ws) + 7) // 8),
+                     i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))
+    ELSE [] END,
+    {_DD9_BP}) AS lines
+  FROM w),
+ln0 AS (SELECT doc_id,
+               unnest(list_transform(range(0, len(lines)),
+                      i -> struct_pack(pos := i, line := lines[i+1]))) AS s
+        FROM base),
+ln AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM ln0),
+dup AS (SELECT line FROM ln GROUP BY line
+        HAVING count(DISTINCT doc_id) > 1),
+kept AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM dup)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.lines) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.clean_md5, md5('')) AS clean_md5
+FROM base b LEFT JOIN agg a USING (doc_id)
+""")
+def dd9_line_dedup(spark, sf_dir):
+    """CCNet/C4-style line-level dedup: any fixed-width word "line" present
+    in >1 distinct documents is boilerplate and removed corpus-wide; docs
+    are reassembled in original line order. A deterministic boilerplate
+    line (shared by each doc_id%5 cohort) is appended so the removal
+    provably fires on every row of the synthetic corpus.
+
+    Scale: explode map-side; ONE partial-agg shuffle keyed on the line
+    (xxhash64(line) at 100 TB), anti-join against the much-smaller dup set
+    (AQE-broadcast at our sizes), one even-keyed reassembly shuffle —
+    nothing quadratic, nothing driver-side. See textdedup.line_dedup."""
+    from crawler_spark.operators.textdedup import doc_lines_col, line_dedup
+    d = _t(spark, sf_dir, "documents")
+    bp = F.concat(F.lit("subscribe to channel "),
+                  (F.col("doc_id") % 5).cast("string"))
+    d2 = d.select("doc_id",
+                  F.array_append(doc_lines_col(F.col("text")), bp)
+                   .alias("lines"))
+    out = line_dedup(d2)
+    return out.select("doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+                      "n_kept", "clean_md5")
+
+
+@q("g2_anchor_agg", """
+SELECT dst,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src_hosts,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,
+       min(anchor) AS first_anchor
+FROM (SELECT source AS src,
+             'src' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst,
+             array_to_string(list_slice(regexp_split_to_array(trim(text),
+                             '\\s+'), 1, 5), ' ') AS anchor
+      FROM documents
+      WHERE source <> 'src' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR))
+GROUP BY dst
+""")
+def g2_anchor_agg(spark, sf_dir):
+    """Anchor-text aggregation (the classic corpus-building join: what do
+    OTHER pages say about this target?) over the same deterministic host
+    graph as g1_hostrank, anchor = the linking doc's first 5 words.
+
+    Scale: one partial-agg shuffle keyed on target host; count/min are
+    algebraic so map-side combine absorbs mega-host skew, and the two
+    count-distincts expand to the standard two-phase plan. At 100 TB the
+    anchors themselves would be collected top-k-per-target (W2's window
+    operator) rather than min() — the shuffle shape is identical."""
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    anchor = F.array_join(
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " ")
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"),
+                      anchor.alias("anchor"))
+             .where(F.col("src") != F.col("dst")))
+    return (edges.groupBy("dst")
+            .agg(F.count("*").cast("long").alias("n_inlinks"),
+                 F.count_distinct("src").alias("n_src_hosts"),
+                 F.count_distinct("anchor").alias("n_anchors"),
+                 F.min("anchor").alias("first_anchor")))

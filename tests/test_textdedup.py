@@ -108,3 +108,55 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     b = {"alpha beta gamma", "beta gamma delta", "gamma delta epsilon",
          "delta epsilon zeta", "epsilon zeta theta"}
     assert got[("nd1", "nd2")] == _jacc_py(a, b)
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """dd9 semantics on a hand-built corpus: a line shared by 2+ docs is
+    removed from EVERY doc (including all its copies), unique lines survive
+    in original order, and a doc reduced to nothing still emits a row."""
+    import hashlib
+    from crawler_spark.operators.textdedup import line_dedup
+
+    rows = [
+        (0, ["alpha beta", "cookie banner", "gamma delta"]),
+        (1, ["cookie banner", "epsilon zeta"]),
+        (2, ["cookie banner"]),              # fully scrubbed
+        (3, ["unique only line"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+
+    assert [out[i]["n_lines"] for i in range(4)] == [3, 2, 1, 1]
+    assert [out[i]["n_kept"] for i in range(4)] == [2, 1, 0, 1]
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[0]["clean_md5"] == md5("alpha beta\ngamma delta")  # order kept
+    assert out[1]["clean_md5"] == md5("epsilon zeta")
+    assert out[2]["clean_md5"] == md5("")
+    assert out[3]["clean_md5"] == md5("unique only line")
+
+
+def test_line_dedup_threshold(spark):
+    """max_docs=2 keeps lines shared by exactly 2 docs."""
+    from crawler_spark.operators.textdedup import line_dedup
+    rows = [(0, ["shared two", "a"]), (1, ["shared two", "b"]),
+            (2, ["tri"]), (3, ["tri"]), (4, ["tri"])]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r["doc_id"]: r["n_kept"]
+           for r in line_dedup(df, max_docs=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 0, 3: 0, 4: 0}
+
+
+def test_doc_lines_col_chunking(spark):
+    """8-word chunks, casefolded, whitespace-robust; empty text -> []."""
+    from crawler_spark.operators.textdedup import doc_lines_col
+    w17 = " ".join(f"W{i}" for i in range(17))
+    df = spark.createDataFrame([(0, w17), (1, "  "), (2, "one two")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["l"]
+           for r in df.select("doc_id",
+                              doc_lines_col(F.col("text")).alias("l"))
+                      .collect()}
+    assert out[0] == [" ".join(f"w{i}" for i in range(8)),
+                      " ".join(f"w{i}" for i in range(8, 16)), "w16"]
+    assert out[1] == []
+    assert out[2] == ["one two"]
