@@ -120,3 +120,70 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
                     robots_fetcher=robots_fetcher,
                     initial_frontier=recrawl_frontier(due))
     return due, run
+
+
+# --- Adaptive TTL from observed change rates ------------------------------
+def change_rate(obs: DataFrame, key_col: str = "key", ts_col: str = "t",
+                ord_col: str = "obs_id", sig_col: str = "sig",
+                max_ttl_days: float = 365.0) -> DataFrame:
+    """Per-key Poisson change-rate estimate from revisit observations, and
+    the adaptive recrawl TTL it implies.
+
+    The estimator is Cho & Garcia-Molina's bias-corrected frequency
+    estimator ("Estimating Frequency of Change", ACM TOIT 3(3), 2003):
+    with n-1 successive comparisons, X of which observed a change, at mean
+    revisit interval dt_bar seconds,
+
+        lambda_hat = -ln((n-1 - X + 0.5) / (n-1 + 0.5)) / dt_bar
+
+    (the naive X/(n-1) underestimates because multiple changes inside one
+    interval are observed as one). The emitted TTL is the change half-life
+    ln(2)/lambda_hat — revisit when the page has changed with p=0.5 —
+    capped at `max_ttl_days` (X=0 keys never observed changing).
+
+    Input: (key_col, ts_col epoch-seconds, ord_col unique tiebreak,
+    sig_col content signature — a fingerprint/etag/content-hash).
+    Output: (key, n_obs, n_changes, lambda_per_day, ttl_days).
+
+    Scale: ONE shuffle on key — the lag window and the groupBy share the
+    hash partitioning, so Catalyst reuses the exchange; everything after is
+    map-side arithmetic. Keys seen once (or with zero time span) are
+    dropped: no estimate is possible.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(ts_col, ord_col)
+    chg = (F.col(sig_col) != F.lag(sig_col).over(w)).cast("int")
+    x = obs.select(key_col, F.col(ts_col).alias("_t"), chg.alias("_chg"))
+    agg = (x.groupBy(key_col)
+           .agg(F.count("*").alias("n_obs"),
+                F.coalesce(F.sum("_chg"), F.lit(0)).alias("n_changes"),
+                F.max("_t").alias("_mx"), F.min("_t").alias("_mn"))
+           .where((F.col("n_obs") >= 2) & (F.col("_mx") > F.col("_mn"))))
+    ncmp = F.col("n_obs") - 1
+    dt_bar = (F.col("_mx") - F.col("_mn")) / ncmp.cast("double")
+    lam_day = (-F.log((ncmp - F.col("n_changes") + 0.5) / (ncmp + 0.5))
+               / dt_bar * 86400.0)
+    ttl = F.when(F.col("n_changes") == 0, F.lit(float(max_ttl_days))) \
+           .otherwise(F.least(F.lit(float(max_ttl_days)),
+                              F.lit(float(__import__("math").log(2)))
+                              / lam_day))
+    return agg.select(key_col, "n_obs", "n_changes",
+                      F.round(lam_day, 4).alias("lambda_per_day"),
+                      F.round(ttl, 4).alias("ttl_days"))
+
+
+def due_for_recrawl_adaptive(fetch_log: DataFrame, current_wave: int,
+                             ttl_by_host: DataFrame,
+                             default_ttl_waves: int) -> DataFrame:
+    """`due_for_recrawl` with a per-host TTL dimension instead of one global
+    constant: hosts that change often expire sooner. `ttl_by_host` is
+    (host, ttl_waves) — e.g. `change_rate` output quantized to waves.
+    Broadcast join (hosts dim << fetch_log); same one-aggregate shape."""
+    last = (fetch_log.where(F.col("status") == 200)
+            .groupBy("url_canon", "host")
+            .agg(F.max("wave").alias("last_fetch_wave")))
+    return (last.join(F.broadcast(ttl_by_host), "host", "left")
+            .withColumn("age", F.lit(current_wave) - F.col("last_fetch_wave"))
+            .where(F.col("age") >= F.coalesce(F.col("ttl_waves"),
+                                              F.lit(default_ttl_waves)))
+            .drop("ttl_waves"))

@@ -1289,3 +1289,50 @@ def g2_anchor_agg(spark, sf_dir):
                  F.count_distinct("src").alias("n_src_hosts"),
                  F.count_distinct("anchor").alias("n_anchors"),
                  F.min("anchor").alias("first_anchor")))
+
+
+@q("rc2_adaptive_ttl", """
+WITH o AS (SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type AS sig
+           FROM events),
+c AS (SELECT user_id, t,
+             CASE WHEN sig <> lag(sig) OVER
+                  (PARTITION BY user_id ORDER BY t, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM o),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(chg) AS BIGINT) AS n_changes,
+             max(t) AS mx, min(t) AS mn
+      FROM c GROUP BY user_id),
+e AS (SELECT *, (n_obs - 1) AS ncmp,
+             (mx - mn) * 1.0 / (n_obs - 1) AS dt_bar
+      FROM a WHERE n_obs >= 2 AND mx > mn)
+SELECT user_id, n_obs, n_changes,
+       round(-ln((ncmp - n_changes + 0.5) / (ncmp + 0.5))
+             / dt_bar * 86400.0, 4) AS lambda_per_day,
+       round(CASE WHEN n_changes = 0 THEN 365.0
+             ELSE least(365.0, ln(2) /
+                  (-ln((ncmp - n_changes + 0.5) / (ncmp + 0.5))
+                   / dt_bar * 86400.0)) END, 4) AS ttl_days
+FROM e
+""")
+def rc2_adaptive_ttl(spark, sf_dir):
+    """Adaptive recrawl TTL: per-key Poisson change-rate estimate (Cho &
+    Garcia-Molina's bias-corrected frequency estimator) over a revisit
+    observation log, emitting the change half-life as the revisit TTL.
+    Driver-table mapping: events = fetch observations (user_id = page key,
+    event_type = content signature, ts = fetch time). The engine path is
+    operators/recrawl.change_rate + due_for_recrawl_adaptive (per-host TTL
+    joined broadcast into the due-set aggregate)."""
+    from crawler_spark.operators.recrawl import change_rate
+    e = _t(spark, sf_dir, "events")
+    obs = e.select(F.col("user_id").alias("key"),
+                   F.unix_timestamp("ts").alias("t"),
+                   F.col("event_id").alias("obs_id"),
+                   F.col("event_type").alias("sig"))
+    out = change_rate(obs, key_col="key", ts_col="t", ord_col="obs_id",
+                      sig_col="sig", max_ttl_days=365.0)
+    return out.select(F.col("key").alias("user_id"),
+                      F.col("n_obs").cast("long").alias("n_obs"),
+                      F.col("n_changes").cast("long").alias("n_changes"),
+                      "lambda_per_day", "ttl_days")

@@ -188,3 +188,54 @@ def test_cuckoo_expiry_reopens_urls(finished_crawl):
     retained_keys = np.setdiff1d(seen_keys, due_keys)
     assert not cf.contains_keys(due_keys).any()
     assert cf.contains_keys(retained_keys).all()
+
+
+def test_change_rate_estimator(spark):
+    """Cho/Garcia-Molina estimator on a hand-built observation log:
+    lambda = -ln((ncmp - X + 0.5)/(ncmp + 0.5))/dt_bar, ttl = half-life;
+    never-changing keys get the max TTL; single-observation keys drop."""
+    import math
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.recrawl import change_rate
+
+    rows = (
+        # key 1: 5 obs, 100s apart, sigs a a b b c -> X=2 of ncmp=4
+        [(1, 1000 + 100 * i, i, s)
+         for i, s in enumerate(["a", "a", "b", "b", "c"])]
+        # key 2: 3 obs, never changes -> X=0 -> ttl = max
+        + [(2, 1000 + 50 * i, i, "z") for i in range(3)]
+        # key 3: one obs -> no estimate
+        + [(3, 1000, 0, "q")])
+    obs = spark.createDataFrame(
+        rows, "key long, t long, obs_id long, sig string")
+    out = {r["key"]: r for r in change_rate(obs, max_ttl_days=365.0)
+           .collect()}
+
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_obs"], r1["n_changes"]) == (5, 2)
+    lam = -math.log((4 - 2 + 0.5) / 4.5) / 100.0 * 86400.0
+    assert r1["lambda_per_day"] == round(lam, 4)
+    assert r1["ttl_days"] == round(math.log(2) / lam, 4)
+    assert out[2]["n_changes"] == 0 and out[2]["ttl_days"] == 365.0
+
+
+def test_due_for_recrawl_adaptive_per_host_ttl(spark):
+    """Hosts expire under their OWN ttl; unknown hosts use the default."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.recrawl import due_for_recrawl_adaptive
+
+    log = spark.createDataFrame(
+        [("http://h1/a", "h1", 0, 200), ("http://h2/a", "h2", 0, 200),
+         ("http://h3/a", "h3", 0, 200), ("http://h1/b", "h1", 2, 200),
+         ("http://h2/fail", "h2", 2, 500)],
+        "url_canon string, host string, wave int, status int")
+    ttls = spark.createDataFrame([("h1", 1), ("h2", 5)],
+                                 "host string, ttl_waves int")
+    due = {r["url_canon"]: r["age"]
+           for r in due_for_recrawl_adaptive(log, 3, ttls,
+                                             default_ttl_waves=2).collect()}
+    # h1: ttl 1 -> both rows due (ages 3 and 1)... age>=1: /a age 3, /b age 1
+    # h2: ttl 5 -> /a age 3 not due (failed fetch at wave 2 ignored)
+    # h3: default ttl 2 -> age 3 due
+    assert due == {"http://h1/a": 3, "http://h1/b": 1, "http://h3/a": 3}
