@@ -1336,3 +1336,54 @@ def rc2_adaptive_ttl(spark, sf_dir):
                       F.col("n_obs").cast("long").alias("n_obs"),
                       F.col("n_changes").cast("long").alias("n_changes"),
                       "lambda_per_day", "ttl_days")
+
+
+_TX3_TOKENS = ("CAST(list_sum(list_transform(regexp_split_to_array(trim(text),"
+               " '\\s+'), w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))"
+               " AS BIGINT)")
+
+
+@q("tx8_token_budget_mix", f"""
+WITH s AS (SELECT doc_id, lang, {_QUALITY_EXPR} AS quality,
+                  {_TX3_TOKENS} AS n_tokens
+           FROM documents),
+w AS (SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY quality DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      FROM s)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM w WHERE cum_tokens <= CAST(floor(0.4 * tot) AS BIGINT)
+""")
+def tx8_token_budget_mix(spark, sf_dir):
+    """Data mixing: per-language, keep the highest-quality documents until
+    40% of that language's token mass is selected (quality desc, doc_id as
+    the deterministic tiebreak). operators/sampling.token_budget_select;
+    both windows share one exchange — see its docstring for the
+    threshold-pass variant that replaces the per-stratum sort at 100 TB."""
+    from crawler_spark.operators.sampling import token_budget_select
+    d = _t(spark, sf_dir, "documents")
+    s = d.select("doc_id", "lang",
+                 quality_score_col(F.col("text")).alias("quality"),
+                 token_count_col(F.col("text")).alias("n_tokens"))
+    out = token_budget_select(s, "lang", "n_tokens", 0.4,
+                              [F.desc("quality"), F.col("doc_id")])
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+@q("tx9_hash_split", """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(source || '/' || doc_id), 1, 8))::BIGINT
+                 % 1000 < 50
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+""")
+def tx9_hash_split(spark, sf_dir):
+    """Deterministic train/val split (~5 percent validation) keyed on a
+    content-stable id — reproducible across runs/engines/partitionings,
+    map-side, zero shuffle. operators/sampling.hash_split."""
+    from crawler_spark.operators.sampling import hash_split
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+    return d.select("doc_id", hash_split(key, 50).alias("split"))

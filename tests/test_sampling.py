@@ -1,0 +1,57 @@
+"""Unit specs for corpus sampling (operators/sampling.py): budget-cutoff
+semantics and split determinism/proportion."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.sampling import hash_split, token_budget_select
+
+
+def test_token_budget_select_cutoff(spark):
+    """Per-stratum: rows kept in rank order while the running total stays
+    within frac of the stratum mass; the row that crosses the budget is
+    dropped even if some budget remains."""
+    rows = [  # lang a: tokens 50+30+20 = 100, budget 0.6 -> 60
+        ("a", 1, 0.9, 50),   # cum 50 <= 60 keep
+        ("a", 2, 0.8, 30),   # cum 80 > 60 drop (crosses budget)
+        ("a", 3, 0.7, 20),   # cum 100 drop
+        # lang b: 10+10 = 20, budget 0.6 -> 12
+        ("b", 4, 0.9, 10),   # cum 10 keep
+        ("b", 5, 0.1, 10),   # cum 20 > 12 drop
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, doc_id long, quality double, n_tokens long")
+    out = token_budget_select(df, "lang", "n_tokens", 0.6,
+                              [F.desc("quality"), F.col("doc_id")])
+    got = {(r["lang"], r["doc_id"]): r["cum_tokens"] for r in out.collect()}
+    assert got == {("a", 1): 50, ("b", 4): 10}
+
+
+def test_token_budget_rank_order_not_input_order(spark):
+    """Selection follows quality rank, not input/row order."""
+    rows = [("a", 1, 0.1, 40), ("a", 2, 0.9, 40), ("a", 3, 0.5, 40)]
+    df = spark.createDataFrame(
+        rows, "lang string, doc_id long, quality double, n_tokens long")
+    out = token_budget_select(df, "lang", "n_tokens", 0.7,  # budget 84
+                              [F.desc("quality"), F.col("doc_id")])
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Same key -> same split on re-evaluation and under repartitioning;
+    permille parameter lands near the asked proportion."""
+    import hashlib
+    df = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+    col = hash_split(F.col("k").cast("string"), 100)   # ~10%
+    a = {r["k"]: r["s"] for r in df.select("k", col.alias("s")).collect()}
+    b = {r["k"]: r["s"]
+         for r in df.repartition(13).select("k", col.alias("s")).collect()}
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.07 < frac < 0.13
+    # pin the hash contract itself: md5 first 8 hex chars mod 1000
+    k = "17"
+    expected = "val" if int(hashlib.md5(k.encode()).hexdigest()[:8], 16) \
+        % 1000 < 100 else "train"
+    assert a[17] == expected
