@@ -87,7 +87,8 @@ def expire_from_cuckoo(cuckoo, due: DataFrame) -> int:
 
 def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
                 ttl_waves: int, robots_src: DataFrame | None = None,
-                sink=None, robots_fetcher=None):
+                sink=None, robots_fetcher=None,
+                ttl_by_host: DataFrame | None = None):
     """Recrawl a COMPLETED checkpointed crawl: re-fetch every URL whose last
     fetch is >= ttl_waves older than the job's final wave.
 
@@ -95,6 +96,11 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
     fresh drain over it (run_crawl with initial_frontier). Returns
     (due_df, CrawlRun). The recrawl's own snapshots go to
     `spec.checkpoint_dir` if set (use a new directory — it is a new job).
+
+    `ttl_by_host` (host, ttl_waves) switches the due-set to the adaptive
+    per-host rule (`due_for_recrawl_adaptive`, e.g. `change_rate` output
+    quantized to waves); `ttl_waves` then serves as the default for hosts
+    without an estimate.
     """
     from crawler_spark.plans.frontier import run_crawl
 
@@ -115,7 +121,12 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
     log = store.read_delta_union("fetch_log", last)
     if log is None:
         raise ValueError("store has no fetch_log deltas to age")
-    due = due_for_recrawl(log, last + 1, ttl_waves).localCheckpoint(eager=True)
+    if ttl_by_host is not None:
+        due = due_for_recrawl_adaptive(log, last + 1, ttl_by_host,
+                                       default_ttl_waves=ttl_waves)
+    else:
+        due = due_for_recrawl(log, last + 1, ttl_waves)
+    due = due.localCheckpoint(eager=True)
     run = run_crawl(spark, spec, fetcher, robots_src=robots_src, sink=sink,
                     robots_fetcher=robots_fetcher,
                     initial_frontier=recrawl_frontier(due))

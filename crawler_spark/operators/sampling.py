@@ -54,3 +54,36 @@ def hash_split(key: Column, val_permille: int) -> Column:
     bit-identical in Spark and DuckDB). Map-side, zero shuffle."""
     bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 1000
     return F.when(bucket < val_permille, F.lit("val")).otherwise(F.lit("train"))
+
+
+def token_budget_threshold(df: DataFrame, strata_col: str, tokens_col: str,
+                           frac: float, quality_col: str) -> DataFrame:
+    """The 100 TB formulation of `token_budget_select`: no per-stratum sort
+    of documents. Aggregate token mass per (stratum, quality bucket) — a
+    tiny table when quality is a bounded-precision score — run the budget
+    cutoff over THAT, and broadcast the resulting per-stratum quality
+    threshold back as a map-side filter.
+
+    Selection differs from the exact window version only at the boundary
+    bucket: whole buckets are kept while their cumulative mass fits the
+    budget, so kept(threshold) ⊆ kept(exact) and the token shortfall is
+    bounded by one bucket's mass (property-tested). Strata whose single
+    best bucket already exceeds the budget select nothing — at that point
+    the budget is below the quantization floor and the caller should bucket
+    finer. Shuffles: ONE partial-agg at (stratum × quality) cardinality;
+    the document-level pass is a broadcast join + filter, no sort, no
+    window over documents.
+    """
+    hist = (df.groupBy(strata_col, quality_col)
+            .agg(F.sum(tokens_col).alias("_bt")))
+    w_cum = (Window.partitionBy(strata_col).orderBy(F.desc(quality_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(strata_col)
+    cut = (hist.withColumn("_cum", F.sum("_bt").over(w_cum))
+           .withColumn("_tot", F.sum("_bt").over(w_tot))
+           .where(F.col("_cum")
+                  <= F.floor(F.lit(frac) * F.col("_tot")).cast("long"))
+           .groupBy(strata_col).agg(F.min(quality_col).alias("_qmin")))
+    return (df.join(F.broadcast(cut), strata_col)
+            .where(F.col(quality_col) >= F.col("_qmin"))
+            .drop("_qmin"))

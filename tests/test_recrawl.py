@@ -239,3 +239,32 @@ def test_due_for_recrawl_adaptive_per_host_ttl(spark):
     # h2: ttl 5 -> /a age 3 not due (failed fetch at wave 2 ignored)
     # h3: default ttl 2 -> age 3 due
     assert due == {"http://h1/a": 3, "http://h1/b": 1, "http://h3/a": 3}
+
+
+def test_recrawl_adaptive_ttl_by_host(finished_crawl):
+    """run_recrawl(ttl_by_host=...) refetches exactly the union of each
+    host's own due set: a fast-changing host expires at ttl 2 while the
+    rest stay on a default too large to fire."""
+    import dataclasses as _dc
+    from pyspark.sql import functions as F
+    from crawler_spark.functions.canon import host_col
+    from crawler_spark.operators.recrawl import run_recrawl as _rr
+
+    spark, spec, fetcher, robots_df, store, run = finished_crawl
+    cur = store.latest_wave() + 1
+    by_host: dict[str, dict[str, int]] = {}
+    for r in run.fetch_log.collect():
+        if r["status"] == 200:
+            h = by_host.setdefault(r["host"], {})
+            h[r["url_canon"]] = max(h.get(r["url_canon"], -1), r["wave"])
+    fast = sorted(by_host)[0]                       # deterministic pick
+    expected = {u for u, w in by_host[fast].items() if cur - w >= 2}
+    assert expected, "fast host must have due URLs at ttl 2"
+
+    ttls = spark.createDataFrame([(fast, 2)], "host string, ttl_waves int")
+    rspec = _dc.replace(spec, checkpoint_dir="", max_depth=0,
+                        per_host_tokens=1e9, token_cap=1e9)
+    due, rerun = _rr(spark, rspec, fetcher, store, 10_000,
+                     robots_src=robots_df, ttl_by_host=ttls)
+    refetched = {r["url_canon"] for r in rerun.fetch_log.collect()}
+    assert refetched == expected

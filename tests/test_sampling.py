@@ -5,7 +5,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crawler_spark.operators.sampling import hash_split, token_budget_select
+from crawler_spark.operators.sampling import (
+    hash_split, token_budget_select, token_budget_threshold,
+)
 
 
 def test_token_budget_select_cutoff(spark):
@@ -55,3 +57,45 @@ def test_hash_split_deterministic_and_proportional(spark):
     expected = "val" if int(hashlib.md5(k.encode()).hexdigest()[:8], 16) \
         % 1000 < 100 else "train"
     assert a[17] == expected
+
+
+def test_threshold_variant_bounded_by_exact(spark):
+    """kept(threshold) ⊆ kept(exact window); the difference is confined to
+    the boundary quality bucket; equality when the budget lands on a bucket
+    edge."""
+    rows = []
+    for lang, specs in {
+        "a": [(0.9, 40, 3), (0.5, 40, 3), (0.1, 40, 3)],   # 360 tokens
+        "b": [(0.8, 100, 2), (0.2, 100, 3)],               # 500 tokens
+    }.items():
+        i = 0
+        for q, tk, n in specs:
+            for _ in range(n):
+                rows.append((lang, hash(lang) % 97 * 100 + i, q, tk))
+                i += 1
+    df = spark.createDataFrame(
+        rows, "lang string, doc_id long, quality double, n_tokens long")
+
+    for frac in (0.34, 0.5, 0.6):
+        exact = {(r["lang"], r["doc_id"])
+                 for r in token_budget_select(
+                     df, "lang", "n_tokens", frac,
+                     [F.desc("quality"), F.col("doc_id")]).collect()}
+        thr = {(r["lang"], r["doc_id"])
+               for r in token_budget_threshold(
+                   df, "lang", "n_tokens", frac, "quality").collect()}
+        assert thr <= exact
+        # extras all sit in one quality bucket per stratum
+        qual = {(r["lang"], r["doc_id"]): r["quality"] for r in df.collect()}
+        for lang in ("a", "b"):
+            extras = {q for (l, d), q in qual.items()
+                      if (l, d) in exact - thr and l == lang}
+            assert len(extras) <= 1
+    # frac 1/3 on lang a = 120 tokens = exactly the 0.9 bucket
+    thr = {(r["lang"], r["doc_id"])
+           for r in token_budget_threshold(
+               df, "lang", "n_tokens", 1 / 3, "quality").collect()
+           if r["lang"] == "a"}
+    assert {q for (l, d), q in
+            {(r["lang"], r["doc_id"]): r["quality"]
+             for r in df.collect()}.items() if (l, d) in thr} == {0.9}
