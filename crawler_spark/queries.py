@@ -1387,3 +1387,52 @@ def tx9_hash_split(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     key = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
     return d.select("doc_id", hash_split(key, 50).alias("split"))
+
+
+@q("an5_ivf_recall", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qcell
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+ex0 AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4)
+           AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+exact AS (SELECT qid, vec_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id) AS rnk
+  FROM ex0) WHERE rnk <= 10),
+ap0 AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4)
+           AS cosine
+  FROM embeddings e JOIN q ON e.label = q.qcell WHERE e.vec_id <> q.qid),
+approx AS (SELECT qid, vec_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id) AS rnk
+  FROM ap0) WHERE rnk <= 10)
+SELECT e.qid, CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS recall
+FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+GROUP BY e.qid
+""")
+def an5_ivf_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@10 of the IVF 1-probe path (an2)
+    against the brute-force baseline (an1), per query. The eval every
+    approximate index ships with — run on a sampled slice at 100 TB (the
+    brute-force side is the quadratic one; the sample bounds it), while
+    the IVF side stays the production plan."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    exact = brute_force_topk(e, qs, k=10).select("qid", "vec_id")
+    approx = (ivf_topk(e, qs, k=10)
+              .select("qid", "vec_id", F.lit(1).alias("hit")))
+    return (exact.join(approx, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(F.count("*").alias("k"),
+                 F.coalesce(F.sum("hit"), F.lit(0)).cast("long")
+                  .alias("n_hit"),
+                 F.round(F.coalesce(F.sum("hit"), F.lit(0)) / F.count("*"), 4)
+                  .alias("recall")))
