@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -90,27 +92,34 @@ class BloomFilter:
         np.bitwise_or(self.bits, other.bits, out=self.bits)
 
 
-# Per-Python-worker cache for spilled bloom partitions: (dir, part) -> bytes
-# or None (part never had keys). The spill dir is epoch-stamped, so a new
-# merge state is a new directory and stale entries are simply never hit.
-_PART_CACHE: dict[tuple[str, int], bytes | None] = {}
+# Per-Python-worker cache for spilled bloom partitions, keyed
+# (dir, part, version). The broadcast payload names the exact version of
+# every part, so a stale entry is never *served*; superseded versions are
+# evicted on load so a long-lived reused worker holds at most one blob per
+# (dir, part) — bounded memory even across hundreds of waves/resumes.
+_PART_CACHE: dict[tuple[str, int, int], bytes] = {}
 
 
 def _resolve_part(state: dict, part: int) -> bytes | None:
     """Fetch one part's bitset from the broadcast payload (broadcast mode)
     or from the spill directory with a per-worker cache (spilled mode). A
-    missing file means no key was ever added to that partition — a correct
-    'definitely new' for every probe that lands there."""
+    part absent from the version map never had a key added — a correct
+    'definitely new' for every probe that lands there. A part that IS in
+    the map but whose file is gone is a storage fault: raise (a silent None
+    here would be a bloom false negative, i.e. re-admission of seen URLs)."""
     if "parts" in state:
         return state["parts"].get(part)
-    key = (state["dir"], part)
+    ver = state["vers"].get(part)
+    if ver is None:
+        return None
+    key = (state["dir"], part, ver)
     if key not in _PART_CACHE:
-        path = os.path.join(state["dir"], f"part={part}.bloom")
-        if os.path.exists(path):
-            with open(path, "rb") as fh:
-                _PART_CACHE[key] = fh.read()
-        else:
-            _PART_CACHE[key] = None
+        for stale in [k for k in _PART_CACHE
+                      if k[0] == state["dir"] and k[1] == part]:
+            del _PART_CACHE[stale]
+        path = os.path.join(state["dir"], f"part={part}.v={ver}.bloom")
+        with open(path, "rb") as fh:
+            _PART_CACHE[key] = fh.read()
     return _PART_CACHE[key]
 
 
@@ -157,22 +166,34 @@ class SeenBloom:
         self.m, self.k = proto.m, proto.k
         self.parts: dict[int, bytes] = {}
         self._bc = None
-        self._epoch = 0          # bumps on every merge/load — versions spills
+        # Spill state. The run token makes this instance's spill directory
+        # unique: a resumed run re-spilling under the same store root must
+        # NOT reuse a previous process's paths, or reused Python workers
+        # would serve that run's cached (smaller) bitsets — bloom false
+        # negatives, i.e. silent re-admission of seen URLs.
+        self._run_token = uuid.uuid4().hex[:12]
+        self._spill_base: str | None = None
+        self._ver: dict[int, int] = {}     # per-part last-spilled version
+        self._dirty: set[int] = set()      # parts changed since last spill
         self.spill_dir: str | None = None
 
     def merge_from(self, bloom_rows: list) -> None:
-        """Final aggregate: OR new per-partition bitsets into driver state."""
+        """Final aggregate: OR new per-partition bitsets into driver state.
+        Parts whose bytes actually change are marked dirty so the next spill
+        rewrites only them (a wave that touches few partitions re-spills
+        few files)."""
         for row in bloom_rows:
             cur = self.parts.get(row["part"])
             new = np.frombuffer(row["bits"], dtype=np.uint8)
             if cur is None:
                 self.parts[row["part"]] = new.tobytes()
+                self._dirty.add(row["part"])
             else:
-                self.parts[row["part"]] = (
-                    np.frombuffer(cur, dtype=np.uint8) | new).tobytes()
+                merged = (np.frombuffer(cur, dtype=np.uint8) | new).tobytes()
+                if merged != cur:
+                    self.parts[row["part"]] = merged
+                    self._dirty.add(row["part"])
         self._bc = None          # invalidate broadcast
-        self._epoch += 1         # any prior spill is stale: the filter grew
-        self.spill_dir = None    # (a stale probe would false-negative)
 
     def to_rows(self) -> list[tuple[int, bytes, int, int, int]]:
         """Snapshot payload (§4.3): the merged per-partition bitsets, sorted
@@ -207,9 +228,8 @@ class SeenBloom:
             return False
         self.parts = incoming
         self._bc = None
-        self._epoch += 1
-        self.spill_dir = None
-        return True
+        self._dirty = set(incoming)   # every part must re-spill under a new
+        return True                   # version before any spilled probe
 
     # ---- probe-side distribution -------------------------------------
     #
@@ -221,29 +241,55 @@ class SeenBloom:
     #     to a shared store (the snapshot dir in this repo; an object store
     #     at cluster scale) and the broadcast carries only geometry + path.
     #     Each task lazy-loads exactly the partitions its Arrow batch
-    #     probes, with a per-worker cache keyed by (dir, epoch, part), so
+    #     probes, with a per-worker cache keyed by (dir, part, version), so
     #     probe memory is proportional to the partitions a task touches —
     #     one, when the probe side is repartitioned by pmod(url_hash,
-    #     n_parts) — not to n_parts. The epoch ties cache entries to a
-    #     specific merge state: the filter only grows, so a stale bitset
-    #     would yield false negatives (re-admission), never just waste.
+    #     n_parts) — not to n_parts. The broadcast names the exact version
+    #     of every part (the filter only grows, so a stale bitset would
+    #     yield false negatives — re-admission — never just waste);
+    #     superseded versions are evicted from the cache and deleted from
+    #     disk, and the run-token directory isolates resumed processes.
 
     def total_bytes(self) -> int:
         """Current merged-filter payload size (what a full broadcast ships)."""
         return sum(len(b) for b in self.parts.values())
 
     def spill(self, dirpath: str) -> str:
-        """Write per-part bitsets to `dirpath` and switch the probe to
-        partition-local lazy loading. Returns the epoch-stamped directory
-        actually written (stable for a given merge state)."""
-        self._epoch += 1
-        d = os.path.join(dirpath, f"epoch={self._epoch}")
-        os.makedirs(d, exist_ok=True)
-        for p, b in self.parts.items():
-            tmp = os.path.join(d, f"part={p}.bloom.tmp")
+        """Write per-part bitsets under `dirpath` and switch the probe to
+        partition-local lazy loading.
+
+        Layout: {dirpath}/run={token}/part={p}.v={version}.bloom — one live
+        file per part. Only parts dirtied since the last spill are
+        rewritten (version bumped, superseded file deleted), so steady-state
+        disk is one copy of the filter, not one copy per wave. On the first
+        spill of this instance, leftover run=* directories from previous
+        (killed) processes under the same store are garbage-collected."""
+        d = os.path.join(dirpath, f"run={self._run_token}")
+        if self.spill_dir != d:
+            if os.path.isdir(dirpath):
+                for stale in os.listdir(dirpath):
+                    if stale.startswith("run=") and stale != f"run={self._run_token}":
+                        shutil.rmtree(os.path.join(dirpath, stale),
+                                      ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+            to_write = set(self.parts)      # first spill: everything
+        else:
+            to_write = set(self._dirty)
+        for p in sorted(to_write):
+            old = self._ver.get(p, 0)
+            new = old + 1
+            tmp = os.path.join(d, f"part={p}.v={new}.bloom.tmp")
             with open(tmp, "wb") as fh:
-                fh.write(b)
-            os.replace(tmp, os.path.join(d, f"part={p}.bloom"))
+                fh.write(self.parts[p])
+            os.replace(tmp, os.path.join(d, f"part={p}.v={new}.bloom"))
+            self._ver[p] = new
+            if old:
+                try:
+                    os.remove(os.path.join(d, f"part={p}.v={old}.bloom"))
+                except OSError:
+                    pass
+        self._dirty.clear()
+        self._spill_base = dirpath
         self.spill_dir = d
         self._bc = None
         return d
@@ -251,13 +297,21 @@ class SeenBloom:
     def unspill(self) -> None:
         """Back to full-broadcast probing (test/debug aid)."""
         self.spill_dir = None
+        self._spill_base = None
         self._bc = None
 
     def broadcast(self, spark: SparkSession):
         if self._bc is None:
+            # self-healing: a merge after a spill leaves dirty parts whose
+            # on-disk bitsets are stale — re-spill them before any probe
+            # ships, so a forgotten explicit spill() can never serve a
+            # filter that would false-negative on the new keys
+            if self._spill_base and self._dirty:
+                self.spill(self._spill_base)
             payload = {"m": self.m, "k": self.k, "n_parts": self.n_parts}
-            if getattr(self, "spill_dir", None):
+            if self.spill_dir:
                 payload["dir"] = self.spill_dir
+                payload["vers"] = dict(self._ver)
             else:
                 payload["parts"] = self.parts
             self._bc = spark.sparkContext.broadcast(payload)

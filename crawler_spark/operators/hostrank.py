@@ -86,17 +86,22 @@ def pagerank_hosts(edges: DataFrame, iters: int = 5,
 
 
 def hostrank_boosts(ranks: DataFrame) -> DataFrame:
-    """(host, host_boost) with boost = -rank / max(rank) in [-1, 0).
+    """(host, host_boost) with boost = -0.99 * rank / max(rank) in (-1, 0).
 
-    Scaled to unit magnitude so the boost composes with in-degree priority
-    (integral -n_refs) as a fractional cross-host tiebreak: host order is
-    decided by rank between equal-in-degree URLs, while a heavily-cited
-    URL still outranks any boost.  Feed to
+    Scaled to STRICTLY sub-unit magnitude so the boost composes with
+    in-degree priority (integral -n_refs) as a fractional cross-host
+    tiebreak: host order is decided by rank between equal-in-degree URLs,
+    while a heavily-cited URL always outranks any boost — the 0.99 keeps
+    even the top-ranked host's boost from reaching a full in-degree unit,
+    where it would tie (in_degree+1) on an unboosted host and hand the
+    decision to the depth/url tiebreak.  Feed to
     `run_crawl(..., host_priorities=...)`.
     """
     mx = ranks.agg(F.max("rank").alias("mx"))
     return (ranks.crossJoin(F.broadcast(mx))
-            .select("host", (-F.col("rank") / F.col("mx")).alias("host_boost")))
+            .select("host",
+                    (F.lit(-0.99) * F.col("rank") / F.col("mx"))
+                    .alias("host_boost")))
 
 
 def pagerank_oracle_sql(edges_cte: str, iters: int = 5,

@@ -21,6 +21,8 @@ north-rule benchmark (bench.py --drain): every due URL pending at once.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from crawler_spark.operators.dedup import url_hash_col
@@ -85,6 +87,15 @@ def expire_from_cuckoo(cuckoo, due: DataFrame) -> int:
     return int(cuckoo.delete_keys(keys).sum())
 
 
+def _job_ended(store, last: int) -> bool:
+    """True if the store's metrics carry a job-end lifecycle row (the crawl
+    finished by draining OR by hitting its global budget)."""
+    m = store.read_delta_union("metrics", last)
+    if m is None or "event" not in m.columns:
+        return False
+    return m.where(F.col("event") == "end").limit(1).count() > 0
+
+
 def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
                 ttl_waves: int, robots_src: DataFrame | None = None,
                 sink=None, robots_fetcher=None,
@@ -111,9 +122,13 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
     # Enforce the COMPLETED precondition: a store killed mid-crawl still has
     # pending frontier rows; those URLs have no fetch_log rows, so they would
     # be neither due nor crawled — a silently incomplete refresh. Resume the
-    # crawl to completion first.
+    # crawl to completion first. A BUDGET-completed crawl (max_pages /
+    # max_waves reached — frontier.py commits a job-end metrics row) also
+    # carries pending rows, but resuming it cannot drain them by design, so
+    # it IS recrawlable: the refresh covers the fetched set, which is all a
+    # capped job ever promises.
     n_pending = store.read_full("frontier", last).count()
-    if n_pending:
+    if n_pending and not _job_ended(store, last):
         raise ValueError(
             f"store at wave {last} is not a completed crawl: {n_pending} "
             "frontier URL(s) still pending — resume the crawl to completion "
@@ -176,7 +191,7 @@ def change_rate(obs: DataFrame, key_col: str = "key", ts_col: str = "t",
                / dt_bar * 86400.0)
     ttl = F.when(F.col("n_changes") == 0, F.lit(float(max_ttl_days))) \
            .otherwise(F.least(F.lit(float(max_ttl_days)),
-                              F.lit(float(__import__("math").log(2)))
+                              F.lit(math.log(2))
                               / lam_day))
     return agg.select(key_col, "n_obs", "n_changes",
                       F.round(lam_day, 4).alias("lambda_per_day"),

@@ -208,6 +208,16 @@ def rolling_hashes_incremental(docs: DataFrame, k: int = 4,
     recurrence W[i+1] = (W[i]*B - h[i]*(B^k mod M) + h[i+k]) mod M computes
     the same polynomial mod M as the per-window Horner re-fold).
 
+    Bit-identity holds for inputs in [0, 2^32) — what `word_hashes_col`
+    produces (both paths feed from it). Outside that domain the two mod
+    conventions diverge: this path floor-mods inputs up front (numpy %,
+    always non-negative) while the column path folds raw values through
+    Spark's sign-preserving %, so e.g. a negative xxhash64 yields different
+    (not wrong, but non-interchangeable) fingerprints. If xxhash64 is ever
+    swapped in (see module notes), pmod it into [0, ROLL_M) on BOTH paths
+    first — mixing the paths over raw signed hashes silently partitions
+    the corpus into two incompatible fingerprint spaces.
+
     This is the large-k scale path: the column-algebra form re-folds k
     elements per window (O(n*k) work inside codegen — fine at k=4, the
     wrong asymptotics at winnowing-grade k≈50). A modular prefix scan is

@@ -121,7 +121,11 @@ class SnapDirStore:
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: a resumed run may append deltas with columns an older
+        # process's files lack (e.g. metrics grew job_id/event) — without it
+        # Spark infers from one arbitrary file and the new columns silently
+        # vanish from the union
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_seen(self, wave: int) -> DataFrame:
         """Reconstruct `seen` as of `wave` under either layout: a full

@@ -134,7 +134,7 @@ def test_spilled_probe_is_partition_local(spark, seen_and_cands, tmp_path):
 
     d = bloom.spill(str(tmp_path / "onlypart3"))
     for f in os.listdir(d):
-        if f != "part=3.bloom":
+        if not f.startswith("part=3."):
             os.remove(os.path.join(d, f))
     got = {r["url_canon"]: r["m"] for r in one_part.withColumn(
         "m", bloom.probe_udf(spark)("url_hash")).collect()}
@@ -184,3 +184,58 @@ def test_crawl_with_forced_spill_bit_identical(spark, small_cfg, tmp_path):
             content_fingerprint(sb.read_full(t, last)), t
     assert content_fingerprint(sa.read_seen(last)) == \
         content_fingerprint(sb.read_seen(last))
+
+
+def test_spilled_merge_no_stale_cache_no_false_negatives(spark,
+                                                         seen_and_cands,
+                                                         tmp_path):
+    """Regression: spill -> probe (warms worker caches) -> merge more keys
+    -> probe again. The second probe must see the NEW keys even though
+    reused Python workers cached the first spill's bitsets: the broadcast
+    names per-part versions, a dirty merge re-spills (self-healing, no
+    explicit spill() call here), and stale cache entries are keyed away.
+    Under the old epoch-per-instance scheme this scenario served the small
+    first-spill bitsets -> bloom false negatives -> re-admitted URLs."""
+    import os
+    seen, _ = seen_and_cands
+    half1 = seen.where(F.col("url_hash") % 2 == 0).localCheckpoint(eager=True)
+    half2 = seen.where(F.col("url_hash") % 2 != 0).localCheckpoint(eager=True)
+
+    bloom = SeenBloom(n_parts=8, keys_per_part=2048, fpp=0.01)
+    bloom.merge_from(build_bloom_parts(half1, 8, 2048, 0.01).collect())
+    base = str(tmp_path / "spill")
+    bloom.spill(base)
+    # warm the per-worker caches with v1 bitsets
+    seen.withColumn("m", bloom.probe_udf(spark)("url_hash")).collect()
+
+    bloom.merge_from(build_bloom_parts(half2, 8, 2048, 0.01).collect())
+    got = {r["url_canon"]: r["m"] for r in
+           seen.withColumn("m", bloom.probe_udf(spark)("url_hash")).collect()}
+    assert all(got.values()), "merged keys invisible: stale spill/cache served"
+
+    # one live file per part, versions bumped only for rewritten parts
+    d = bloom.spill_dir
+    files = sorted(os.listdir(d))
+    parts = {f.split(".v=")[0] for f in files}
+    assert len(files) == len(parts), f"superseded versions not GC'd: {files}"
+
+
+def test_resumed_instance_uses_fresh_spill_dir(spark, seen_and_cands,
+                                               tmp_path):
+    """Two SeenBloom instances (a killed run and its resume) spilling under
+    the same store root must never share paths — and the resume's first
+    spill garbage-collects the dead run's directory."""
+    import os
+    seen, _ = seen_and_cands
+    base = str(tmp_path / "spill2")
+
+    b1 = SeenBloom(n_parts=8, keys_per_part=2048, fpp=0.01)
+    b1.merge_from(build_bloom_parts(seen, 8, 2048, 0.01).collect())
+    d1 = b1.spill(base)
+
+    b2 = SeenBloom(n_parts=8, keys_per_part=2048, fpp=0.01)
+    b2.merge_from(build_bloom_parts(seen, 8, 2048, 0.01).collect())
+    d2 = b2.spill(base)
+    assert d1 != d2
+    assert not os.path.isdir(d1), "dead run's spill dir not GC'd"
+    assert os.path.isdir(d2)

@@ -63,8 +63,10 @@ def test_boosts_unit_scaled(spark):
     e = spark.createDataFrame(EDGES, "src string, dst string")
     boosts = {r["host"]: r["host_boost"]
               for r in hostrank_boosts(pagerank_hosts(e)).collect()}
-    assert all(-1.0 <= b < 0.0 for b in boosts.values())
-    assert min(boosts.values()) == -1.0          # max-rank host pins the scale
+    # STRICTLY sub-unit: even the max-rank host must not reach a full
+    # in-degree unit, or it would tie (in_degree+1) on an unboosted host
+    assert all(-1.0 < b < 0.0 for b in boosts.values())
+    assert min(boosts.values()) == -0.99         # max-rank host pins the scale
     # rank order preserved under negation: highest-rank host = smallest boost
     ranks = _pure_pagerank(EDGES)
     assert min(boosts, key=boosts.get) == max(ranks, key=ranks.get)

@@ -268,3 +268,29 @@ def test_recrawl_adaptive_ttl_by_host(finished_crawl):
                      robots_src=robots_df, ttl_by_host=ttls)
     refetched = {r["url_canon"] for r in rerun.fetch_log.collect()}
     assert refetched == expected
+
+
+def test_budget_completed_crawl_is_recrawlable(spark, small_cfg,
+                                               tmp_path_factory):
+    """Regression: a max_pages-capped crawl ends with pending frontier rows
+    AND a job-end metrics row; resuming cannot drain it by design, so
+    run_recrawl must accept it and refresh exactly the fetched set."""
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    fetcher = SimulatedFetcher(pages_df)
+    d = str(tmp_path_factory.mktemp("caprecrawl") / "snap")
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=20,
+                        max_pages=5, checkpoint_dir=d)
+    run = run_crawl(spark, spec, fetcher, robots_src=robots_df)
+    store = SnapDirStore(spark, d)
+    assert store.read_full("frontier", store.latest_wave()).count() > 0
+    fetched = {r["url_canon"] for r in run.fetch_log.collect()}
+    assert 0 < len(fetched) <= 5
+
+    rspec = dataclasses.replace(spec, checkpoint_dir="", max_depth=0,
+                                max_pages=0, per_host_tokens=1e9,
+                                token_cap=1e9)
+    due, rerun = run_recrawl(spark, rspec, fetcher, store, 1,
+                             robots_src=robots_df)
+    refetched = {r["url_canon"] for r in rerun.fetch_log.collect()}
+    assert refetched == {r["url_canon"] for r in run.fetch_log.collect()
+                         if r["status"] == 200}
