@@ -697,9 +697,9 @@ def _hits(markers):  # DuckDB twin of marker_hits_col
 
 from crawler_spark.functions.text import LANG_MARKERS as _LM
 
-_LANG_SQL = f"""
-SELECT doc_id, lang,
-  CASE
+# the bare CASE is factored out so px1's corpus pipeline can reuse the
+# exact argmax-with-threshold semantics tx1 is verified on, as a filter
+_LANG_CASE = f"""CASE
     WHEN {_hits(_LM['es'])} * 1.0 / {_NW} > greatest(0.02,
          {_hits(_LM['en'])} * 1.0 / {_NW}, {_hits(_LM['fr'])} * 1.0 / {_NW},
          {_hits(_LM['de'])} * 1.0 / {_NW}) THEN 'es'
@@ -709,7 +709,11 @@ SELECT doc_id, lang,
          {_hits(_LM['en'])} * 1.0 / {_NW}) THEN 'fr'
     WHEN {_hits(_LM['en'])} * 1.0 / {_NW} > 0.02 THEN 'en'
     ELSE 'und'
-  END AS lang_pred
+  END"""
+
+_LANG_SQL = f"""
+SELECT doc_id, lang,
+  {_LANG_CASE} AS lang_pred
 FROM documents
 """
 
@@ -1436,3 +1440,84 @@ def an5_ivf_recall(spark, sf_dir):
                   .alias("n_hit"),
                  F.round(F.coalesce(F.sum("hit"), F.lit(0)) / F.count("*"), 4)
                   .alias("recall")))
+
+
+# =====================================================================
+# Composed training-data pipeline
+# =====================================================================
+
+_PX1_DUP_FRAC = (f"round(1.0 - len(list_distinct(regexp_split_to_array("
+                 f"trim(text), '\\s+'))) * 1.0 / {_NW}, 4)")
+
+_PX1_TOKENS = (f"CAST(list_sum(list_transform(regexp_split_to_array("
+               f"trim(text), '\\s+'), w -> CAST(ceil(length(w) / 4.0) "
+               f"AS BIGINT))) AS BIGINT)")
+
+_PX1_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, replace(text, ' ', chr(9)) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+kept AS (
+  SELECT doc_id, text FROM aug
+  WHERE ({_LANG_CASE}) = 'en'
+    AND {_QUALITY_EXPR} >= 0.7
+    AND {_PX1_DUP_FRAC} <= 0.7
+),
+g AS (
+  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+         count(*) AS n_dups
+  FROM kept
+  GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+)
+SELECT doc_id, n_dups, {_NW} AS n_words, {_PX1_TOKENS} AS n_tokens,
+       {_QUALITY_EXPR} AS quality
+FROM g
+"""
+
+
+@q("px1_corpus_pipeline", _PX1_SQL)
+def px1_corpus_pipeline(spark, sf_dir):
+    """End-to-end C4/Gopher-style corpus cleaning chain, composed from the
+    individually-verified stages: language gate (tx1's argmax) -> quality
+    gate (tx2's score >= 0.7) -> repetition gate (tx7's dup-token fraction
+    <= 0.7) -> exact dedup on normalized text keeping the min-doc_id
+    representative (dd1) -> token accounting on the survivors (tx3).
+
+    The synthetic corpus has no exact duplicates, so (the tx6/dd9 idiom)
+    duplicates are injected deterministically: every 10th doc is re-emitted
+    with doc_id+1e6 and spaces turned into tabs — a perturbation that
+    normalizes away under the dedup key while leaving every filter signal
+    bit-identical (tabs match the same \\s patterns and keep length(text)
+    unchanged), so each injected copy survives exactly when its original
+    does and collapses onto it.
+
+    Scale shape: injection and all three gates are map-side codegen; the
+    only shuffle is the dedup groupBy (partial-agg combine on the
+    normalized-text key); the final accounting is map-side over one row
+    per surviving group. At 100 TB this is one wide stage end-to-end."""
+    from crawler_spark.functions.text import (
+        lang_id_col, quality_score_col, repetition_signals_col,
+        token_count_col,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (d.where(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.regexp_replace("text", " ", "\t").alias("text")))
+    aug = d.unionByName(dup)
+    kept = aug.where(
+        (lang_id_col(F.col("text")) == "en")
+        & (quality_score_col(F.col("text")) >= 0.7)
+        & (repetition_signals_col(F.col("text"))
+           .getField("dup_tok_frac") <= 0.7))
+    g = (kept.groupBy(normalize_text(F.col("text")).alias("k"))
+         .agg(F.min("doc_id").alias("doc_id"),
+              F.min_by("text", "doc_id").alias("text"),
+              F.count("*").alias("n_dups")))
+    return g.select(
+        "doc_id", "n_dups",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"))

@@ -55,3 +55,19 @@ def test_repetition_single_word_no_bigrams(spark):
     r = _one(spark, "solo", repetition_signals_col)
     assert r["n_words"] == 1
     assert r["dup_2gram_frac"] == 0.0
+
+
+def test_px1_pipeline_dedup_fires_and_reps_are_originals(spark):
+    """The px1 corpus pipeline's injected duplicates (doc_id+1e6,
+    space->tab) must collapse onto their originals: every representative
+    is an original doc_id, and a group has n_dups=2 exactly when its
+    original is an every-10th doc that survived the gates."""
+    import crawler_spark.queries as Q
+    rows = Q.queries()["px1_corpus_pipeline"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "pipeline filtered everything out"
+    assert all(r["doc_id"] < 1000000 for r in rows), \
+        "a tab-injected copy became a representative"
+    twos = {r["doc_id"] for r in rows if r["n_dups"] == 2}
+    assert twos and all(i % 10 == 0 for i in twos)
+    assert all(r["n_dups"] == 1 for r in rows if r["doc_id"] % 10 != 0)
