@@ -1521,3 +1521,75 @@ def px1_corpus_pipeline(spark, sf_dir):
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
         token_count_col(F.col("text")).alias("n_tokens"),
         quality_score_col(F.col("text")).alias("quality"))
+
+
+_PX2_RUN_REDUCE = """list_reduce(
+  list_prepend(0::BIGINT,
+    list_transform(spans, s -> CASE WHEN s.kind = 'media'
+                               THEN 1::BIGINT ELSE 0::BIGINT END)),
+  (acc, x) -> CASE WHEN x = 1
+              THEN greatest(acc // 1000, acc % 1000 + 1) * 1000
+                   + (acc % 1000 + 1)
+              ELSE greatest(acc // 1000, 0) * 1000 END) // 1000"""
+
+_PX2_SQL = f"""
+WITH spans AS ({_SPAN_SQL}),
+st AS (
+  SELECT doc_id, len(spans)::BIGINT AS n_spans,
+         len(list_filter(spans, s -> s.kind = 'media'))::BIGINT AS n_media,
+         {_PX2_RUN_REDUCE} AS max_media_run
+  FROM spans)
+SELECT doc_id, n_spans, n_media,
+       round(n_media * 1.0 / n_spans, 4) AS media_frac,
+       max_media_run,
+       (round(n_media * 1.0 / n_spans, 4) <= 0.5 AND max_media_run <= 2)
+         AS keep
+FROM st
+"""
+
+
+def max_media_run_col(spans) -> F.Column:
+    """Longest run of consecutive kind='media' spans, as a fold over the
+    span array with a single BIGINT accumulator encoding best*1000+current
+    — the same integer algebra DuckDB's list_reduce computes in the px2
+    twin (_PX2_RUN_REDUCE), so the two stay bit-identical."""
+    is_media = F.transform(
+        spans, lambda sp: F.when(sp.kind == "media", F.lit(1))
+                           .otherwise(F.lit(0)).cast("long"))
+    return (F.aggregate(
+        is_media, F.lit(0).cast("long"),
+        lambda acc, x: F.when(
+            x == 1,
+            F.greatest((acc / 1000).cast("long"), acc % 1000 + 1) * 1000
+            + (acc % 1000 + 1))
+         .otherwise((acc / 1000).cast("long") * 1000))
+        / F.lit(1000)).cast("long")
+
+
+@q("px2_interleave_stats", _PX2_SQL)
+def px2_interleave_stats(spark, sf_dir):
+    """Interleave-aware multimodal document filtering (the MMC4/OBELICS
+    family): per interleaved text+media span sequence (the input_hint
+    payload shape), the media-span count and fraction and the longest run
+    of consecutive media spans, plus the keep decision (media_frac <= 0.5
+    and no run longer than 2 — docs that are mostly images, or image
+    walls, are poor interleaved training data).
+
+    The run length folds over the span array with a single BIGINT
+    accumulator encoding (best*1000 + current) — identical integer algebra
+    in Spark's aggregate() and DuckDB's list_reduce (0-prepended; it seeds
+    from the first element), so the twin is bit-identical. Pure per-row
+    HOF algebra: zero shuffles, embarrassingly parallel at 100 TB."""
+    s = _spans_df(spark, sf_dir)
+    run = max_media_run_col("spans")
+    st = s.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(F.filter("spans", lambda sp: sp.kind == "media"))
+         .cast("long").alias("n_media"),
+        run.alias("max_media_run"))
+    media_frac = F.round(F.col("n_media") / F.col("n_spans"), 4)
+    return st.select(
+        "doc_id", "n_spans", "n_media",
+        media_frac.alias("media_frac"), "max_media_run",
+        ((media_frac <= 0.5) & (F.col("max_media_run") <= 2)).alias("keep"))

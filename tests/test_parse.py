@@ -55,3 +55,26 @@ def test_empty_and_degenerate():
     assert extract_spans("") == []
     assert extract_spans("no tags at all") == [("text", "no tags at all", "", 0)]
     assert extract_spans("<a href=''>x</a>") == [("text", "x", "", 11)]
+
+
+def test_px2_max_media_run_hand_fixture(spark):
+    """The run-length fold must count ADJACENT media spans (the synthetic
+    span template never produces runs > 1, so the oracle can't exercise
+    this): kinds T M M M T M M -> max run 3; all-media -> n; no media -> 0."""
+    from crawler_spark.queries import max_media_run_col
+
+    def run_of(kinds):
+        df = spark.createDataFrame(
+            [([{"kind": k, "text": "", "media_ref": "", "offset": i}
+               for i, k in enumerate(kinds)],)],
+            "spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+        return df.select(
+            max_media_run_col("spans").alias("r")).collect()[0]["r"]
+
+    t, m = "text", "media"
+    assert run_of([t, m, m, m, t, m, m]) == 3
+    assert run_of([m, m, m, m]) == 4
+    assert run_of([t, t, t]) == 0
+    assert run_of([m]) == 1
+    assert run_of([m, t, m, t, m]) == 1
