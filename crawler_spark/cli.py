@@ -141,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         if not args.checkpoint_dir:
             print("error: --recrawl-ttl requires --checkpoint-dir",
                   file=sys.stderr)
+            spark.stop()        # in-process callers must not leak the JVM
             return 2
         import dataclasses
         from crawler_spark.operators.recrawl import run_recrawl
@@ -153,6 +154,7 @@ def main(argv: list[str] | None = None) -> int:
                                    sink=sink, robots_fetcher=robots_fetcher)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
+            spark.stop()        # in-process callers must not leak the JVM
             return 2
     else:
         run = run_crawl(spark, spec, fetcher, robots_src=robots_df, sink=sink,

@@ -99,7 +99,8 @@ def _job_ended(store, last: int) -> bool:
 def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
                 ttl_waves: int, robots_src: DataFrame | None = None,
                 sink=None, robots_fetcher=None,
-                ttl_by_host: DataFrame | None = None):
+                ttl_by_host: DataFrame | None = None,
+                allow_pending: bool = False):
     """Recrawl a COMPLETED checkpointed crawl: re-fetch every URL whose last
     fetch is >= ttl_waves older than the job's final wave.
 
@@ -112,6 +113,11 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
     per-host rule (`due_for_recrawl_adaptive`, e.g. `change_rate` output
     quantized to waves); `ttl_waves` then serves as the default for hosts
     without an estimate.
+
+    `allow_pending=True` skips the completed-crawl precondition: for
+    legacy stores whose crawl hit its budget cap before job-end lifecycle
+    metrics existed (such a store has pending frontier rows that resuming
+    can never drain), the refresh then covers the fetched set only.
     """
     from crawler_spark.plans.frontier import run_crawl
 
@@ -127,12 +133,20 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
     # carries pending rows, but resuming it cannot drain them by design, so
     # it IS recrawlable: the refresh covers the fetched set, which is all a
     # capped job ever promises.
-    n_pending = store.read_full("frontier", last).count()
-    if n_pending and not _job_ended(store, last):
+    # The wave manifest already records every table's committed row count —
+    # a full scan+count of the frontier (the big table at the 10^10-URL
+    # design point) just to evaluate this boolean would be O(frontier) I/O.
+    mrows = (store.manifest(last).get("tables", {})
+             .get("frontier", {}).get("rows"))
+    n_pending = (mrows if mrows is not None
+                 else store.read_full("frontier", last).count())
+    if n_pending and not _job_ended(store, last) and not allow_pending:
         raise ValueError(
             f"store at wave {last} is not a completed crawl: {n_pending} "
             "frontier URL(s) still pending — resume the crawl to completion "
-            "before recrawling")
+            "before recrawling (or, for a store whose crawl hit its budget "
+            "cap before lifecycle metrics existed, pass allow_pending=True "
+            "to refresh just the fetched set)")
     log = store.read_delta_union("fetch_log", last)
     if log is None:
         raise ValueError("store has no fetch_log deltas to age")

@@ -89,31 +89,49 @@ def rh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
     return out
 
 
+def plane_dot_int_col(vec: Column, plane: list[float]) -> Column:
+    """Sign-stable plane dot for LSH bucketing: quantize vector components
+    to 1e-6 and the (3-decimal-literal) plane coords to integers, then sum
+    BIGINT products. Integer addition is associativity-free, so Spark's
+    sequential fold and any SQL twin's native dot agree BIT-FOR-BIT on the
+    sign — a raw FP dot's sign depends on summation order when the vector
+    is near-orthogonal to the plane, which would let the engine and the
+    oracle assign the same row to different buckets. The 1e-6 quantum only
+    moves the (measure-zero) knife edge; bucket recall is unaffected."""
+    q = F.transform(vec, lambda x: F.round(x * 1000000).cast("long"))
+    pint = F.array(*[F.lit(int(round(x * 1000))) for x in plane])
+    return F.aggregate(F.zip_with(q, pint, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
 def rh_band_cols(vec: Column, planes: list[list[float]],
                  band_size: int = 2) -> list[Column]:
     """Per-band sign signatures: band b covers planes[b*bs:(b+1)*bs]; bit k
-    of the band signature = sign(vec . plane_{b*bs+k}). Used to sub-block
-    hot cells in embedding_neardup_pairs (banded OR-amplification: a pair is
-    kept if ANY band agrees, which preserves high-cosine pairs with high
-    probability while splitting a hot cell into ~2^band_size sub-buckets)."""
+    of the band signature = sign(vec . plane_{b*bs+k}) over the quantized
+    integer dot (plane_dot_int_col — cross-engine sign-stable). Used to
+    sub-block hot cells in embedding_neardup_pairs (banded
+    OR-amplification: a pair is kept if ANY band agrees, which preserves
+    high-cosine pairs with high probability while splitting a hot cell
+    into ~2^band_size sub-buckets)."""
     assert len(planes) % band_size == 0
     out = []
     for b in range(len(planes) // band_size):
         sig = F.lit(0)
         for k, p in enumerate(planes[b * band_size:(b + 1) * band_size]):
-            d = dot_col(vec, F.array(*[F.lit(float(x)) for x in p]))
+            d = plane_dot_int_col(vec, p)
             sig = sig + F.when(d > 0, F.lit(1 << k)).otherwise(F.lit(0))
         out.append(sig)
     return out
 
 
 def rh_sig_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH signature: bit b = sign(vec . plane_b). Planes
-    are plain literals (deterministic, shared with the SQL oracle), so the
-    whole signature is codegen arithmetic."""
+    """Random-hyperplane LSH signature: bit b = sign(vec . plane_b), over
+    the quantized integer dot (plane_dot_int_col — cross-engine
+    sign-stable). Planes are plain literals (deterministic, shared with
+    the SQL oracle), so the whole signature is codegen arithmetic."""
     sig = F.lit(0)
     for b, p in enumerate(planes):
-        d = dot_col(vec, F.array(*[F.lit(float(x)) for x in p]))
+        d = plane_dot_int_col(vec, p)
         sig = sig + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sig
 

@@ -126,54 +126,54 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
                         threshold: float = 0.8,
                         max_df: int | None = 64) -> DataFrame:
-    """N-gram Jaccard similarity pairs >= threshold.
+    """N-gram Jaccard similarity pairs >= threshold, two-stage:
 
-    explode(shingles) -> groupBy(shingle) -> in-bucket pair gen ->
-    |A∩B| / (|A|+|B|-|A∩B|).
+    1. CANDIDATES: explode(shingles) -> groupBy(shingle) -> in-bucket pair
+       gen. `max_df` is the hot-bucket quadratic guard (same role as dd3's
+       `max_bucket`): shingles appearing in more than `max_df` docs cannot
+       *create* a candidate pair — "terms of service"-grade grams carry no
+       dedup signal and alone turn one bucket into O(corpus²) pairs at
+       100x scale.
+    2. VERIFY: join each candidate pair back to the full shingle arrays
+       and compute the TRUE Jaccard |A∩B| / |A∪B| over the UNFILTERED
+       sets. The cap therefore bounds fan-out without ever inflating
+       similarity (a df-filtered Jaccard would report 1.0 for two
+       unrelated boilerplate-heavy docs sharing one rare gram); the only
+       loss is pairs ALL of whose shared shingles are hot — inherent to
+       any df cap, and the accepted trade.
 
-    `max_df` is the hot-bucket quadratic guard (same role as dd3's
-    `max_bucket`): shingles appearing in more than `max_df` docs are dropped
-    from BOTH the intersection and the per-doc sizes, so the result is the
-    exact Jaccard over the df-filtered shingle universe — the standard
-    boilerplate-shingle cap ("terms of service"-grade grams carry no dedup
-    signal and alone turn one bucket into O(corpus²) pairs at 100x scale).
-    Pass max_df=None for the uncapped exact form (only safe as the
-    verification stage over LSH candidates, never as a direct method at
-    scale).
+    Pass max_df=None for exhaustive candidates (exact all-pairs recall —
+    quadratic on hot shingles, never safe as a direct method at scale).
     """
     sh = docs.select(F.col(id_col).alias("doc_id"),
                      shingles_col(F.col(text_col), shingle_n).alias("sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     # groupBy(shingle) + in-bucket pair generation == the ex⋈ex self-join on
     # shingle, but evaluates the shingle expression once and shuffles once.
-    all_buckets = ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+    buckets = (ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+               .where(F.size("ids") >= 2))
     if max_df is not None:
-        all_buckets = all_buckets.where(F.size("ids") <= max_df)
-        # |A| per doc over the SAME filtered universe as the intersection —
-        # recomputed from the kept buckets, not from the raw array length.
-        sizes = (all_buckets.select(F.explode("ids").alias("doc_id"))
-                 .groupBy("doc_id").agg(F.count("*").alias("n")))
-    else:
-        # |A| per doc from the array length — no second pass over exploded rows
-        sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    buckets = all_buckets.where(F.size("ids") >= 2)
+        buckets = buckets.where(F.size("ids") <= max_df)
     pair_arr = F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(
             F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
             lambda y: F.struct(F.least(x, y).alias("doc_a"),
                                F.greatest(x, y).alias("doc_b")))))
-    inter = (buckets.select(F.explode(pair_arr).alias("p"))
-             .groupBy(F.col("p.doc_a").alias("doc_a"),
-                      F.col("p.doc_b").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
-    j = (inter
-         .join(sizes.withColumnRenamed("doc_id", "doc_a")
-               .withColumnRenamed("n", "na"), "doc_a")
-         .join(sizes.withColumnRenamed("doc_id", "doc_b")
-               .withColumnRenamed("n", "nb"), "doc_b")
+    cands = (buckets.select(F.explode(pair_arr).alias("p"))
+             .select(F.col("p.doc_a").alias("doc_a"),
+                     F.col("p.doc_b").alias("doc_b"))
+             .distinct())
+    # Verification joins ship full shingle arrays only for docs that appear
+    # in a candidate pair — volume ∝ candidates (cap-bounded), not corpus.
+    j = (cands
+         .join(sh.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("sha")), "doc_a")
+         .join(sh.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("shb")), "doc_b")
          .withColumn("jaccard", F.round(
-             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+             F.size(F.array_intersect("sha", "shb"))
+             / F.size(F.array_union("sha", "shb")), 4))
          .where(F.col("jaccard") >= threshold)
          .select("doc_a", "doc_b", "jaccard"))
     return j
@@ -202,7 +202,8 @@ def rolling_hashes_col(h: Column, k: int = 4) -> Column:
 
 def rolling_hashes_incremental(docs: DataFrame, k: int = 4,
                                h_col: str = "h",
-                               out_col: str = "rolls") -> DataFrame:
+                               out_col: str = "rolls",
+                               cell_budget: int = 16_000_000) -> DataFrame:
     """True O(n)-per-doc incremental Rabin-Karp over a pre-projected word-
     hash array column — bit-identical values to `rolling_hashes_col` (the
     recurrence W[i+1] = (W[i]*B - h[i]*(B^k mod M) + h[i+k]) mod M computes
@@ -223,9 +224,18 @@ def rolling_hashes_incremental(docs: DataFrame, k: int = 4,
     wrong asymptotics at winnowing-grade k≈50). A modular prefix scan is
     not expressible in Spark's HOFs without an O(n^2) array-append
     accumulator, so the scan runs in ONE mapInPandas stage, numpy-
-    vectorized ACROSS the Arrow batch: documents are padded into a
-    (batch, max_len) matrix and the sequential position loop advances ALL
-    rows per step — per-element Python cost is amortized to ~1/batch_size.
+    vectorized across the Arrow batch: documents are padded into a dense
+    (rows, max_len) matrix and the sequential position loop advances ALL
+    rows per step — per-element Python cost is amortized to ~1/rows.
+
+    Skew guard: padding the WHOLE batch to its longest doc lets one
+    million-word outlier inflate 10k typical rows to an
+    O(rows * max_len) ≈ 80 GB matrix. Rows are therefore length-sorted
+    and chunked so each dense matrix stays under `cell_budget` cells
+    (default 16M ≈ 128 MB of int64, ~2x that with the window output) —
+    memory is bounded by ~2*cell_budget regardless of skew, an outlier
+    doc pads only its own near-homogeneous chunk, and the vectorization
+    win is preserved (chunks are thousands of rows for typical lengths).
 
     Contract matches rolling_hashes_col: docs shorter than k words get one
     whole-doc Horner window.
@@ -239,35 +249,47 @@ def rolling_hashes_incremental(docs: DataFrame, k: int = 4,
 
     def _scan(batches):
         for pdf in batches:
-            res = []
             arrs = [np.asarray(a, dtype=np.int64) % ROLL_M for a in pdf[h_col]]
-            if arrs:
-                lens = np.array([len(a) for a in arrs])
-                H = np.zeros((len(arrs), int(lens.max()) if len(lens) else 0),
-                             dtype=np.int64)
-                for i, a in enumerate(arrs):
-                    H[i, :len(a)] = a
+            res: list = [None] * len(arrs)
+
+            def dense(idx: list[int]) -> None:
+                sub = [arrs[i] for i in idx]
+                max_len = max(len(a) for a in sub)
+                H = np.zeros((len(sub), max_len), dtype=np.int64)
+                for r, a in enumerate(sub):
+                    H[r, :len(a)] = a
                 # W[:,0]: Horner over the first k columns (k vectorized steps)
-                w = np.zeros(len(arrs), dtype=np.int64)
-                for j in range(min(k, H.shape[1])):
+                w = np.zeros(len(sub), dtype=np.int64)
+                for j in range(min(k, max_len)):
                     w = (w * ROLL_B + H[:, j]) % ROLL_M
                 wins = [w.copy()]
-                # the scan: one whole-batch vectorized step per position.
+                # the scan: one whole-chunk vectorized step per position.
                 # magnitudes stay in int64: w*B < 2^31*69069 ≈ 2^47;
                 # H*bk < 2^31 * 2^31 = 2^62 (H reduced mod M above).
-                for t in range(1, H.shape[1] - k + 1):
+                for t in range(1, max_len - k + 1):
                     w = (w * ROLL_B - H[:, t - 1] * bk + H[:, t + k - 1]) % ROLL_M
                     wins.append(w.copy())
-                W = np.stack(wins, axis=1) if wins else np.zeros((len(arrs), 0))
-                for i, a in enumerate(arrs):
-                    n = len(a)
+                W = np.stack(wins, axis=1)
+                for r, i in enumerate(idx):
+                    n = len(arrs[i])
                     if n >= k:
-                        res.append(W[i, : n - k + 1].tolist())
+                        res[i] = W[r, : n - k + 1].tolist()
                     else:             # whole-doc window (short-doc contract)
                         acc = 0
-                        for x in a.tolist():
+                        for x in arrs[i].tolist():
                             acc = (acc * ROLL_B + x) % ROLL_M
-                        res.append([acc])
+                        res[i] = [acc]
+
+            order = sorted(range(len(arrs)), key=lambda i: len(arrs[i]))
+            chunk: list[int] = []
+            for i in order:
+                width = max(len(arrs[i]), 1)     # ascending => chunk max
+                if chunk and (len(chunk) + 1) * width > cell_budget:
+                    dense(chunk)
+                    chunk = []
+                chunk.append(i)
+            if chunk:
+                dense(chunk)
             out = pdf.copy()
             out[out_col] = res
             yield out

@@ -636,23 +636,24 @@ ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
 df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
 fex AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s
         WHERE df.df <= 64),
-sizes AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM fex a JOIN fex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fex a JOIN fex b ON a.s = b.s AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
-       round(inter / (sa.n + sb.n - inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.8
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+            / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8
 """)
 def dd4_ngram_jaccard(spark, sf_dir):
-    """Word-3-gram Jaccard >= 0.8 near-dup pairs over the df<=64-filtered
-    shingle universe (max_df is the hot-bucket quadratic guard — see
-    ngram_jaccard_pairs; at this corpus max df is ~7 so the cap is
-    semantics-neutral here, but the plan carries the guard)."""
+    """Word-3-gram Jaccard >= 0.8 near-dup pairs, two-stage: candidates
+    from df<=64 shingle buckets (max_df is the hot-bucket quadratic
+    guard), TRUE Jaccard over the full shingle sets per candidate — see
+    ngram_jaccard_pairs. At this corpus max df is ~7 so the cap is
+    semantics-neutral here, but the plan carries the guard."""
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.8, max_df=64)
 
@@ -842,9 +843,21 @@ def _plane_sql(p: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in p) + "]"
 
 
+def _int_plane_dot_sql(vec_expr: str, p: list[float]) -> str:
+    """DuckDB twin of similarity.plane_dot_int_col: quantize components to
+    1e-6 BIGINTs and the 3-decimal plane coords to integers; the integer
+    sum's sign is associativity-free, so it matches Spark's fold exactly
+    even for near-orthogonal vectors (a raw FP dot could bucket the same
+    row differently in the two engines)."""
+    pint = "[" + ", ".join(str(int(round(x * 1000))) for x in p) + "]"
+    return (f"list_sum(list_transform(range(1, {len(p) + 1}), i -> "
+            f"CAST(round(({vec_expr})[i] * 1000000) AS BIGINT)"
+            f" * ({pint})[i]))")
+
+
 _PLANES = _rh_planes()
 _SIG_SQL = " + ".join(
-    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql(p)}) > 0 "
+    f"(CASE WHEN {_int_plane_dot_sql('embedding::DOUBLE[]', p)} > 0 "
     f"THEN {1 << b} ELSE 0 END)"
     for b, p in enumerate(_PLANES))
 
@@ -876,12 +889,14 @@ def an4_lsh_ann(spark, sf_dir):
 
 
 def _band_sig_sql(vec_expr: str, band: int, band_size: int = 2) -> str:
-    """DuckDB twin of similarity.rh_band_cols for one band."""
+    """DuckDB twin of similarity.rh_band_cols for one band (quantized
+    integer plane dots — see _int_plane_dot_sql)."""
     terms = []
     for k in range(band_size):
-        p = _plane_sql(_PLANES[band * band_size + k])
-        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {p}) > 0 "
-                     f"THEN {1 << k} ELSE 0 END)")
+        p = _PLANES[band * band_size + k]
+        terms.append(
+            f"(CASE WHEN {_int_plane_dot_sql(vec_expr, p)} > 0 "
+            f"THEN {1 << k} ELSE 0 END)")
     return " + ".join(terms)
 
 
@@ -1449,9 +1464,9 @@ def an5_ivf_recall(spark, sf_dir):
 _PX1_DUP_FRAC = (f"round(1.0 - len(list_distinct(regexp_split_to_array("
                  f"trim(text), '\\s+'))) * 1.0 / {_NW}, 4)")
 
-_PX1_TOKENS = (f"CAST(list_sum(list_transform(regexp_split_to_array("
-               f"trim(text), '\\s+'), w -> CAST(ceil(length(w) / 4.0) "
-               f"AS BIGINT))) AS BIGINT)")
+# the same token-estimate formula tx3/tx8 are gated on (one constant: a
+# divisor change must hit every oracle at once, or they desynchronize)
+_PX1_TOKENS = _TX3_TOKENS
 
 _PX1_SQL = f"""
 WITH aug AS (

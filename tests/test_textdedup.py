@@ -65,6 +65,25 @@ def test_incremental_rolling_equals_refold(spark):
         assert inc == col, f"k={k}"
 
 
+def test_incremental_rolling_chunked_equals_unchunked(spark):
+    """The skew guard (length-sorted chunking under cell_budget) must not
+    change values: a tiny budget that forces one-row chunks — including a
+    long outlier among short docs, the scenario the guard exists for —
+    yields bit-identical output to the whole-batch dense path."""
+    from crawler_spark.operators.textdedup import rolling_hashes_incremental
+
+    texts = ["a b c d e", "x y", " ".join(f"w{i}" for i in range(500)),
+             "", "p q r s t u v"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    h = df.select("id", word_hashes_col(F.col("text")).alias("h"))
+    big = {r["id"]: list(r["rolls"]) for r in
+           rolling_hashes_incremental(h, k=4).collect()}
+    tiny = {r["id"]: list(r["rolls"]) for r in
+            rolling_hashes_incremental(h, k=4, cell_budget=8).collect()}
+    assert tiny == big
+
+
 def test_shingles_contract(spark):
     df = spark.createDataFrame([(0, "a b c d"), (1, "a b")],
                                "id long, text string")
@@ -101,13 +120,53 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert uncapped >= 30 * 29 // 2
     # with df cap 8 the hot grams vanish; only the engineered pair survives
     assert set(got) == {("nd1", "nd2")}
-    # and its value is the exact Jaccard over the df-filtered universe
-    # (every nd-gram has df<=2, so the filter is a no-op for these docs)
+    # and its value is the TRUE Jaccard over the full shingle sets
+    # (verification ignores the df cap; candidates found via rare grams)
     a = {"alpha beta gamma", "beta gamma delta", "gamma delta epsilon",
          "delta epsilon zeta", "epsilon zeta eta"}
     b = {"alpha beta gamma", "beta gamma delta", "gamma delta epsilon",
          "delta epsilon zeta", "epsilon zeta theta"}
     assert got[("nd1", "nd2")] == _jacc_py(a, b)
+
+
+def test_ngram_jaccard_cap_never_inflates(spark):
+    """Regression: under a df-filtered Jaccard, two mostly-boilerplate docs
+    sharing ONE rare gram scored 1/1 = 1.0. With two-stage semantics the
+    rare gram only nominates the candidate; the verified value is the true
+    Jaccard over the full sets — far below any dedup threshold."""
+    from crawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+    boiler = " ".join(f"w{i}" for i in range(40))       # 38 hot 3-grams
+    rows = [(f"b{i:02d}", f"{boiler} rare_shared_gram_a gram_b gram_c")
+            if i < 2 else (f"b{i:02d}", boiler)
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.0,
+                                        max_df=5).collect()}
+    # b00/b01 share the rare tail -> candidate; but their true overlap is
+    # dominated by boilerplate, so jaccard must be high ONLY because the
+    # docs genuinely are near-identical (they are: same 43-gram set)
+    assert ("b00", "b01") in out and out[("b00", "b01")] == 1.0
+    # now make the two rare-tailed docs otherwise DIFFERENT: the pair must
+    # score its true (low) similarity, not 1.0
+    rows2 = [("x1", " ".join(f"u{i}" for i in range(40))
+              + " rare_shared gram_p gram_q"),
+             ("x2", " ".join(f"v{i}" for i in range(40))
+              + " rare_shared gram_p gram_q")]
+    # make each doc's unique grams hot via 5 clones so only the shared
+    # tail grams stay under the df cap
+    for c in range(6):
+        rows2 += [(f"x1c{c}", " ".join(f"u{i}" for i in range(40))),
+                  (f"x2c{c}", " ".join(f"v{i}" for i in range(40)))]
+    docs2 = spark.createDataFrame(rows2, "doc_id string, text string")
+    out2 = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs2, threshold=0.0,
+                                         max_df=5).collect()}
+    assert ("x1", "x2") in out2
+    assert out2[("x1", "x2")] < 0.2, \
+        f"df-filtered inflation returned {out2[('x1', 'x2')]}"
 
 
 def test_line_dedup_removes_cross_doc_boilerplate(spark):
