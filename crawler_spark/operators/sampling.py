@@ -87,3 +87,61 @@ def token_budget_threshold(df: DataFrame, strata_col: str, tokens_col: str,
     return (df.join(F.broadcast(cut), strata_col)
             .where(F.col(quality_col) >= F.col("_qmin"))
             .drop("_qmin"))
+
+
+def pack_sequences(df: DataFrame, tokens_col: str, order_col: str = "doc_id",
+                   budget: int = 1024, n_blocks: int = 32) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: documents are laid out
+    in deterministic corpus order (`order_col`), token counts are prefix-
+    summed, and each document is assigned to the training sequence its
+    START offset falls in (seq_id = prev_tokens // budget, seq_offset =
+    prev_tokens % budget) — documents may straddle a boundary, exactly as
+    a packed pre-training corpus does.
+
+    Adds (seq_id, seq_offset) alongside the input columns plus the
+    exclusive prefix `prev_tokens`.
+
+    Scale shape — distributed prefix sum, NOT a global window. The naive
+    formulation (SUM() OVER (ORDER BY order_col) with no partition key)
+    collapses the whole corpus into ONE task; at 10^10 rows that is the
+    canonical window-function scale bug. Instead, two phases:
+
+      1. range-partition by `order_col` into n_blocks ordered blocks
+         (spark_partition_id() of a repartitionByRange IS ascending in the
+         range order); block-LOCAL exclusive cumsum — a window over the
+         block key, fully parallel;
+      2. per-block token totals (n_blocks rows) get their own exclusive
+         cumsum on a single tiny task and are broadcast back as block
+         offsets. prev = block_offset + local_prev.
+
+    Output values are independent of where the sampled range boundaries
+    land (any monotone blocking yields the same global prefix), so the
+    result is deterministic even though repartitionByRange samples.
+    Set n_blocks ~ cluster cores; the only global structure that ever sits
+    in one place is the n_blocks-row offset table.
+    """
+    blocked = (df.repartitionByRange(n_blocks, F.col(order_col))
+               .withColumn("_blk", F.spark_partition_id()))
+    w_loc = (Window.partitionBy("_blk").orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    local = blocked.withColumn(
+        "_lprev", F.coalesce(F.sum(tokens_col).over(w_loc),
+                             F.lit(0)).cast("long"))
+    # n_blocks rows: the single-partition window here is the DESIGN — the
+    # global sequential dependency is reduced to one tiny offset table.
+    w_blk = (Window.orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (blocked.groupBy("_blk")
+               .agg(F.sum(tokens_col).cast("long").alias("_btot"))
+               .withColumn("_boff", F.coalesce(F.sum("_btot").over(w_blk),
+                                               F.lit(0)).cast("long"))
+               .select("_blk", "_boff"))
+    out = (local.join(F.broadcast(offsets), "_blk")
+           .withColumn("prev_tokens", (F.col("_boff") + F.col("_lprev"))
+                       .cast("long"))
+           .drop("_blk", "_lprev", "_boff"))
+    return (out
+            .withColumn("seq_id",
+                        F.floor(F.col("prev_tokens") / budget).cast("long"))
+            .withColumn("seq_offset",
+                        (F.col("prev_tokens") % budget).cast("long")))

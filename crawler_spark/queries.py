@@ -1608,3 +1608,36 @@ def px2_interleave_stats(spark, sf_dir):
         "doc_id", "n_spans", "n_media",
         media_frac.alias("media_frac"), "max_media_run",
         ((media_frac <= 0.5) & (F.col("max_media_run") <= 2)).alias("keep"))
+
+
+_PX3_SQL = f"""
+WITH t AS (SELECT doc_id, {_TX3_TOKENS} AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prev_tokens
+  FROM t)
+SELECT doc_id, n_tokens, prev_tokens,
+       prev_tokens // 1024 AS seq_id,
+       prev_tokens % 1024 AS seq_offset
+FROM c
+"""
+
+
+@q("px3_sequence_pack", _PX3_SQL)
+def px3_sequence_pack(spark, sf_dir):
+    """Sequence packing for pre-training (concat-then-chunk): documents in
+    deterministic corpus order are laid end-to-end and chunked into
+    1024-token training sequences; each doc reports the sequence its start
+    offset falls in. The oracle is the sequential single-window prefix
+    sum; the Spark side is operators/sampling.pack_sequences — the
+    DISTRIBUTED two-phase prefix sum (block-local cumsums + one tiny
+    broadcast offset table), proving the scale formulation computes the
+    same global prefix as the sequential semantics."""
+    from crawler_spark.functions.text import token_count_col
+    from crawler_spark.operators.sampling import pack_sequences
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    return pack_sequences(t, "n_tokens", order_col="doc_id",
+                          budget=1024, n_blocks=8)

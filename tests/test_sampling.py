@@ -99,3 +99,31 @@ def test_threshold_variant_bounded_by_exact(spark):
     assert {q for (l, d), q in
             {(r["lang"], r["doc_id"]): r["quality"]
              for r in df.collect()}.items() if (l, d) in thr} == {0.9}
+
+
+def test_pack_sequences_blocking_invariance_and_semantics(spark):
+    """The two-phase distributed prefix sum must be independent of the
+    block count (any monotone blocking yields the same global prefix) and
+    must implement concat-then-chunk semantics: seq_id/seq_offset come
+    from the EXCLUSIVE prefix, docs may straddle sequence boundaries."""
+    from crawler_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 10 * (i % 7) + 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    def run(nb):
+        return {r["doc_id"]: (r["prev_tokens"], r["seq_id"], r["seq_offset"])
+                for r in pack_sequences(df, "n_tokens", budget=100,
+                                        n_blocks=nb).collect()}
+
+    base = run(1)
+    for nb in (2, 8, 64):            # more blocks than rows/partitions too
+        assert run(nb) == base, f"n_blocks={nb} changed the prefix"
+
+    # sequential recomputation in plain python
+    prev = 0
+    for i in range(200):
+        assert base[i] == (prev, prev // 100, prev % 100)
+        prev += 10 * (i % 7) + 3
+    # at least one doc straddles a boundary (offset + n_tokens > budget)
+    assert any(o + rows[i][1] > 100 for i, (_, _, o) in base.items())
