@@ -49,6 +49,17 @@ CHECKS = {
     "px1_corpus_pipeline": (["Union", "partial_min"],
                             ["BatchEvalPython", "ArrowEvalPython",
                              "CartesianProduct", "SortMergeJoin"]),
+    # interleave stats: pure per-row HOF algebra — NO exchange of any kind
+    "px2_interleave_stats": ([], ["Exchange", "BatchEvalPython",
+                                  "ArrowEvalPython"]),
+    # distributed prefix sum: block-local windows + broadcast offset join;
+    # forbid the single-task global-window shape (a Window whose required
+    # distribution is all-rows => Exchange SinglePartition over the CORPUS;
+    # the tiny offset table's own SinglePartition sort is over n_blocks
+    # rows and is the design) — assert the broadcast join is present
+    "px3_sequence_pack": (["Window", "BroadcastHashJoin"],
+                          ["BatchEvalPython", "ArrowEvalPython",
+                           "SortMergeJoin"]),
 }
 
 
