@@ -233,6 +233,119 @@ def w3_global_topk(spark, sf_dir):
             .limit(10).select("doc_id", "n_chars"))
 
 
+# =====================================================================
+# W4: the wave-admission loop itself under the hash gate
+# =====================================================================
+#
+# crawl_bfs (below) exercises the full engine but its substrate (blake2b
+# synthetic web) is not SQL-derivable, so the driver can only rows-check it.
+# w4 closes that gap: the SAME per-wave admission primitives the engine runs
+# (dedup.anti_join_seen exact path + politeness.select_by_window with
+# leftover carry-over, frontier.py:356-413) looped over three unrolled
+# waves on an edge graph derived arithmetically from `documents` — which a
+# DuckDB twin reproduces as unrolled CTEs. This puts the north-rule
+# invariant (crawl ordering + URL-seen set under a per-host politeness
+# budget, same seed list) under the driver's value-hash gate.
+# Reference semantics: the crawl loop of /root/reference/src/scanner/
+# scan.rs:73-78 with per-host delay (scan.rs:27) — wave = one politeness
+# time-slice.
+
+_W4_WAVES = 3
+_W4_TOKENS = 7          # per-host budget per wave
+_W4_SEED_MOD = 10       # doc_id % 10 == 0 → ~25 seeds/host: budget binds
+_W4_EDGE_K = 3          # out-degree of the arithmetic link graph
+_W4_PRI_MULT = 2654435761  # Knuth hash step; doc_id*mult fits int64 ≤ sf1
+
+
+def _w4_oracle() -> str:
+    sql = """docs AS (SELECT doc_id, source AS host FROM documents),
+edges AS (SELECT d.doc_id AS src,
+                 (d.doc_id * 31 + k.k * 97) % (SELECT count(*) FROM docs) AS dst
+          FROM docs d CROSS JOIN (VALUES (1),(2),(3)) k(k)),
+disc0 AS (SELECT doc_id FROM docs WHERE doc_id % 10 = 0),
+pend1 AS (SELECT doc_id, host, 0 AS depth FROM docs WHERE doc_id % 10 = 0)"""
+    for w in range(1, _W4_WAVES + 1):
+        sql += f""",
+sel{w} AS (SELECT doc_id, host, depth,
+                  row_number() OVER (PARTITION BY host
+                      ORDER BY (doc_id * {_W4_PRI_MULT}) % 1000, depth, doc_id
+                  ) AS rn
+           FROM pend{w}),
+adm{w} AS (SELECT doc_id, host, {w} AS wave FROM sel{w} WHERE rn <= {_W4_TOKENS})"""
+        if w < _W4_WAVES:
+            sql += f""",
+left{w} AS (SELECT doc_id, host, depth FROM sel{w} WHERE rn > {_W4_TOKENS}),
+cand{w} AS (SELECT DISTINCT e.dst AS doc_id FROM edges e
+            JOIN adm{w} a ON e.src = a.doc_id
+            WHERE e.dst NOT IN (SELECT doc_id FROM disc{w - 1})),
+disc{w} AS (SELECT doc_id FROM disc{w - 1} UNION ALL SELECT doc_id FROM cand{w}),
+pend{w + 1} AS (SELECT c.doc_id, d.host, {w} AS depth
+                FROM cand{w} c JOIN docs d USING (doc_id)
+                UNION ALL SELECT doc_id, host, depth FROM left{w})"""
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, host, wave FROM adm{w}"
+        for w in range(1, _W4_WAVES + 1))
+    return "WITH " + sql + "\n" + unions
+
+
+@q("w4_wave_admission", _w4_oracle())
+def w4_wave_admission(spark, sf_dir):
+    """W4: three politeness-gated crawl waves — seeds enter pending, each
+    wave ranks pending per host (priority, depth, url) and admits the
+    per-host token budget, unselected rows stay pending, admitted rows'
+    outlinks are deduped against everything ever discovered and join the
+    next wave's pending. Runs the engine's own operators; see block comment
+    above for the oracle construction."""
+    from crawler_spark.operators import politeness
+    from crawler_spark.operators.dedup import anti_join_seen
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.col("source").alias("host")))
+    n_docs = docs.count()
+    edges = (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, _W4_EDGE_K + 1)]))
+         .alias("k"))
+        .select("src", ((F.col("src") * 31 + F.col("k") * 97) % n_docs)
+                .alias("dst")))
+    tokens = docs.select("host").distinct().select(
+        "host", F.lit(float(_W4_TOKENS)).alias("tokens"))
+
+    def as_pending(ids_with_host, depth_col):
+        # select_by_window's contract columns; lpad makes the string sort
+        # agree with the oracle's numeric doc_id sort
+        return ids_with_host.select(
+            "doc_id", "host",
+            ((F.col("doc_id") * _W4_PRI_MULT) % 1000).alias("priority"),
+            depth_col.alias("depth"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url_canon"))
+
+    seeds = docs.where(F.col("doc_id") % _W4_SEED_MOD == 0)
+    pending = as_pending(seeds, F.lit(0))
+    discovered = seeds.select(F.col("doc_id").alias("url_hash"))
+    admitted_waves = []
+    for w in range(1, _W4_WAVES + 1):
+        flagged = politeness.select_by_window(pending, tokens)
+        adm = flagged.where("selected")
+        admitted_waves.append(
+            adm.select("doc_id", "host", F.lit(w).alias("wave")))
+        if w == _W4_WAVES:
+            break
+        leftover = flagged.where(~F.col("selected")).drop("selected")
+        cand = (edges.join(adm.select(F.col("doc_id").alias("src")), "src")
+                .select(F.col("dst").alias("url_hash")).distinct())
+        fresh = anti_join_seen(cand, discovered, None, spark)
+        discovered = discovered.unionByName(fresh)
+        new_pending = as_pending(
+            fresh.select(F.col("url_hash").alias("doc_id"))
+                 .join(docs, "doc_id"), F.lit(w))
+        pending = new_pending.unionByName(leftover)
+    out = admitted_waves[0]
+    for a in admitted_waves[1:]:
+        out = out.unionByName(a)
+    return out.select("doc_id", "host", F.col("wave").cast("int").alias("wave"))
+
+
 @q("a2_distinct_dedup", """
 SELECT DISTINCT lang, source FROM documents
 """)
