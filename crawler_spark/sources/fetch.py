@@ -182,6 +182,61 @@ class ChromeFetcher(HttpFetcher):
                          proxy=proxy, session_factory=session_factory)
 
 
+def needs_render_col(html, status):
+    """S6 smart-mode routing predicate as PURE COLUMN ALGEBRA (stays in
+    whole-stage codegen — the per-page decision costs no Python).
+
+    A page "needs rendering" when the plain HTTP response is a JS
+    application shell: HTTP 200 with a <script> tag but almost no visible
+    text once tags are stripped (< 40 chars), or an explicit
+    scripting-required marker (noscript-enable-JS prose / an empty SPA
+    mount div). Mirrors the reference's `smart` feature gate
+    (Cargo.toml:45 -> spider/smart), which falls back to a headless
+    browser only when plain HTTP yields a JS-rendered document."""
+    stripped = F.trim(F.regexp_replace(html, r"<[^>]*>", " "))
+    has_script = F.instr(F.lower(html), "<script") > 0
+    shell = has_script & (F.length(stripped) < 40)
+    marker = (F.lower(html).contains("enable javascript")
+              | F.lower(html).rlike(r'<div[^>]*id="(root|app)"[^>]*>\s*</div>'))
+    return (status == 200) & (shell | marker)
+
+
+class SmartFetcher:
+    """S6 smart fetch: HTTP first, headless re-render only where needed —
+    the reference's `smart` feature (Cargo.toml:45), which tries a plain
+    request and escalates to Chrome when the document is JS-rendered.
+
+    Spark-first split: the cheap HTTP pass fetches EVERY row; the routing
+    decision is a codegen predicate (`needs_render_col`) — no Python — and
+    only the shell rows re-enter the (expensive) Chrome mapInPandas stage.
+    At scale this keeps the browser fleet sized to the JS fraction of the
+    web, not the whole frontier; both passes are the same pluggable
+    fetcher surface, so politeness/robots gating upstream is unchanged.
+
+    Output contract is identical to HttpFetcher (+ a `rendered` boolean
+    audit column: true on rows that went through the browser pass).
+    """
+
+    def __init__(self, http: HttpFetcher | None = None,
+                 chrome: ChromeFetcher | None = None):
+        self.http = http or HttpFetcher()
+        self.chrome = chrome or ChromeFetcher()
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        # persist = a re-fetch barrier: the plan forks into plain/shell
+        # branches below, and without it each branch would re-run the HTTP
+        # mapInPandas — re-issuing every GET. MEMORY_AND_DISK, freed when
+        # the wave's batch goes out of scope.
+        first = self.http.fetch(batch).persist()
+        needs = needs_render_col(F.col("html"), F.col("status"))
+        plain = (first.where(~needs)
+                 .withColumn("rendered", F.lit(False)))
+        shell = first.where(needs).drop("status", "bytes", "html")
+        rendered = (self.chrome.fetch(shell)
+                    .withColumn("rendered", F.lit(True)))
+        return plain.unionByName(rendered)
+
+
 def parse_spans(fetched: DataFrame) -> DataFrame:
     """Add `spans: array<struct<kind,text,media_ref,offset>>`, drop `html`.
 

@@ -136,3 +136,99 @@ def test_default_transport_without_network(spark):
         assert "no network in sandbox" in str(e)
     else:
         assert [(r["status"], r["bytes"], r["html"]) for r in rows] == [(0, 0, "")]
+
+
+_SHELL_HTML = ('<html><head><script src="/app.js"></script></head>'
+               '<body><div id="root"></div></body></html>')
+_RENDERED_HTML = ('<html><body><h1>rendered</h1><p>client-side content '
+                  'now visible</p><a href="/p1">next</a></body></html>')
+_PLAIN_HTML = ('<html><body><h1>server page</h1><p>plenty of visible '
+               'static text here already</p></body></html>')
+
+
+def test_needs_render_predicate(spark):
+    """S6 smart routing predicate: JS app shells and explicit
+    scripting-required markers route to the browser; static pages, error
+    pages, and script-bearing pages with real text do not."""
+    from crawler_spark.sources.fetch import needs_render_col
+
+    cases = [
+        (_SHELL_HTML, 200, True),            # script + no visible text
+        (_PLAIN_HTML, 200, False),           # static page
+        ('<html><script>x</script><body>' + 'words ' * 20 + '</body></html>',
+         200, False),                        # script but real content
+        ('<html><body><noscript>Please enable JavaScript to view this '
+         'page</noscript></body></html>', 200, True),
+        (_SHELL_HTML, 404, False),           # non-200 never re-rendered
+        ("", 200, False),                    # empty body, no script
+    ]
+    df = spark.createDataFrame([(h, s) for h, s, _ in cases],
+                               "html string, status long")
+    got = [r[0] for r in df.select(
+        needs_render_col(F.col("html"), F.col("status"))).collect()]
+    assert got == [want for _, _, want in cases]
+
+
+def test_smart_fetcher_routes_only_shell_pages(spark):
+    """S6 smart mode: HTTP-first for every URL; ONLY the JS-shell responses
+    re-fetch through the Chrome transport (counted via a recording fake),
+    and those rows carry the browser-rendered DOM + rendered=true."""
+    from crawler_spark.sources.fetch import ChromeFetcher, SmartFetcher
+
+    http_pages = {
+        "http://a.example.com/p0": (200, _PLAIN_HTML),
+        "http://a.example.com/p1": (200, _SHELL_HTML),
+        "http://a.example.com/p2": (200, _SHELL_HTML),
+        "http://a.example.com/p3": (404, _SHELL_HTML),  # error: no escalation
+    }
+
+    def http_transport(session, url, agent, timeout_s):
+        return http_pages[url]
+
+    def chrome_transport(session, url, agent, timeout_s):
+        return 200, _RENDERED_HTML
+
+    smart = SmartFetcher(
+        http=HttpFetcher(transport=http_transport),
+        chrome=ChromeFetcher(transport=chrome_transport))
+    batch = spark.createDataFrame([(u, "a") for u in sorted(http_pages)],
+                                  "url_canon string, agent string")
+    rows = {r["url_canon"]: r for r in smart.fetch(batch).collect()}
+
+    assert len(rows) == 4
+    assert not rows["http://a.example.com/p0"]["rendered"]
+    assert rows["http://a.example.com/p0"]["html"] == _PLAIN_HTML
+    for u in ("http://a.example.com/p1", "http://a.example.com/p2"):
+        assert rows[u]["rendered"]
+        assert rows[u]["html"] == _RENDERED_HTML
+        assert rows[u]["bytes"] == len(_RENDERED_HTML)
+    # 404 shell: kept as the HTTP result, not escalated
+    p3 = rows["http://a.example.com/p3"]
+    assert not p3["rendered"] and p3["status"] == 404
+
+
+def test_smart_fetcher_full_crawl_equivalence(spark, small_cfg):
+    """A crawl through SmartFetcher over the fixture web (whose pages are
+    all static => chrome pass gets zero rows) equals the SimulatedFetcher
+    crawl — smart mode is a drop-in on the same fetcher surface."""
+    from crawler_spark.plans.frontier import run_crawl
+    from crawler_spark.sources.fetch import (
+        ChromeFetcher, SimulatedFetcher, SmartFetcher,
+    )
+    from crawler_spark.sources.webgraph import to_spark
+    from crawler_spark.spec import CrawlJobSpec
+
+    def chrome_transport(session, url, agent, timeout_s):  # pragma: no cover
+        raise AssertionError("static fixture page escalated to chrome")
+
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=3)
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    smart = SmartFetcher(
+        http=HttpFetcher(transport=_fixture_transport(small_cfg)),
+        chrome=ChromeFetcher(transport=chrome_transport))
+    via_smart = run_crawl(spark, spec, smart, robots_src=robots_df)
+    via_join = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                         robots_src=robots_df)
+    a = {r["url_canon"] for r in via_smart.seen.select("url_canon").collect()}
+    b = {r["url_canon"] for r in via_join.seen.select("url_canon").collect()}
+    assert a == b and via_smart.n_fetched == via_join.n_fetched
