@@ -60,6 +60,11 @@ CHECKS = {
     "px3_sequence_pack": (["Window", "BroadcastHashJoin"],
                           ["BatchEvalPython", "ArrowEvalPython",
                            "SortMergeJoin"]),
+    # unrolled wave-admission loop: exact anti-join dedup + per-host rank
+    # windows, tokens broadcast — zero Python anywhere in the 3-wave plan
+    "w4_wave_admission": (["LeftAnti", "Window", "BroadcastHashJoin"],
+                          ["BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct"]),
 }
 
 
