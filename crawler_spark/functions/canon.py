@@ -15,6 +15,8 @@ in an Arrow-vectorized pandas UDF, and the reference-semantics oracle
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
 from urllib.parse import urljoin, urlsplit, urlunsplit, quote, unquote
 
 import pandas as pd
@@ -25,6 +27,8 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 # RFC 3986 unreserved + sub-delims we keep literal in paths/queries.
 _PATH_SAFE = "/:@!$&'()*+,;=~-._"
 _QUERY_SAFE = "=&:@!$'()*+,;/?~-._"
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
 
 
 def canonicalize(base: str, href: str) -> str:
@@ -38,11 +42,41 @@ def canonicalize(base: str, href: str) -> str:
       * re-encode path/query with uppercase %XX hex, decoding unreserved
       * empty path -> '/'
     Returns '' for non-http(s) or unparseable results.
+
+    Hot-path layout (this runs once per outlink of every fetched page): the
+    resolve step fast-paths absolute and plain root-relative hrefs (string
+    concat instead of urljoin's five urlparse round-trips), and the
+    normalize step is memoized per worker on the joined absolute URL —
+    outlink targets repeat heavily within a host, so the cache converts
+    most calls into a dict hit. Anything unusual (dot segments,
+    protocol-relative, path-relative) falls back to urljoin; the golden
+    suite pins fast path == slow path.
     """
     if not href:
         href = base
+    href = href.strip()
+    if _SCHEME_RE.match(href):
+        joined = href                      # absolute: base never matters
+    elif (href.startswith("/") and not href.startswith("//")
+          and ".." not in href and "/." not in href
+          and base[:7].lower() in ("http://", "https:/")):
+        # root-relative against an http(s) base: origin + href (urljoin
+        # would merge-and-strip-dot-segments; the guards exclude every
+        # input where that differs from plain concatenation)
+        cut = base.find("/", base.find("://") + 3)
+        joined = (base if cut < 0 else base[:cut]) + href
+    else:
+        try:
+            joined = urljoin(base, href)
+        except ValueError:
+            return ""
+    return _canon_abs(joined)
+
+
+@lru_cache(maxsize=65536)
+def _canon_abs(joined: str) -> str:
+    """Normalize an already-absolute URL (memoized — see canonicalize)."""
     try:
-        joined = urljoin(base, href.strip())
         parts = urlsplit(joined)
     except ValueError:
         return ""

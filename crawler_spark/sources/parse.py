@@ -40,9 +40,12 @@ _MEDIA_TAGS = ("img", "video", "audio", "source", "embed", "iframe")
 _SKIP_CONTENT = ("script", "style")
 
 
+_NAME_RE = re.compile(r"[a-zA-Z0-9]+")
+
+
 def _tag_name(tag: str) -> str:
     body = tag[1:-1].strip().lstrip("/")
-    m = re.match(r"[a-zA-Z0-9]+", body)
+    m = _NAME_RE.match(body)
     return m.group(0).lower() if m else ""
 
 
