@@ -332,19 +332,32 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
 
 
 def simhash_from_hashes(h: Column, bits: int = 16) -> Column:
-    """SimHash from a pre-projected word-hash array column (the fast path —
-    the hash array is evaluated once, not once per bit)."""
+    """SimHash from a pre-projected word-hash array column.
 
-    def vote_fn(b):
-        # exactly-two-arg lambda (pyspark inspects HOF callable arity)
-        return lambda acc, v: acc + F.when(
-            F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(h, F.lit(0).cast("long"), vote_fn(b))
-        out = out + F.when(vote > 0, F.lit(2 ** b)).otherwise(0).cast("long")
-    return out
+    ONE traversal of `h` with an array-of-votes accumulator — the naive
+    form (one F.aggregate per bit) re-inlines the full word-hash expression
+    `bits` times because Catalyst does no CSE across sibling aggregates
+    (NOTES.md hard-won fact #1); measured 13x slower at bits=16. Here `h`
+    appears exactly once (the vote fold) and the votes array exactly once
+    (the packing zip_with), so each is evaluated once per row regardless of
+    what expression the caller passes."""
+    # F.shiftright/shiftleft only take literal shift amounts in the Python
+    # API; call_function passes the per-element index column through to the
+    # SQL builtin
+    votes = F.aggregate(
+        h, F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, v: F.transform(
+            acc, lambda a, i: a + F.when(
+                F.call_function("shiftright", v, i)
+                 .bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))))
+    packed = F.zip_with(
+        votes, F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda vote, b: F.when(
+            vote > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), b))
+         .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 # --- Line-level dedup (CCNet/C4 style) -----------------------------------
