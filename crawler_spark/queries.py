@@ -1754,3 +1754,67 @@ def px3_sequence_pack(spark, sf_dir):
     t = d.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
     return pack_sequences(t, "n_tokens", order_col="doc_id",
                           budget=1024, n_blocks=8)
+
+
+_MM4_MEDIA_TOKENS = 64     # fixed per-image placeholder cost (LLaVA-style)
+_MM4_BUDGET = 2048
+
+_MM4_SQL = f"""
+WITH spans AS ({_SPAN_SQL}),
+tok AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(spans, s ->
+             CASE WHEN s.kind = 'text' AND trim(s.text) <> ''
+                  THEN len(regexp_split_to_array(trim(s.text), '\\s+'))
+                  ELSE 0 END)), 0)::BIGINT AS text_tokens,
+         ({_MM4_MEDIA_TOKENS} *
+          len(list_filter(spans, s -> s.kind = 'media')))::BIGINT
+           AS media_tokens
+  FROM spans),
+t AS (SELECT doc_id, text_tokens, media_tokens,
+             text_tokens + media_tokens AS n_tokens FROM tok),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS prev_tokens
+  FROM t)
+SELECT doc_id, text_tokens, media_tokens, n_tokens, prev_tokens,
+       prev_tokens // {_MM4_BUDGET} AS seq_id,
+       prev_tokens % {_MM4_BUDGET} AS seq_offset
+FROM c
+"""
+
+
+@q("mm4_multimodal_pack", _MM4_SQL)
+def mm4_multimodal_pack(spark, sf_dir):
+    """Multimodal sequence packing: interleaved text+media span sequences
+    are costed in TRAINING tokens — text spans at their word count, each
+    media span at a fixed {64}-token placeholder (the vision-language
+    convention: an image occupies a constant patch-token block in the
+    packed sequence) — then laid end-to-end and chunked into 2048-token
+    training sequences via the distributed two-phase prefix sum
+    (operators/sampling.pack_sequences; the oracle is the sequential
+    single-window form). Composes px2's per-row span algebra with px3's
+    scale-safe packing: the token costing is zero-shuffle HOF algebra, the
+    global order dependency stays one n_blocks-row offset table."""
+    from crawler_spark.operators.sampling import pack_sequences
+    s = _spans_df(spark, sf_dir)
+    text_tokens = F.aggregate(
+        F.transform(
+            "spans",
+            lambda sp: F.when(
+                (sp.kind == "text") & (F.trim(sp.text) != ""),
+                F.size(F.split(F.trim(sp.text), r"\s+")))
+             .otherwise(F.lit(0)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    media_tokens = (
+        F.lit(_MM4_MEDIA_TOKENS)
+        * F.size(F.filter("spans", lambda sp: sp.kind == "media"))
+    ).cast("long")
+    t = (s.select("doc_id", text_tokens.alias("text_tokens"),
+                  media_tokens.alias("media_tokens"))
+         .withColumn("n_tokens",
+                     (F.col("text_tokens") + F.col("media_tokens"))
+                     .cast("long")))
+    return pack_sequences(t, "n_tokens", order_col="doc_id",
+                          budget=_MM4_BUDGET, n_blocks=8)
