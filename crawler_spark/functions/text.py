@@ -21,38 +21,59 @@ def n_words_col(text: Column) -> Column:
 
 
 def marker_hits_col(text: Column, markers: tuple[str, ...]) -> Column:
-    """Occurrences of whole-word markers: size(split(x, '\\bword\\b')) - 1,
-    summed — pure string algebra, identical semantics in DuckDB."""
-    padded = F.concat(F.lit(" "), F.trim(text), F.lit(" "))
-    out = F.lit(0)
-    for m in markers:
-        out = out + F.size(F.split(padded, rf"\s{m}\s")) - 1
-    return out
+    """Count of whitespace-split words equal to any marker (whole-word
+    token match) — ONE split + one filter pass, identical semantics to the
+    DuckDB twin's list_filter(... w IN (...))."""
+    w = F.split(F.trim(text), r"\s+")
+    return F.size(F.filter(w, lambda x: x.isin(*markers))).cast("long")
+
+
+def _word_stats_agg(w: Column, marker_sets: list[tuple[str, ...]]) -> Column:
+    """[count(words∈set_0), ..., count(words∈set_{k-1}), n_words] in ONE
+    traversal of the word array `w` — the per-marker-regex formulation
+    re-scanned the full text once per marker (16 passes for 4 languages);
+    this is one split + one fold with an array accumulator (same shape as
+    simhash_from_hashes' vote fold)."""
+    k = len(marker_sets)
+    init = F.array_repeat(F.lit(0).cast("long"), k + 1)
+
+    def step(acc: Column, x: Column) -> Column:
+        def inc(c: Column, i: Column) -> Column:
+            e = F.when(i == k, F.lit(1).cast("long"))
+            for j, ms in enumerate(marker_sets):
+                e = e.when(i == j, x.isin(*ms).cast("long"))
+            return c + F.coalesce(e, F.lit(0).cast("long"))
+        return F.transform(acc, inc)
+
+    return F.aggregate(w, init, step)
 
 
 def lang_id_col(text: Column, threshold: float = 0.02) -> Column:
-    """Heuristic language-ID: the language whose marker density is highest,
-    'und' (undetermined) when the best density is below threshold.
+    """Heuristic language-ID: the language whose marker-word density is
+    highest, 'und' (undetermined) when the best density is below threshold.
+    Marker hits = whole-word token equality over the whitespace split.
 
-    The per-language densities are packed into ONE array and let-bound via a
-    single-element transform() lambda before the argmax when-chain: inlining
-    them repeats each density expression ~20x in the nested CASE (Catalyst
-    does no CSE inside it) — the bound form evaluates each density once."""
-    n = n_words_col(text)
-    dens = F.array(*[marker_hits_col(text, m).cast("double") / n
-                     for m in LANG_MARKERS.values()])
+    All four languages' counts plus the word total come from ONE fold
+    (_word_stats_agg), and the stats array is let-bound via a
+    single-element transform() lambda before the argmax when-chain:
+    inlining would repeat the fold per CASE branch (Catalyst does no CSE
+    inside it) — the bound form evaluates it once."""
+    w = F.split(F.trim(text), r"\s+")
+    sets = list(LANG_MARKERS.values())
+    stats = _word_stats_agg(w, sets)
 
     def pick(a: Column) -> Column:
+        n = F.element_at(a, len(sets) + 1).cast("double")
         best_lang = F.lit("und")
         best_score = F.lit(float(threshold))
         for i, lang in enumerate(LANG_MARKERS.keys()):
-            score = F.element_at(a, i + 1)
+            score = F.element_at(a, i + 1) / n
             better = score > best_score
             best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
             best_score = F.when(better, score).otherwise(best_score)
         return best_lang
 
-    return F.element_at(F.transform(F.array(dens), pick), 1)
+    return F.element_at(F.transform(F.array(stats), pick), 1)
 
 
 def token_count_col(text: Column) -> Column:
@@ -65,25 +86,24 @@ def token_count_col(text: Column) -> Column:
 
 def quality_score_col(text: Column) -> Column:
     """Document quality in [0,1]: length band + mean word length band +
-    stopword-presence signal (the crawl-corpus quality gate). Inputs
-    (n_chars, n_words, stopword hits) are let-bound once — see lang_id_col
-    for why inlining them would re-split the text per comparison."""
-    packed = F.array(
-        F.length(text).cast("double"),
-        n_words_col(text).cast("double"),
-        marker_hits_col(text, LANG_MARKERS["en"]).cast("double"))
+    stopword-presence signal (the crawl-corpus quality gate). Stopword
+    hits and the word count come from ONE fold over one split
+    (_word_stats_agg), let-bound once — see lang_id_col for why inlining
+    would re-split the text per comparison."""
+    w = F.split(F.trim(text), r"\s+")
+    stats = _word_stats_agg(w, [LANG_MARKERS["en"]])    # [hits, n_words]
+    n_chars = F.length(text).cast("double")
 
     def score(a: Column) -> Column:
-        n_chars = F.element_at(a, 1)
-        n = F.element_at(a, 2)
-        hits = F.element_at(a, 3)
+        hits = F.element_at(a, 1).cast("double")
+        n = F.element_at(a, 2).cast("double")
         mean_wl = (n_chars - (n - 1)) / n                # chars sans separators
         len_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.3)
         wl_ok = F.when((mean_wl >= 2.5) & (mean_wl <= 12.0), 1.0).otherwise(0.4)
         stop_ok = F.when(hits / n > 0.01, 1.0).otherwise(0.5)
         return F.round(0.4 * len_ok + 0.3 * wl_ok + 0.3 * stop_ok, 4)
 
-    return F.element_at(F.transform(F.array(packed), score), 1)
+    return F.element_at(F.transform(F.array(stats), score), 1)
 
 
 # --- PII scrubbing (tx6) -------------------------------------------------

@@ -802,11 +802,10 @@ def dd5_simhash(spark, sf_dir):
 _NW = "len(regexp_split_to_array(trim(text), '\\s+'))"
 
 
-def _hits(markers):  # DuckDB twin of marker_hits_col
-    padded = "' ' || trim(text) || ' '"
-    terms = [f"(len(regexp_split_to_array({padded}, '\\s{m}\\s')) - 1)"
-             for m in markers]
-    return "(" + " + ".join(terms) + ")"
+def _hits(markers):  # DuckDB twin of marker_hits_col (whole-word equality)
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return (f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"w -> w IN ({inlist})))")
 
 
 from crawler_spark.functions.text import LANG_MARKERS as _LM
