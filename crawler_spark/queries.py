@@ -1052,6 +1052,47 @@ def dd6_embedding_neardup(spark, sf_dir):
                                    planes=_PLANES, band_size=2)
 
 
+# SemDeDup (semantic dedup): connected components over the EMBEDDING
+# near-dup pair graph (dd6), keep the component-minimum vector, drop the
+# rest — the embedding-space analog of dd7/dd8's text-pair clustering. The
+# oracle nests dd6's full pair SQL as a CTE and closes it transitively
+# with the same recursive-CTE idiom as dd7.
+def _dd10_oracle() -> str:
+    return f"""WITH RECURSIVE pairs AS ({_ORACLES['dd6_embedding_neardup']}),
+edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+cc(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t(u)
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node),
+lab AS (SELECT node, min(lbl) AS cluster FROM cc GROUP BY node)
+SELECT e.vec_id, coalesce(l.cluster, e.vec_id) AS cluster,
+       (coalesce(l.cluster, e.vec_id) = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id
+"""
+
+
+@q("dd10_semantic_keep", _dd10_oracle())
+def dd10_semantic_keep(spark, sf_dir):
+    """SemDeDup: semantic near-duplicate pruning over the embedding
+    column — dd6's cell-blocked cosine pair graph, transitively closed by
+    the shuffle-native large-star/small-star CC (operators/clusters.py),
+    keeping exactly one vector (the component minimum) per semantic
+    cluster and every singleton. Same keep-one-per-cluster contract as
+    dd8, driven by embedding geometry instead of text shingles."""
+    from crawler_spark.operators.clusters import dup_clusters
+    from crawler_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold=0.4, max_cell=64,
+                                    planes=_PLANES, band_size=2)
+    clustered = dup_clusters(e.select("vec_id"), pairs, id_col="vec_id",
+                             src="vec_a", dst="vec_b")
+    return clustered.select(
+        "vec_id", "cluster",
+        (F.col("cluster") == F.col("vec_id")).alias("keep"))
+
+
 @q("an3_embedding_stats", """
 SELECT label, count(*) AS n,
        round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
