@@ -43,6 +43,16 @@ def _materialize(df) -> int:
     return 0
 
 
+def _cpu_probe() -> float:
+    """Single-thread contention witness (same fixed work as
+    tools/scaling_bench.cpu_probe): ~0.95s on this box when quiet."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i & 1023
+    return round(time.perf_counter() - t0, 3)
+
+
 def _enrich_sink(docs) -> None:
     """EP1 per-wave sink with realistic training-data compute: reassemble the
     document text from its text spans, then language-ID, quality score, token
@@ -221,6 +231,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        # contention witness (BENCH/BASELINE.md protocol): single-thread
+        # fixed-work probe, ~0.95s when this shared host is quiet. Absolute
+        # timings from a run whose probe is well above that were taken
+        # under host-side interference invisible to in-VM telemetry and are
+        # not comparable across runs; within-run structure still is.
+        "probe_sec": _cpu_probe(),
     }
     if crawl is not None:
         out["crawl"] = crawl
