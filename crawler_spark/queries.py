@@ -325,6 +325,10 @@ def w4_wave_admission(spark, sf_dir):
     discovered = seeds.select(F.col("doc_id").alias("url_hash"))
     admitted_waves = []
     for w in range(1, _W4_WAVES + 1):
+        # eager wave barrier, exactly as run_crawl's loop: without it the
+        # unrolled plan nests 3 waves of windows/anti-joins/unions into one
+        # DAG and Catalyst planning dominates the (tiny-data) runtime
+        pending = pending.localCheckpoint(eager=True)
         flagged = politeness.select_by_window(pending, tokens)
         adm = flagged.where("selected")
         admitted_waves.append(
