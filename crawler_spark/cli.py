@@ -66,6 +66,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "fetch is >= this many waves old (refresh-only "
                          "drain: max_depth forced to 0; "
                          "operators/recrawl.py)")
+    ap.add_argument("--expire-keep", type=int, default=0,
+                    help=">0: maintenance mode — expire snapshots older "
+                         "than the last N committed waves of the "
+                         "--checkpoint-dir store (Iceberg expireSnapshots "
+                         "parity; plans/tableio.py), print the audit, exit")
+    ap.add_argument("--purge-urls", nargs="+", default=None,
+                    help="maintenance mode — erase these URLs from every "
+                         "committed table of the --checkpoint-dir store "
+                         "(operators/purge.py), print the audit, exit")
+    ap.add_argument("--purge-mode", choices=("suppress", "forget"),
+                    default="suppress",
+                    help="suppress: erase content, keep seen tombstones so "
+                         "the URL is never re-admitted (takedown); forget: "
+                         "erase every trace incl. seen/bloom (full erasure)")
     ap.add_argument("--stream", action="store_true",
                     help="EP1 scan mode: per-wave document sink to --output")
     ap.add_argument("--output", default="",
@@ -95,6 +109,30 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("crawler_spark_cli", args.master,
                       shuffle_partitions=args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # maintenance modes: operate on an existing store, no crawl
+    if args.expire_keep > 0 or args.purge_urls:
+        if not args.checkpoint_dir:
+            print("error: maintenance modes require --checkpoint-dir",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        from crawler_spark.plans.tableio import SnapDirStore
+        store = SnapDirStore(spark, args.checkpoint_dir)
+        try:
+            if args.purge_urls:
+                from crawler_spark.operators.purge import purge_urls
+                audit = purge_urls(spark, store, args.purge_urls,
+                                   mode=args.purge_mode)
+            else:
+                audit = store.expire(keep_last=args.expire_keep)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            spark.stop()
+            return 2
+        print(json.dumps(audit))
+        spark.stop()
+        return 0
 
     from crawler_spark.sources.webgraph import (
         to_spark_robots_pages, to_spark_sitemaps, total_pages_of,
