@@ -57,9 +57,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_ran = 0
     for name, fn in qs.items():
         if args.only and args.only not in name:
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
@@ -102,7 +104,9 @@ def main():
             print(f"ok   {name}: {len(s_rows)} rows match "
                   f"({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    skipped = len(qs) - n_ran
+    print(f"\n{n_ran - len(failures)}/{n_ran} pass"
+          + (f" ({skipped} skipped by --only)" if skipped else ""))
     return 1 if failures else 0
 
 
