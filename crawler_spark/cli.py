@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "fetch is >= this many waves old (refresh-only "
                          "drain: max_depth forced to 0; "
                          "operators/recrawl.py)")
+    ap.add_argument("--snapshot-keep", type=int, default=0,
+                    help=">0: bound store growth during the crawl — after "
+                         "each wave commit, expire full snapshots older "
+                         "than the last N waves (document history kept; "
+                         "spec.snapshot_keep)")
     ap.add_argument("--expire-keep", type=int, default=0,
                     help=">0: maintenance mode — expire snapshots older "
                          "than the last N committed waves of the "
@@ -167,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
         max_waves=args.max_waves, blacklist=tuple(args.blacklist),
         shuffle_partitions=args.shuffle_partitions,
         politeness_salt=args.politeness_salt,
+        snapshot_keep=args.snapshot_keep,
         checkpoint_dir=args.checkpoint_dir, stop_flag_path=args.stop_flag)
 
     sink = None

@@ -522,6 +522,13 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         docs_parts.append(state["documents"])
         log_parts.append(state["fetch_log"])
         seen_rows += n_new
+        # bounded store growth (spec.snapshot_keep): drop superseded full
+        # snapshots past the retention horizon — cheap mode, pure directory
+        # deletes; the document/fetch_log history (the output corpus) is
+        # never rewritten mid-crawl. Resume only needs the latest manifest,
+        # which is always retained.
+        if spec.snapshot_keep > 0 and hasattr(store, "expire"):
+            store.expire(keep_last=spec.snapshot_keep, compact_deltas=False)
         _mark("commit_bloom")
         wave_metrics["stage_sec"] = stage_t
 

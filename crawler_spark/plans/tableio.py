@@ -270,7 +270,7 @@ class SnapDirStore:
         self._expire_cleanup(intent)
         return len(intent["rm_dirs"])
 
-    def expire(self, keep_last: int) -> dict:
+    def expire(self, keep_last: int, compact_deltas: bool = True) -> dict:
         """Expire snapshots older than the last ``keep_last`` committed waves.
 
         Guarantees after return (tested in tests/test_expire.py):
@@ -287,6 +287,16 @@ class SnapDirStore:
           * resume from the latest wave is unaffected;
           * manifests below the cutoff are gone — time travel past the
             horizon is surrendered, which is the point (Iceberg semantics).
+
+        ``compact_deltas=False`` is the cheap in-crawl mode (wired to
+        spec.snapshot_keep by the wave loop): delta histories are left in
+        place untouched — they ARE the output corpus and rewriting them
+        every few waves would be O(total corpus) write volume — and only
+        the superseded FULL snapshots (frontier/seen/hosts/bloom/robots
+        copies, the dominant storage waste of a long 10^10-URL crawl: one
+        O(frontier) copy per wave) plus dead seen_delta dirs and old
+        manifests are dropped. Pure directory deletes, O(1) data volume
+        per call, same retained-read guarantees.
 
         Returns an audit dict: cutoff, dirs removed, per-table compactions,
         bytes freed."""
@@ -344,6 +354,8 @@ class SnapDirStore:
                         if min_base is not None and w <= min_base]
                 intent["rm_dirs"] += [f"{table}/_snap={w}" for w in dead]
                 bytes_before += sum(_du(self._snap_path(table, w)) for w in dead)
+            elif mode == "delta" and not compact_deltas:
+                continue               # cheap mode: history stays in place
             elif mode == "delta":
                 target = max(waves)
                 compact_plan[table] = (waves, target)

@@ -72,6 +72,15 @@ class CrawlJobSpec:
                                          # At 10^10 URLs a full rewrite is
                                          # O(total) per wave; delta+compaction
                                          # is the Iceberg-equivalent layout.
+    snapshot_keep: int = 0               # >0: after each wave commit, expire
+                                         # snapshots older than the last K
+                                         # waves (cheap mode: superseded FULL
+                                         # frontier/seen/hosts/bloom copies +
+                                         # dead seen deltas only; document
+                                         # history untouched). 0 = keep all.
+                                         # At 10^10 URLs an unexpired store
+                                         # accrues one O(frontier) full copy
+                                         # per wave — this bounds it to K.
     stop_flag_path: str = ""             # existing file => graceful stop between
                                          # waves (the reference's "shutdown"
                                          # control message, src/rpc/client.rs:90-99)

@@ -174,6 +174,41 @@ def test_expire_crash_rolls_back_and_forward(spark, crawl_env, tmp_path):
     assert not os.path.exists(s3._intent_path())
 
 
+def test_in_crawl_snapshot_keep(spark, crawl_env, tmp_path):
+    """spec.snapshot_keep bounds store growth DURING the crawl (cheap
+    expire mode after each commit): final state and kill/resume bit-identity
+    are unchanged, manifests never exceed the horizon, and the document
+    history (the output corpus) is never touched."""
+    fetcher, robots_df, seeds = crawl_env
+    ctl_dir, keep_dir = str(tmp_path / "ctl"), str(tmp_path / "keep")
+    base = CrawlJobSpec(seeds=seeds, max_waves=20, seen_compact_every=2)
+    run_crawl(spark, dataclasses.replace(base, checkpoint_dir=ctl_dir),
+              fetcher, robots_src=robots_df)
+
+    # (a) uninterrupted crawl under retention == control state
+    run_crawl(spark, dataclasses.replace(base, checkpoint_dir=keep_dir,
+                                         snapshot_keep=2),
+              fetcher, robots_src=robots_df)
+    assert _state_fp(spark, keep_dir) == _state_fp(spark, ctl_dir)
+    mdir = os.path.join(keep_dir, "_manifest")
+    assert len([f for f in os.listdir(mdir) if f.endswith(".json")]) == 2
+    # document history intact: one delta dir per fetching wave
+    store = SnapDirStore(spark, keep_dir)
+    assert len(store._table_waves("documents")) >= 4
+    # full-table copies bounded to the horizon
+    assert len(store._table_waves("frontier")) <= 2
+
+    # (b) kill mid-crawl under retention, resume == control state
+    kill_dir = str(tmp_path / "kill")
+    run_crawl(spark, dataclasses.replace(base, checkpoint_dir=kill_dir,
+                                         snapshot_keep=2, max_waves=2),
+              fetcher, robots_src=robots_df)
+    run_crawl(spark, dataclasses.replace(base, checkpoint_dir=kill_dir,
+                                         snapshot_keep=2),
+              fetcher, robots_src=robots_df, resume=True)
+    assert _state_fp(spark, kill_dir) == _state_fp(spark, ctl_dir)
+
+
 def test_purge_suppress_tombstones(spark, crawl_env, tmp_path):
     d = str(tmp_path / "sup")
     run, spec = _crawl(spark, crawl_env, d)
