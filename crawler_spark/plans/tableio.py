@@ -115,10 +115,18 @@ class SnapDirStore:
                     shutil.rmtree(path)
                 df.write.parquet(path)
                 back = self.spark.read.parquet(path)
+                # rows + fingerprint in ONE read-back pass — a separate
+                # count() then fingerprint() scans every committed table
+                # twice per wave, O(table) extra I/O each at the 10^10
+                # design point
+                stat = back.select(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.xxhash64(F.to_json(F.struct(*back.columns)))
+                          .cast("decimal(38,0)")).alias("fp")).collect()[0]
                 manifest["tables"][name] = {
                     "mode": mode,
-                    "rows": back.count(),
-                    "fingerprint": content_fingerprint(back),
+                    "rows": int(stat["rows"]),
+                    "fingerprint": int(stat["fp"] or 0) % (1 << 64),
                     "n_files": len([f for f in os.listdir(path)
                                     if f.endswith(".parquet")]),
                 }
