@@ -124,13 +124,16 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         from crawler_spark.plans.tableio import SnapDirStore
         store = SnapDirStore(spark, args.checkpoint_dir)
+        audit = {}
         try:
+            # both flags compose: purge first (rewrites the history), then
+            # expire the retention horizon
             if args.purge_urls:
                 from crawler_spark.operators.purge import purge_urls
-                audit = purge_urls(spark, store, args.purge_urls,
-                                   mode=args.purge_mode)
-            else:
-                audit = store.expire(keep_last=args.expire_keep)
+                audit["purge"] = purge_urls(spark, store, args.purge_urls,
+                                            mode=args.purge_mode)
+            if args.expire_keep > 0:
+                audit["expire"] = store.expire(keep_last=args.expire_keep)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             spark.stop()

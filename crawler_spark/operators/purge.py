@@ -44,6 +44,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from crawler_spark.functions.canon import canonicalize_udf
+from crawler_spark.operators.dedup import url_hash_col
 
 
 def purge_keys(spark: SparkSession, urls) -> DataFrame:
@@ -56,7 +57,7 @@ def purge_keys(spark: SparkSession, urls) -> DataFrame:
             .withColumn("url_canon",
                         canonicalize_udf(F.col("url"), F.lit("")))
             .where(F.col("url_canon") != "")
-            .select(F.xxhash64(F.lower("url_canon")).alias("url_hash"))
+            .select(url_hash_col(F.col("url_canon")).alias("url_hash"))
             .distinct())
 
 
@@ -130,11 +131,10 @@ def purge_urls(spark: SparkSession, store, urls,
 
     delta = {}
     if docs is not None:
-        delta["documents"] = _anti(
-            docs, keys, F.xxhash64(F.lower(docs["doc_id"])))
+        delta["documents"] = _anti(docs, keys, url_hash_col(docs["doc_id"]))
     if flog is not None:
-        delta["fetch_log"] = _anti(
-            flog, keys, F.xxhash64(F.lower(flog["url_canon"])))
+        delta["fetch_log"] = _anti(flog, keys,
+                                   url_hash_col(flog["url_canon"]))
     if metrics is not None:
         delta["metrics"] = metrics
 
@@ -144,8 +144,11 @@ def purge_urls(spark: SparkSession, store, urls,
     extra["seen_base_wave"] = epoch
     extra["seen_rows"] = n_seen1
     extra["purge"] = {"mode": mode, "n_keys": int(n_keys), "epoch": epoch}
-    state = store.persist_wave(epoch, full=full, delta=delta, extra=extra)
-    n_docs1 = state["documents"].count() if "documents" in state else 0
+    store.persist_wave(epoch, full=full, delta=delta, extra=extra)
+    # the epoch manifest already carries exact row counts from the commit's
+    # single read-back pass — no extra table scans for the audit
+    etabs = store.manifest(epoch).get("tables", {})
+    n_docs1 = int(etabs.get("documents", {}).get("rows", 0))
     removed_dirs = store.gc_below(epoch)
     return {
         "epoch": epoch,

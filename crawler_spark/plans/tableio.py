@@ -45,14 +45,20 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def content_fingerprint(df: DataFrame) -> int:
-    """Order-insensitive content hash: sum(xxhash64(to_json(struct(*))))
-    mod 2^64. The sum runs in decimal(38,0) — a long sum of 64-bit hashes
+def fingerprint_sum_col(df: DataFrame):
+    """The one definition of the content hash aggregate: sum(xxhash64(
+    to_json(struct(*)))) in decimal(38,0) — a long sum of 64-bit hashes
     overflows almost immediately under ANSI mode (Spark 4 default).
-    Used by manifests and the resume test (bitwise-equal state)."""
-    row = df.select(
-        F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))
-              .cast("decimal(38,0)")).alias("fp")).collect()[0]
+    Shared by content_fingerprint and persist_wave so the manifest and the
+    resume/expire verifiers can never drift apart."""
+    return F.sum(F.xxhash64(F.to_json(F.struct(*df.columns)))
+                 .cast("decimal(38,0)"))
+
+
+def content_fingerprint(df: DataFrame) -> int:
+    """Order-insensitive content hash mod 2^64. Used by manifests and the
+    resume test (bitwise-equal state)."""
+    row = df.select(fingerprint_sum_col(df).alias("fp")).collect()[0]
     return int(row["fp"] or 0) % (1 << 64)
 
 
@@ -121,8 +127,7 @@ class SnapDirStore:
                 # design point
                 stat = back.select(
                     F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.xxhash64(F.to_json(F.struct(*back.columns)))
-                          .cast("decimal(38,0)")).alias("fp")).collect()[0]
+                    fingerprint_sum_col(back).alias("fp")).collect()[0]
                 manifest["tables"][name] = {
                     "mode": mode,
                     "rows": int(stat["rows"]),
@@ -209,31 +214,59 @@ class SnapDirStore:
         return sorted(out)
 
     def _recover_expire(self) -> None:
-        """Finish or undo an expire() interrupted by a crash. Phase "swap":
+        """Finish or undo maintenance interrupted by a crash. Phase "swap":
         every original directory still exists (under its ``.expired`` name or
         untouched), so roll BACK — restore renames, drop half-placed
         compacted targets and tmp dirs. Phase "cleanup": the swap completed
-        and only deletions remain, so roll FORWARD."""
+        and only deletions remain, so roll FORWARD. With no intent file,
+        sweep orphaned ``.swap``/``.expired`` dirs (a crash in expire's
+        phase 0 — before the intent lands — leaves a .swap nothing else
+        would ever delete) and complete any purge epoch whose physical GC
+        never started (crash between the epoch's manifest commit and
+        gc_below's intent write — the manifest IS the purge's commit point,
+        so rolling its deletions forward is always correct)."""
         ip = self._intent_path()
-        if not os.path.exists(ip):
+        if os.path.exists(ip):
+            with open(ip) as fh:
+                intent = json.load(fh)
+            if intent.get("phase") == "cleanup":
+                self._expire_cleanup(intent)
+                return
+            for r in intent.get("renames", []):
+                snap = self._snap_path(r["table"], r["wave"])
+                exp = snap + ".expired"
+                if os.path.exists(exp):
+                    if os.path.exists(snap):  # compacted target placed on top
+                        shutil.rmtree(snap)
+                    os.replace(exp, snap)
+            for t in intent.get("targets", []):
+                tmp = self._snap_path(t["table"], t["wave"]) + ".swap"
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+            os.remove(ip)
             return
-        with open(ip) as fh:
-            intent = json.load(fh)
-        if intent.get("phase") == "cleanup":
-            self._expire_cleanup(intent)
-            return
-        for r in intent.get("renames", []):
-            snap = self._snap_path(r["table"], r["wave"])
-            exp = snap + ".expired"
-            if os.path.exists(exp):
-                if os.path.exists(snap):      # compacted target placed on top
-                    shutil.rmtree(snap)
-                os.replace(exp, snap)
-        for t in intent.get("targets", []):
-            tmp = self._snap_path(t["table"], t["wave"]) + ".swap"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-        os.remove(ip)
+        # no in-flight op: orphaned temp dirs are garbage from a phase-0 crash
+        for table in os.listdir(self.root):
+            td = os.path.join(self.root, table)
+            if table.startswith("_") or not os.path.isdir(td):
+                continue
+            for f in os.listdir(td):
+                if f.startswith("_snap=") and f.endswith((".swap", ".expired")):
+                    shutil.rmtree(os.path.join(td, f), ignore_errors=True)
+        # a purge epoch at the latest wave with older manifests still present
+        # means its GC never ran — finish it (idempotent pure deletes)
+        last = self.latest_wave()
+        if last is not None:
+            try:
+                extra = self.manifest(last).get("extra", {})
+            except (OSError, ValueError):
+                return
+            purge = extra.get("purge")
+            if purge and int(purge.get("epoch", -1)) == last:
+                mdir = os.path.join(self.root, "_manifest")
+                if any(int(f.split(".")[0]) < last
+                       for f in os.listdir(mdir) if f.endswith(".json")):
+                    self.gc_below(last)
 
     def _expire_cleanup(self, intent: dict) -> None:
         for r in intent.get("renames", []):
@@ -337,6 +370,12 @@ class SnapDirStore:
                 if b is not None:
                     protected_bases.add(int(b))
         min_base = min(protected_bases) if protected_bases else None
+        # a purge epoch's delta_base marks everything below it as superseded
+        # (possibly un-GC'd) history: those dirs must be DELETED, never
+        # compacted — unioning them back in would resurrect purged rows and
+        # duplicate every pre-purge row
+        delta_bases = (self.manifest(last).get("extra", {})
+                       .get("delta_base") or {})
 
         def _du(path: str) -> int:
             total = 0
@@ -362,15 +401,21 @@ class SnapDirStore:
                         if min_base is not None and w <= min_base]
                 intent["rm_dirs"] += [f"{table}/_snap={w}" for w in dead]
                 bytes_before += sum(_du(self._snap_path(table, w)) for w in dead)
-            elif mode == "delta" and not compact_deltas:
-                continue               # cheap mode: history stays in place
             elif mode == "delta":
-                target = max(waves)
-                compact_plan[table] = (waves, target)
+                base = int(delta_bases.get(table, -(1 << 31)))
+                stale = [w for w in waves if w < base]   # pre-purge garbage
+                intent["rm_dirs"] += [f"{table}/_snap={w}" for w in stale]
+                bytes_before += sum(_du(self._snap_path(table, w))
+                                    for w in stale)
+                live = [w for w in waves if w >= base]
+                if not compact_deltas or not live:
+                    continue           # cheap mode: live history stays put
+                target = max(live)
+                compact_plan[table] = (live, target)
                 intent["renames"] += [{"table": table, "wave": w}
-                                      for w in waves]
+                                      for w in live]
                 intent["targets"].append({"table": table, "wave": target})
-                bytes_before += sum(_du(self._snap_path(table, w)) for w in waves)
+                bytes_before += sum(_du(self._snap_path(table, w)) for w in live)
             else:                      # full: superseded by retained copies
                 keep = protected_bases if table == "seen" else set()
                 dead = [w for w in waves if w not in keep]

@@ -242,11 +242,10 @@ def test_purge_suppress_tombstones(spark, crawl_env, tmp_path):
     assert [int(f.split(".")[0]) for f in sorted(os.listdir(mdir))
             if f.endswith(".json")] == [epoch]
 
-    # resume: the purged URLs are tombstoned — a continued crawl (which
-    # re-encounters their inlinks) must not re-fetch or re-admit them
+    # resuming the (drained) crawl is a no-op and leaves the purge intact
     run2 = run_crawl(spark, dataclasses.replace(spec), crawl_env[0],
                      robots_src=crawl_env[1], resume=True)
-    assert run2.metrics == []                     # frontier was drained
+    assert run2.metrics == []
     docs2 = SnapDirStore(spark, d).read_delta_union(
         "documents", SnapDirStore(spark, d).latest_wave())
     assert docs2.where(docs2["doc_id"].isin(victims)).count() == 0
@@ -276,6 +275,143 @@ def test_purge_forget_erases_seen_and_bloom(spark, crawl_env, tmp_path):
     run2 = run_crawl(spark, dataclasses.replace(spec), crawl_env[0],
                      robots_src=crawl_env[1], resume=True)
     assert run2.seen.count() == seen.count()      # drained frontier: no change
+
+
+def _mid_crawl_victim(spark, crawl_env, tmp_path, tag):
+    """Kill a crawl after 2 waves and pick a victim URL that was fetched
+    early but is ALSO linked from a page the killed run has not yet fetched
+    — so the resumed crawl genuinely re-encounters its inlink and the
+    re-admission behavior (blocked vs allowed) is actually exercised."""
+    from pyspark.sql import functions as F
+
+    fetcher, robots_df, seeds = crawl_env
+    base = CrawlJobSpec(seeds=seeds, max_waves=20, seen_compact_every=2)
+    ctl_dir = str(tmp_path / f"{tag}-ctl")
+    run_ctl = run_crawl(spark, dataclasses.replace(base,
+                                                   checkpoint_dir=ctl_dir),
+                        fetcher, robots_src=robots_df)
+    assert run_ctl.n_waves >= 4
+    kill_dir = str(tmp_path / f"{tag}-kill")
+    spec_k = dataclasses.replace(base, checkpoint_dir=kill_dir, max_waves=2)
+    run_k = run_crawl(spark, spec_k, fetcher, robots_src=robots_df)
+    fetched_early = {r["url_canon"]
+                     for r in run_k.fetch_log.select("url_canon").collect()}
+    # link targets of pages fetched at wave >= 2 (media_ref of link spans is
+    # already the canonical URL — same column frontier's outlink stage uses)
+    late_links = {r["ref"] for r in
+                  (run_ctl.documents.where("wave >= 2")
+                   .select(F.explode(F.expr(
+                       "filter(spans, s -> s.kind = 'link' "
+                       "AND s.media_ref != '')")).alias("s"))
+                   .select(F.col("s.media_ref").alias("ref")).collect())}
+    victims = sorted(fetched_early & late_links)
+    assert victims, "fixture must produce an early-fetched, late-linked URL"
+    spec_r = dataclasses.replace(base, checkpoint_dir=kill_dir)
+    return victims[0], kill_dir, spec_r, fetcher, robots_df
+
+
+def test_purge_suppress_blocks_readmission_mid_crawl(spark, crawl_env,
+                                                     tmp_path):
+    """The tombstone property under fire: purge a fetched URL from a
+    KILLED-mid-crawl store, resume — later waves re-encounter its inlinks,
+    and the seen tombstone must block re-fetch and re-admission."""
+    v, kill_dir, spec_r, fetcher, robots_df = _mid_crawl_victim(
+        spark, crawl_env, tmp_path, "sup")
+    store = SnapDirStore(spark, kill_dir)
+    audit = purge_urls(spark, store, [v], mode="suppress")
+    assert audit["docs_purged"] == 1
+    run_r = run_crawl(spark, spec_r, fetcher, robots_src=robots_df,
+                      resume=True)
+    assert run_r.metrics, "resume must actually run waves"
+    s2 = SnapDirStore(spark, kill_dir)
+    last = s2.latest_wave()
+    log = s2.read_delta_union("fetch_log", last)
+    assert log.where(log["url_canon"] == v).count() == 0   # never re-fetched
+    docs = s2.read_delta_union("documents", last)
+    assert docs.where(docs["doc_id"] == v).count() == 0
+    seen = s2.read_seen(last)
+    assert seen.where(seen["url_canon"] == v).count() == 1  # tombstone held
+
+
+def test_purge_forget_allows_rediscovery_mid_crawl(spark, crawl_env,
+                                                   tmp_path):
+    """Forget mode is full erasure: with the seen key gone, the resumed
+    crawl legitimately re-discovers and re-fetches the URL when a later
+    wave links to it."""
+    v, kill_dir, spec_r, fetcher, robots_df = _mid_crawl_victim(
+        spark, crawl_env, tmp_path, "fgt")
+    store = SnapDirStore(spark, kill_dir)
+    audit = purge_urls(spark, store, [v], mode="forget")
+    assert audit["seen_purged"] == 1
+    run_r = run_crawl(spark, spec_r, fetcher, robots_src=robots_df,
+                      resume=True)
+    assert run_r.metrics
+    s2 = SnapDirStore(spark, kill_dir)
+    last = s2.latest_wave()
+    log = s2.read_delta_union("fetch_log", last)
+    refetch = log.where(log["url_canon"] == v).collect()
+    assert len(refetch) == 1 and refetch[0]["wave"] >= 2   # rediscovered
+    docs = s2.read_delta_union("documents", last)
+    assert docs.where(docs["doc_id"] == v).count() == 1
+
+
+def _purge_without_gc(spark, crawl_env, tmp_path, tag):
+    """Commit a purge epoch exactly as purge_urls does but 'crash' before
+    its physical GC: returns (store, root, epoch, victims, n_after) with
+    pre-epoch garbage dirs still on disk."""
+    import crawler_spark.operators.purge as purge_mod
+
+    d = str(tmp_path / tag)
+    run, _ = _crawl(spark, crawl_env, d)
+    store = SnapDirStore(spark, d)
+    victims = [r["doc_id"] for r in
+               run.documents.select("doc_id").limit(2).collect()]
+    real_gc = SnapDirStore.gc_below
+    SnapDirStore.gc_below = lambda self, cutoff: 0
+    try:
+        audit = purge_mod.purge_urls(spark, store, victims, mode="suppress")
+    finally:
+        SnapDirStore.gc_below = real_gc
+    epoch = audit["epoch"]
+    assert audit["gc_dirs"] == 0                      # GC "crashed"
+    assert os.path.isdir(os.path.join(d, "documents", "_snap=0"))  # garbage
+    # reads are already exact via delta_base, even before any GC
+    docs = store.read_delta_union("documents", epoch)
+    n_after = docs.count()
+    assert docs.where(docs["doc_id"].isin(victims)).count() == 0
+    return store, d, epoch, victims, n_after
+
+
+def test_expire_deletes_stale_prepurge_dirs(spark, crawl_env, tmp_path):
+    """Regression (review finding): delta dirs below a purge epoch's
+    delta_base are superseded garbage — expire must DELETE them, never
+    union them into a compacted base (which would resurrect purged rows and
+    duplicate every pre-purge row). Run on the SAME store object so the
+    open-time recovery cannot clean up first."""
+    store, d, epoch, victims, n_after = _purge_without_gc(
+        spark, crawl_env, tmp_path, "staledirs")
+    store.expire(keep_last=1)
+    assert not os.path.isdir(os.path.join(d, "documents", "_snap=0"))
+    docs = SnapDirStore(spark, d).read_delta_union("documents", epoch)
+    assert docs.count() == n_after                       # no duplication
+    assert docs.where(docs["doc_id"].isin(victims)).count() == 0
+
+
+def test_store_open_completes_interrupted_purge_gc(spark, crawl_env,
+                                                   tmp_path):
+    """A crash between the purge's manifest commit and its GC intent leaves
+    no recovery intent — the next store open must detect the un-GC'd purge
+    epoch from the manifest and complete the physical erasure itself."""
+    _, d, epoch, victims, n_after = _purge_without_gc(
+        spark, crawl_env, tmp_path, "opengc")
+    s2 = SnapDirStore(spark, d)                          # open triggers GC
+    assert not os.path.isdir(os.path.join(d, "documents", "_snap=0"))
+    mdir = os.path.join(d, "_manifest")
+    assert [int(f.split(".")[0]) for f in sorted(os.listdir(mdir))
+            if f.endswith(".json")] == [epoch]
+    docs = s2.read_delta_union("documents", epoch)
+    assert docs.count() == n_after
+    assert docs.where(docs["doc_id"].isin(victims)).count() == 0
 
 
 def test_purge_matches_casefold_identity(spark, crawl_env, tmp_path):
