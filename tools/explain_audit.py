@@ -60,11 +60,16 @@ CHECKS = {
     "px3_sequence_pack": (["Window", "BroadcastHashJoin"],
                           ["BatchEvalPython", "ArrowEvalPython",
                            "SortMergeJoin"]),
-    # unrolled wave-admission loop: exact anti-join dedup + per-host rank
-    # windows, tokens broadcast — zero Python anywhere in the 3-wave plan
-    "w4_wave_admission": (["LeftAnti", "Window", "BroadcastHashJoin"],
+    # unrolled wave-admission loop. Since the eager per-wave barrier
+    # (matching run_crawl's own loop shape), the FINAL plan holds only the
+    # last wave's fragment: the rank windows + broadcast joins are visible,
+    # but the seen anti-join sits behind the wave-2 checkpoint and cannot
+    # appear here — its plan shape is audited by j1_seen_anti_join, and
+    # w4's VALUES (which the anti-join determines) are under the driver's
+    # hash gate. Still forbid any Python and cartesian shapes.
+    "w4_wave_admission": (["Window", "BroadcastHashJoin"],
                           ["BatchEvalPython", "ArrowEvalPython",
-                           "CartesianProduct"]),
+                           "CartesianProduct", "SortMergeJoin"]),
 }
 
 
