@@ -32,9 +32,13 @@ _C2 = np.uint64(0x94D049BB133111EB)
 
 
 def _mix(x: np.ndarray | np.uint64) -> np.ndarray | np.uint64:
-    x = (x ^ (x >> np.uint64(30))) * _C1
-    x = (x ^ (x >> np.uint64(27))) * _C2
-    return x ^ (x >> np.uint64(31))
+    # uint64 wraparound multiply is the point of the finalizer; numpy warns
+    # about it on SCALAR paths only — suppress so real numeric warnings in
+    # the test run stay visible
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _C1
+        x = (x ^ (x >> np.uint64(27))) * _C2
+        return x ^ (x >> np.uint64(31))
 
 
 class CuckooFilter:
@@ -185,3 +189,72 @@ class SeenCuckoo:
                 mask = parts == p
                 out[mask] = f.contains(keys[mask])
         return out
+
+    def delete_keys_distributed(self, keys_df, key_col: str = "url_hash") -> int:
+        """Delete a key SET held as a DataFrame without ever collecting it.
+
+        The scale path for TTL expiry at the 10^10-URL design point, where a
+        due-set can be a large fraction of `seen` (a driver materialization
+        of the keys is the one thing this method must not do). Mirrors
+        build_bloom_parts' partial/final shape (dedup.py):
+
+          partial (one job, executors): keys grouped by the filter's own
+            partitioning pmod(url_hash, n_parts); each group cogrouped with
+            its part's serialized table, deletion runs vectorized in the
+            task, emitting (part, new table bytes, n_deleted);
+          final (driver): replace the touched parts' tables from the
+            returned blobs.
+
+        Driver traffic is bounded by the FILTER size (one fixed-size blob
+        per touched part, which the driver already holds in `self.parts`),
+        never by the key-set size. Parts with no filter (no key ever
+        inserted there) contribute zero deletions. Returns #deleted.
+
+        Same cuckoo contract as `delete_keys`: only keys that were inserted
+        may be deleted (deleting an absent key is a no-op unless a colliding
+        fingerprint exists — callers pass due/purge keys ⊆ seen).
+        """
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        spark = keys_df.sparkSession
+        keyed = keys_df.select(
+            F.col(key_col).cast("long").alias("key"),
+            # pmod on the signed long == uint64 % n_parts for power-of-2
+            # n_parts (same identity the bloom partitioner relies on)
+            F.pmod(F.col(key_col), F.lit(self.n_parts)).cast("int")
+            .alias("part"))
+        # ≤ n_parts rows — partition-cardinality, not data-cardinality
+        touched = sorted(r["part"] for r in
+                         keyed.select("part").distinct().collect())
+        blobs = [(int(p), self.parts[p].to_bytes(), self.parts[p].n_buckets)
+                 for p in touched if int(p) in self.parts]
+        if not blobs:
+            return 0
+        blobs_df = spark.createDataFrame(
+            blobs, "part int, blob binary, n_buckets int")
+
+        def _delete_part(kdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+            if bdf.empty or kdf.empty:      # part never inserted / no keys
+                return pd.DataFrame({"part": pd.Series([], dtype="int32"),
+                                     "blob": pd.Series([], dtype=object),
+                                     "n_deleted": pd.Series([], dtype="int64")})
+            f = CuckooFilter.from_bytes(bytes(bdf["blob"].iloc[0]),
+                                        int(bdf["n_buckets"].iloc[0]))
+            keys = kdf["key"].to_numpy(dtype=np.int64).view(np.uint64)
+            ok = f.delete(keys)
+            return pd.DataFrame({"part": [int(kdf["part"].iloc[0])],
+                                 "blob": [f.to_bytes()],
+                                 "n_deleted": [int(ok.sum())]})
+
+        out = (keyed.groupBy("part")
+               .cogroup(blobs_df.groupBy("part"))
+               .applyInPandas(_delete_part,
+                              "part int, blob binary, n_deleted long"))
+        n_deleted = 0
+        for row in out.collect():           # ≤ n_parts fixed-size blobs
+            old = self.parts[int(row["part"])]
+            self.parts[int(row["part"])] = CuckooFilter.from_bytes(
+                bytes(row["blob"]), old.n_buckets)
+            n_deleted += int(row["n_deleted"])
+        return n_deleted

@@ -64,9 +64,10 @@ class BloomFilter:
         """splitmix64 finalizer — with pow2-m masking, plain multiply would
         use only the key's low bits (aliasing all keys that share them); the
         xor-shift cascade folds the high bits in."""
-        x = (x ^ (x >> np.uint64(30))) * _C1
-        x = (x ^ (x >> np.uint64(27))) * _C2
-        return x ^ (x >> np.uint64(31))
+        with np.errstate(over="ignore"):   # uint64 wraparound is intended
+            x = (x ^ (x >> np.uint64(30))) * _C1
+            x = (x ^ (x >> np.uint64(27))) * _C2
+            return x ^ (x >> np.uint64(31))
 
     def _idx(self, keys: np.ndarray, i: int) -> np.ndarray:
         x = self._mix(keys.astype(np.uint64))

@@ -68,10 +68,20 @@ def _anti(df: DataFrame, keys: DataFrame, key_col) -> DataFrame:
                    key_col == keys["url_hash"], "left_anti")
 
 
-def purge_from_cuckoo(cuckoo, keys_df: DataFrame) -> int:
+def purge_from_cuckoo(cuckoo, keys_df: DataFrame,
+                      distributed: bool = True) -> int:
     """Delete purged keys from a live deletable seen-sketch (forget mode).
     Only keys actually inserted may be deleted (cuckoo contract); absent
-    keys are skipped. Returns #deleted."""
+    keys are skipped (CuckooFilter.delete reports False for a fingerprint
+    not present in either candidate bucket — same check `contains` makes).
+    Returns #deleted.
+
+    Default is the distributed per-part deletion
+    (SeenCuckoo.delete_keys_distributed — no key collect); for purge the
+    key set is human-scale (a takedown list), so the `distributed=False`
+    collect path is also fine and serves as the equivalence oracle."""
+    if distributed:
+        return cuckoo.delete_keys_distributed(keys_df)
     rows = keys_df.select("url_hash").collect()
     if not rows:
         return 0

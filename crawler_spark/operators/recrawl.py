@@ -67,21 +67,28 @@ def expire_seen(seen: DataFrame, due: DataFrame) -> DataFrame:
     return seen.join(keys, "url_hash", "left_anti")
 
 
-def expire_from_cuckoo(cuckoo, due: DataFrame) -> int:
+def expire_from_cuckoo(cuckoo, due: DataFrame,
+                       distributed: bool = True) -> int:
     """Delete expired keys from a SeenCuckoo prefilter; returns #deleted.
 
     The cuckoo filter is the deletable seen-sketch (Bloom bitsets cannot
-    unset bits). Driver-held state => a collect of the due keys; at cluster
-    scale the same deletion runs as one job over the per-part key groups
-    (the filter is partitioned by pmod(url_hash, n_parts) already).
-    Only keys that were inserted may be deleted (standard cuckoo caveat —
-    guaranteed here because `due` ⊆ fetched ⊆ seen).
+    unset bits). Default path is the DISTRIBUTED deletion
+    (SeenCuckoo.delete_keys_distributed): due keys grouped by the filter's
+    own pmod(url_hash, n_parts) partitioning, deleted per part in one
+    cogrouped job, per-part table blobs merged driver-side — the due-set is
+    never collected (at the 10^10 design point it can be a large fraction
+    of `seen`). `distributed=False` keeps the collect path for toy sets and
+    as the equivalence oracle (test_recrawl/test_expire assert both paths
+    produce identical filter state). Only keys that were inserted may be
+    deleted (standard cuckoo caveat — guaranteed here because
+    `due` ⊆ fetched ⊆ seen).
     """
+    keys_df = due.select(url_hash_col(F.col("url_canon")).alias("url_hash"))
+    if distributed:
+        return cuckoo.delete_keys_distributed(keys_df)
     import numpy as np
-    keys = np.array(
-        [r["url_hash"] for r in
-         due.select(url_hash_col(F.col("url_canon")).alias("url_hash"))
-         .collect()], dtype=np.int64)
+    keys = np.array([r["url_hash"] for r in keys_df.collect()],
+                    dtype=np.int64)
     if len(keys) == 0:
         return 0
     return int(cuckoo.delete_keys(keys).sum())

@@ -68,3 +68,53 @@ def test_partitioned_seen_state():
     assert s.delete_keys(half).all()
     assert s.contains_keys(a[10_000:]).all()
     assert s.contains_keys(half).mean() < 0.02
+
+
+def test_distributed_delete_equals_collected(spark):
+    """The scale path (delete_keys_distributed: per-part cogrouped job, no
+    key collect) must leave the filter in EXACTLY the state the collected
+    path does — asserted byte-for-byte per part on a SKEWED due-set (83% of
+    the keys land in one pmod partition), plus the semantic contract
+    (deleted gone, retained present, counts equal)."""
+    n_parts = 8
+    base = _keys(24_000, 10).astype(np.int64)
+    # skew: force most keys into part 3 by aligning the low bits
+    skewed = ((base >> 3) << 3) | 3
+    mixed = np.concatenate([skewed[:20_000], base[20_000:]])
+    mixed = np.unique(mixed)
+
+    a = SeenCuckoo(n_parts=n_parts, keys_per_part=24_000)
+    b = SeenCuckoo(n_parts=n_parts, keys_per_part=24_000)
+    a.insert_keys(mixed)
+    b.insert_keys(mixed)
+
+    drop = mixed[::2]                       # half the keys, still skewed
+    keys_df = spark.createDataFrame([(int(k),) for k in drop],
+                                    "url_hash long").repartition(8)
+
+    n_dist = a.delete_keys_distributed(keys_df)
+    n_coll = int(b.delete_keys(drop).sum())
+    assert n_dist == n_coll == len(drop)
+
+    assert set(a.parts) == set(b.parts)
+    for p in a.parts:
+        assert a.parts[p].to_bytes() == b.parts[p].to_bytes(), f"part {p}"
+
+    keep = mixed[1::2]
+    assert a.contains_keys(keep).all()
+    assert a.contains_keys(drop).mean() < 0.02
+
+
+def test_distributed_delete_empty_and_absent_parts(spark):
+    """Keys routed to parts that never had an insert delete nothing and
+    leave the filter untouched."""
+    s = SeenCuckoo(n_parts=4, keys_per_part=1 << 10)
+    ins = (np.arange(1, 101, dtype=np.uint64) * np.uint64(8)).astype(np.int64)
+    s.insert_keys(ins)                      # all keys in part 0
+    before = {p: f.to_bytes() for p, f in s.parts.items()}
+    probe = spark.createDataFrame([(int(7),), (int(11),), (int(15),)],
+                                  "url_hash long")   # parts 3,3,3: absent
+    assert s.delete_keys_distributed(probe) == 0
+    assert {p: f.to_bytes() for p, f in s.parts.items()} == before
+    empty = spark.createDataFrame([], "url_hash long")
+    assert s.delete_keys_distributed(empty) == 0
