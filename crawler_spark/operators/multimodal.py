@@ -52,15 +52,23 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
                                        ).cast("int")))
 
 
+def _chunk_bytes(buf: bytes) -> list[np.ndarray]:
+    """The decode algebra's chunking rule, shared by the feature kernel and
+    its oracle-checkable sums twin (np.array_split: the first n%k chunks get
+    n//k+1 bytes, the rest n//k)."""
+    return np.array_split(np.frombuffer(buf, dtype=np.uint8), FEATURE_DIM)
+
+
 def _fake_decode(buf: bytes, media_type: str) -> np.ndarray:
     """Deterministic stand-in for a real decoder: feature = byte histogram
-    moments. Replace with PIL/torchaudio/av decode when codecs exist."""
+    moments (per-chunk byte means, accumulated in float64 so the float32
+    feature is the correctly-rounded mean). Replace with PIL/torchaudio/av
+    decode when codecs exist."""
     if not buf:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
-    a = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
-    chunks = np.array_split(a, FEATURE_DIM)
-    return np.array([float(c.mean()) if len(c) else 0.0 for c in chunks],
-                    dtype=np.float32)
+    chunks = _chunk_bytes(buf)
+    return np.array([float(c.astype(np.float64).mean()) if len(c) else 0.0
+                     for c in chunks], dtype=np.float32)
 
 
 def decode_features(df: DataFrame, id_col: str = "doc_id",
@@ -89,6 +97,43 @@ def decode_features(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.mapInPandas(_decode, out_schema)
+
+
+def decode_byte_sums(df: DataFrame, id_col: str = "doc_id",
+                     bin_col: str = "payload_bin") -> DataFrame:
+    """The decode kernel's ORACLE-CHECKABLE twin (VERDICT round-2 #4): the
+    same mapInPandas shape and the same `_chunk_bytes` chunking as
+    `_fake_decode`, but emitting each chunk's exact integer byte SUM and
+    SIZE instead of the float32 mean (feature = s_c / z_c). Integer output
+    makes the cross-engine hash float-hazard-free; a pytest ties the float
+    feature path to these sums. Narrow op — partitioning preserved."""
+    fields = [StructField(id_col, LongType(), False),
+              StructField("n_bytes", LongType(), False)]
+    fields += [StructField(f"s{c}", LongType(), False)
+               for c in range(FEATURE_DIM)]
+    fields += [StructField(f"z{c}", LongType(), False)
+               for c in range(FEATURE_DIM)]
+    out_schema = StructType(fields)
+
+    def _sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {id_col: [], "n_bytes": []}
+            for c in range(FEATURE_DIM):
+                cols[f"s{c}"] = []
+                cols[f"z{c}"] = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(b) if b is not None else b""
+                chunks = _chunk_bytes(raw)
+                cols[id_col].append(int(i))
+                cols["n_bytes"].append(len(raw))
+                for c in range(FEATURE_DIM):
+                    cols[f"s{c}"].append(int(chunks[c].sum()))
+                    cols[f"z{c}"].append(int(len(chunks[c])))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64")
+                                for k, v in cols.items()})
+
+    return df.withColumn(bin_col, F.col(bin_col).cast("binary")) \
+             .mapInPandas(_sums, out_schema)
 
 
 def _fake_resize(buf: bytes, width: int, height: int) -> bytes:

@@ -1169,6 +1169,53 @@ def mm3_frame_sample(spark, sf_dir):
                       F.round(F.element_at("features", 1), 2).alias("feat0"))
 
 
+# mm5: the decode kernel's algebra under the hash gate. `_fake_decode`'s
+# features are per-chunk byte means over np.array_split(payload, 8); the
+# `decode_byte_sums` twin (same mapInPandas shape, same `_chunk_bytes`
+# chunking) emits each chunk's exact integer sum and size instead, and the
+# DuckDB oracle recomputes them from the code-point array (payload is the
+# UTF-8 encoding of ASCII-projected text, so code point == byte). Integer
+# equality — no float comparator hazard. np.array_split rule: chunk c
+# starts at c*(n//8) + min(c, n%8) and has n//8 (+1 if c < n%8) bytes.
+_MM5_CHUNK_COLS = ",\n       ".join(
+    f"CAST(coalesce(list_sum("
+    f"cps[({c}*(n//8) + least({c}, n%8) + 1):"
+    f"({c}*(n//8) + least({c}, n%8) + (n//8)"
+    f" + (CASE WHEN {c} < (n%8) THEN 1 ELSE 0 END))]), 0) AS BIGINT)"
+    f" AS s{c},\n       "
+    f"CAST((n//8) + (CASE WHEN {c} < (n%8) THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS z{c}"
+    for c in range(8))
+
+_MM5_SQL = """
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS s
+           FROM documents),
+     b AS (SELECT doc_id,
+                  list_transform(split(s, ''), ch -> ascii(ch)) AS cps,
+                  length(s) AS n
+           FROM a)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       """ + _MM5_CHUNK_COLS + """
+FROM b
+"""
+
+
+@q("mm5_decode_algebra", _MM5_SQL)
+def mm5_decode_algebra(spark, sf_dir):
+    """Oracle-checkable multimodal decode: the real mapInPandas kernel path
+    (multimodal.decode_byte_sums, sharing `_chunk_bytes` with
+    `_fake_decode`) over ASCII-projected payload bytes, vs a DuckDB twin of
+    the same chunk algebra over code points. Exact BIGINT columns."""
+    from crawler_spark.operators.multimodal import decode_byte_sums
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+        .alias("ascii_text"))
+    src = d.withColumn("payload_bin", F.encode("ascii_text", "UTF-8"))
+    return decode_byte_sums(src)
+
+
 # =====================================================================
 # Dup-cluster resolution + decontamination (training-data pipeline ops)
 # =====================================================================

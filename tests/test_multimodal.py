@@ -65,3 +65,26 @@ def test_sample_frames_fan_out(spark, media_df):
         assert len(r["features"]) == FEATURE_DIM
     for idxs in per_doc.values():
         assert sorted(idxs) == [0, 4, 8, 12]
+
+
+def test_decode_sums_twin_matches_feature_means(spark, media_df):
+    """The oracle-checkable sums twin (decode_byte_sums, mm5) and the float
+    feature kernel (_fake_decode) share the chunking rule: for every doc,
+    features[c] == s_c / z_c (empty chunk -> 0), and sizes partition
+    n_bytes per the np.array_split rule. This is the bridge that puts the
+    production decode algebra under the driver's hash gate."""
+    from crawler_spark.operators.multimodal import decode_byte_sums
+
+    feats = {r["doc_id"]: r for r in decode_features(media_df).collect()}
+    sums = {r["doc_id"]: r for r in decode_byte_sums(media_df).collect()}
+    assert set(feats) == set(sums) and len(feats) > 0
+    for doc_id, s in sums.items():
+        f = feats[doc_id]
+        assert s["n_bytes"] == f["n_bytes"]
+        n = s["n_bytes"]
+        for c in range(FEATURE_DIM):
+            zc, sc = s[f"z{c}"], s[f"s{c}"]
+            assert zc == n // FEATURE_DIM + (1 if c < n % FEATURE_DIM else 0)
+            want = sc / zc if zc else 0.0
+            assert abs(f["features"][c] - want) < 1e-3
+        assert sum(s[f"z{c}"] for c in range(FEATURE_DIM)) == n
