@@ -44,9 +44,14 @@ class CrawlJobSpec:
                                          # or "pandas" (grouped-map bucket);
                                          # provably equal selections, property-
                                          # tested in tests/test_politeness.py
-    politeness_salt: int = 0             # >0: salted pre-prune before per-host
-                                         # selection (J5 skew guard; set 16-64
-                                         # for Zipf frontiers at cluster scale)
+    politeness_salt: int = 16            # >0: salted pre-prune before per-host
+                                         # selection (J5 skew guard) — ON by
+                                         # default: a Zipf head host otherwise
+                                         # lands its whole pending set in one
+                                         # window task. Selection-equal to the
+                                         # unsalted path (tests/test_skew.py);
+                                         # 0 disables (saves one shuffle on
+                                         # frontiers known to be skew-free)
 
     # -- engine knobs --
     use_bloom: bool = True               # Bloom prefilter before exact anti-join

@@ -63,3 +63,12 @@ def test_salted_prune_bounds_hot_group(spark):
     sel = politeness.select_batch(pending, tokens).where("selected")
     missing = sel.join(pruned.select("url_hash"), "url_hash", "left_anti")
     assert missing.count() == 0
+
+
+def test_skew_guard_is_default_on():
+    """VERDICT r2 #6: the salted pre-prune must be the DEFAULT — a Zipf head
+    host must not land its whole pending set in one window task under a
+    default-config crawl. (The e2e suite runs default specs, so oracle
+    equality under the guard is continuously re-proven.)"""
+    from crawler_spark.spec import CrawlJobSpec
+    assert CrawlJobSpec(seeds=("http://a.example/",)).politeness_salt >= 16
