@@ -60,29 +60,21 @@ def _enrich_sink(docs) -> None:
     and materialize through the noop sink. This is the per-page work a real
     corpus pipeline does as pages stream out of the crawl."""
     from pyspark.sql import functions as F
-    from crawler_spark.functions.text import (
-        lang_id_col, quality_score_col, token_count_col,
-    )
-    from crawler_spark.operators.textdedup import (
-        fingerprint_col, simhash_from_hashes, word_hashes_col,
-    )
+    from crawler_spark.functions.text import doc_profile_col
     text = F.array_join(
         F.transform(F.expr("filter(spans, s -> s.kind = 'text')"),
                     lambda s: s["text"]), " ")
     # persist = a hard projection barrier: CollapseProject would otherwise
-    # inline the span-reassembly expression into every downstream marker
-    # split (~20x re-evaluation). A real pipeline reads text from the stored
-    # documents table, which is the same materialization.
+    # inline the span-reassembly expression into the profile's word split.
+    # A real pipeline reads text from the stored documents table, which is
+    # the same materialization.
     base = docs.select("doc_id", "wave", text.alias("text")).persist()
-    prof = base.select(
-        "doc_id", "wave",
-        lang_id_col(F.col("text")).alias("lang_pred"),
-        quality_score_col(F.col("text")).alias("quality"),
-        token_count_col(F.col("text")).alias("n_tokens"),
-        fingerprint_col(F.col("text")).alias("fp"),
-        word_hashes_col(F.col("text")).alias("h"))
-    out = prof.select("doc_id", "wave", "lang_pred", "quality", "n_tokens",
-                      "fp", simhash_from_hashes(F.col("h"), 16).alias("simhash"))
+    # ONE fused pass (doc_profile_col): one split + one stats fold feed all
+    # five signals — the sibling-column form re-split `text` per signal
+    # (Catalyst does no cross-column CSE, NOTES.md fact #1) and was 76% of
+    # crawl_bench wall in BENCH_r02.
+    out = base.select("doc_id", "wave",
+                      doc_profile_col(F.col("text"), bits=16).alias("profile"))
     out.write.format("noop").mode("overwrite").save()
     base.unpersist()
 

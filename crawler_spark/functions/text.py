@@ -106,6 +106,76 @@ def quality_score_col(text: Column) -> Column:
     return F.element_at(F.transform(F.array(stats), score), 1)
 
 
+def doc_profile_col(text: Column, bits: int = 16,
+                    threshold: float = 0.02) -> Column:
+    """Fused per-document profile: struct(lang_pred, quality, n_tokens, fp,
+    simhash) from ONE whitespace split and ONE stats fold.
+
+    Catalyst does no CSE across sibling columns (NOTES.md fact #1), so
+    computing these five signals as siblings re-splits `text` per signal
+    and re-folds the word array per consumer. Here the word array is a
+    lambda binding (evaluated once), the marker counts for all four
+    languages + the BPE-ish token sum + n_words come from ONE fold, the
+    fused stats array is let-bound once, and the simhash word-hash array
+    appears exactly once in its vote fold. Field semantics are identical
+    to lang_id_col / quality_score_col / token_count_col / fingerprint_col
+    / simhash_col (asserted per-row in tests/test_text.py)."""
+    from crawler_spark.operators.textdedup import (
+        fingerprint_col, simhash_from_hashes,
+    )
+    sets = list(LANG_MARKERS.values())
+    k = len(sets)
+
+    def stats_fold(w: Column) -> Column:
+        # [count(w∈set_0) .. count(w∈set_{k-1}), sum ceil(len/4), n_words]
+        init = F.array_repeat(F.lit(0).cast("long"), k + 2)
+
+        def step(acc: Column, x: Column) -> Column:
+            def inc(c: Column, i: Column) -> Column:
+                e = F.when(i == k + 1, F.lit(1).cast("long"))
+                e = e.when(i == k, F.ceil(F.length(x) / 4.0).cast("long"))
+                for j, ms in enumerate(sets):
+                    e = e.when(i == j, x.isin(*ms).cast("long"))
+                return c + F.coalesce(e, F.lit(0).cast("long"))
+            return F.transform(acc, inc)
+
+        return F.aggregate(w, init, step)
+
+    n_chars = F.length(text).cast("double")
+
+    def from_words(w: Column) -> Column:
+        h = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 8),
+                                            16, 10).cast("long"))
+        sim = simhash_from_hashes(h, bits)
+
+        def from_stats(a: Column) -> Column:
+            n = F.element_at(a, k + 2).cast("double")
+            best_lang = F.lit("und")
+            best_score = F.lit(float(threshold))
+            for i, lang in enumerate(LANG_MARKERS.keys()):
+                score = F.element_at(a, i + 1) / n
+                better = score > best_score
+                best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+                best_score = F.when(better, score).otherwise(best_score)
+            hits = F.element_at(a, 1).cast("double")   # en == quality stopwords
+            mean_wl = (n_chars - (n - 1)) / n
+            len_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.3)
+            wl_ok = F.when((mean_wl >= 2.5) & (mean_wl <= 12.0), 1.0).otherwise(0.4)
+            stop_ok = F.when(hits / n > 0.01, 1.0).otherwise(0.5)
+            return F.struct(
+                best_lang.alias("lang_pred"),
+                F.round(0.4 * len_ok + 0.3 * wl_ok + 0.3 * stop_ok, 4)
+                 .alias("quality"),
+                F.element_at(a, k + 1).alias("n_tokens"),
+                fingerprint_col(text).alias("fp"),
+                sim.alias("simhash"))
+
+        return F.element_at(F.transform(F.array(stats_fold(w)), from_stats), 1)
+
+    words = F.split(F.trim(text), r"\s+")
+    return F.element_at(F.transform(F.array(words), from_words), 1)
+
+
 # --- PII scrubbing (tx6) -------------------------------------------------
 # Patterns restricted to syntax with identical semantics in Java regex
 # (Spark codegen) and RE2 (DuckDB oracle): character classes, bounded +

@@ -71,3 +71,35 @@ def test_px1_pipeline_dedup_fires_and_reps_are_originals(spark):
     twos = {r["doc_id"] for r in rows if r["n_dups"] == 2}
     assert twos and all(i % 10 == 0 for i in twos)
     assert all(r["n_dups"] == 1 for r in rows if r["doc_id"] % 10 != 0)
+
+
+def test_doc_profile_fusion_equals_individual_signals(spark):
+    """doc_profile_col (the fused one-split sink profile) must agree
+    per-row with the five individual signal columns it fuses."""
+    from pyspark.sql import functions as F
+    from crawler_spark.functions.text import (
+        doc_profile_col, lang_id_col, quality_score_col, token_count_col,
+    )
+    from crawler_spark.operators.textdedup import fingerprint_col, simhash_col
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+             .select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "le la et les " * 30), (9003, "x"),
+         (9004, "der die und das " * 5 + "the of " * 40),
+         (9005, "  padded   whitespace\ttabs\nnewlines  ")],
+        "doc_id long, text string")
+    d = d.unionByName(extra)
+    rows = (d.select(
+        "doc_id",
+        doc_profile_col(F.col("text")).alias("p"),
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        quality_score_col(F.col("text")).alias("quality"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        fingerprint_col(F.col("text")).alias("fp"),
+        simhash_col(F.col("text"), 16).alias("simhash"))
+        .collect())
+    assert len(rows) > 100
+    for r in rows:
+        for f in ("lang_pred", "quality", "n_tokens", "fp", "simhash"):
+            assert r["p"][f] == r[f], (r["doc_id"], f, r["p"][f], r[f])
