@@ -418,3 +418,49 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                      .alias("n_kept"),
                     F.coalesce("clean_md5", F.md5(F.lit("")))
                      .alias("clean_md5")))
+
+
+# --- Cross-document repeated-substring detection (Lee et al. 2022 style) --
+def cross_doc_repeats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                      h_col: str = "h", sample_mod: int = 1) -> DataFrame:
+    """Exact-substring dedup signal ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al., ACL 2022 — suffix-array repeats),
+    re-expressed Spark-first at word granularity: a k-word window whose
+    rolling hash occurs in >= 2 DISTINCT documents is a cross-doc repeated
+    passage; per doc we report how much of it is covered by such windows.
+
+    Input: (id_col, h_col: array<long> word hashes). Output: (id_col,
+    n_windows, n_rep_windows, rep_frac) — flat/hashable.
+
+    Dataflow: rolling_hashes_col (Rabin-Karp windows, shared with tx4) ->
+    posexplode -> ONE partial-agg shuffle on rh (count_distinct docs, the
+    two-phase agg absorbs hot-window skew) -> join back on rh (exchange
+    reuse: same key) -> per-doc rollup on even doc keys.
+
+    Scale (100 TB): the explode is map-side but shuffles O(total windows)
+    rows. `sample_mod` > 1 switches to content-defined sampling (keep
+    windows with rh % P == 0, the winnowing trick): shuffle volume drops
+    ~P-fold and rep_frac becomes an unbiased estimate over sampled
+    positions — the knob a 10^12-word corpus runs with. Default 1 = exact
+    (the oracle contract). Hash collisions (mod 2^31-1) affect both
+    engines identically; at corpus scale use a 63-bit modulus.
+    """
+    rolls = docs.select(id_col, rolling_hashes_col(F.col(h_col), k)
+                        .alias("rolls"))
+    e = rolls.select(id_col, F.posexplode("rolls").alias("pos", "rh"))
+    if sample_mod > 1:
+        e = e.where(F.col("rh") % sample_mod == 0)
+    rep = (e.groupBy("rh")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .where(F.col("nd") >= 2)
+           .select("rh"))
+    cnt = (e.join(rep, "rh")
+           .groupBy(id_col).agg(F.count("*").alias("n_rep")))
+    base = rolls.select(id_col, F.size("rolls").cast("long")
+                        .alias("n_windows"))
+    return (base.join(cnt, id_col, "left")
+            .select(id_col, "n_windows",
+                    F.coalesce("n_rep", F.lit(0)).cast("long")
+                     .alias("n_rep_windows"),
+                    F.round(F.coalesce("n_rep", F.lit(0))
+                            / F.col("n_windows"), 4).alias("rep_frac")))

@@ -665,6 +665,23 @@ def st3_event_dedup(spark, sf_dir):
             .agg(F.min("event_id").alias("event_id")))
 
 
+@q("st4_sliding_window", """
+WITH x AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events),
+e AS (SELECT (t // 900) * 900 - k * 900 AS win_start, value
+      FROM x CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM e GROUP BY win_start
+""")
+def st4_sliding_window(spark, sf_dir):
+    """Sliding 1h/15min event-time window agg: each event contributes to 4
+    overlapping windows (the oracle fans each event out to its 4 aligned
+    window starts explicitly). The batch body IS the streaming twin
+    (streaming/windows.sliding_counts) run on the batch frame — one plan,
+    two execution modes; stream==batch asserted in test_streaming."""
+    from crawler_spark.streaming.windows import sliding_counts
+    return sliding_counts(_t(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Training-data dedup family (documents table)
 # =====================================================================
@@ -1475,6 +1492,43 @@ def dd9_line_dedup(spark, sf_dir):
                       "n_kept", "clean_md5")
 
 
+@q("dd11_substring_repeats", f"""
+WITH h AS (SELECT doc_id, {_WH_SQL} AS wh FROM documents),
+r AS (SELECT doc_id, CASE WHEN len(wh) >= 8 THEN
+    list_transform(range(0, len(wh) - 7), i ->
+      list_reduce(list_prepend(0::BIGINT, list_slice(wh, i + 1, i + 8)),
+                  (acc, x) -> (acc * 69069 + x) % 2147483647))
+  ELSE [list_reduce(list_prepend(0::BIGINT, wh),
+                    (acc, x) -> (acc * 69069 + x) % 2147483647)]
+  END AS rolls FROM h),
+e AS (SELECT doc_id, unnest(rolls) AS rh FROM r),
+rep AS (SELECT rh FROM e GROUP BY rh HAVING count(DISTINCT doc_id) >= 2),
+cnt AS (SELECT e.doc_id, count(*) AS n_rep
+        FROM e JOIN rep USING (rh) GROUP BY e.doc_id)
+SELECT r.doc_id, len(rolls)::BIGINT AS n_windows,
+       coalesce(n_rep, 0)::BIGINT AS n_rep_windows,
+       round(coalesce(n_rep, 0) * 1.0 / len(rolls), 4) AS rep_frac
+FROM r LEFT JOIN cnt USING (doc_id)
+""")
+def dd11_substring_repeats(spark, sf_dir):
+    """Cross-document repeated-passage detection (exact-substring dedup,
+    Lee et al. ACL 2022, Spark-first at word granularity): an 8-word
+    window whose Rabin-Karp rolling hash occurs in >= 2 distinct documents
+    is a repeated passage; per doc, the covered-window count and fraction.
+
+    Scale: posexplode map-side, ONE partial-agg shuffle on rh (two-phase
+    count_distinct absorbs hot-window skew), join back on the same key
+    (exchange reuse), even-keyed per-doc rollup. At 10^12 words the
+    sample_mod knob (content-defined winnowing sampling) divides shuffle
+    volume; exact here for the oracle. See textdedup.cross_doc_repeats."""
+    from crawler_spark.operators.textdedup import (
+        cross_doc_repeats, word_hashes_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("doc_id", word_hashes_col(F.col("text")).alias("h"))
+    return cross_doc_repeats(h, k=8)
+
+
 @q("g2_anchor_agg", """
 SELECT dst,
        CAST(count(*) AS BIGINT) AS n_inlinks,
@@ -1610,6 +1664,28 @@ def tx9_hash_split(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     key = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
     return d.select("doc_id", hash_split(key, 50).alias("split"))
+
+
+@q("tx10_unigram_logprob", """
+WITH w AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           FROM documents),
+f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM f)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(ln(t.n_total) - ln(f.c)), 4) AS neg_logprob
+FROM w JOIN f USING (word) CROSS JOIN t
+GROUP BY doc_id
+""")
+def tx10_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality scoring without the LM: per doc, the mean
+    unigram negative log-probability under the corpus's own word
+    distribution (low = stereotypical, high = rare/garbled — the
+    perplexity filtering axis). Two partial-agg shuffles + a broadcast
+    scalar; at 10^12 words broadcast the Zipf head of the frequency table
+    and shuffle only the tail. See operators/langmodel.py."""
+    from crawler_spark.operators.langmodel import unigram_logprob
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
 @q("an5_ivf_recall", """

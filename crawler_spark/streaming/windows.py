@@ -32,6 +32,21 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
                     "n", "sum_value"))
 
 
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """st4 twin: per SLIDING event-time window (each event lands in
+    window/slide overlapping windows), count + sum(value). Works on batch
+    and streaming DataFrames alike — the st4 batch query calls this very
+    function, so the streaming twin is definitionally the same plan."""
+    return (_ts(events).withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("win"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("win.start")).alias("win_start"),
+                    "n", "sum_value"))
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """st2 twin: native session windows (gap-based), one row per

@@ -45,6 +45,16 @@ def test_tumbling_window_stream_equals_batch(spark):
     assert got == want
 
 
+def test_sliding_window_stream_equals_batch(spark):
+    from crawler_spark.queries import st4_sliding_window
+    from crawler_spark.streaming.windows import sliding_counts
+    name = _run_to_table(sliding_counts(_events_stream(spark)), "complete")
+    got = _rows(spark.table(name), ["win_start", "n", "sum_value"])
+    want = _rows(st4_sliding_window(spark, SF_DIR),
+                 ["win_start", "n", "sum_value"])
+    assert got == want
+
+
 def test_session_windows_stream_equals_batch(spark):
     from crawler_spark.queries import st2_sessionize
     from crawler_spark.streaming.windows import session_counts
