@@ -145,3 +145,33 @@ def pack_sequences(df: DataFrame, tokens_col: str, order_col: str = "doc_id",
                         F.floor(F.col("prev_tokens") / budget).cast("long"))
             .withColumn("seq_offset",
                         (F.col("prev_tokens") % budget).cast("long")))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    key: Column, salt: str = "ws/") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (px4): keep the
+    k rows winning the exponential race e_i = -ln(u_i) / w_i (smallest k),
+    the Efraimidis-Spirakis A-ES scheme — inclusion probability
+    proportional to weight, no replacement, single pass.
+
+    u_i is content-stable, not random: (md5_32(salt || key) + 1) / 2^32,
+    so the sample is reproducible across runs/engines/partitionings (same
+    discipline as hash_split). (h+1)/2^32 is an EXACT binary division, and
+    -ln(u)/w is the same IEEE arithmetic in Spark and DuckDB, so the race
+    order is cross-engine stable.
+
+    Adds `es_key` (rounded). Scale: map-side key derivation + global top-k
+    — Catalyst plans TakeOrderedAndProject (per-partition heaps, no full
+    sort, no shuffle of non-winners); at any corpus size the moving set is
+    k rows per partition.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                          key.cast("string"))), 1, 8),
+               16, 10).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    ek = -F.log(u) / w
+    return (df.withColumn("es_key", F.round(ek, 4))
+            .withColumn("_ek", ek)
+            .orderBy("_ek").limit(k)
+            .drop("_ek"))

@@ -1666,6 +1666,60 @@ def tx9_hash_split(spark, sf_dir):
     return d.select("doc_id", hash_split(key, 50).alias("split"))
 
 
+@q("g3_domain_cc", """
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT source AS src,
+               'src' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+       FROM documents
+       WHERE source <> 'src' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR)),
+edges AS (SELECT src AS u, dst AS v FROM e0
+          UNION SELECT dst, src FROM e0),
+cc(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t(u)
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node),
+lab AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)
+SELECT node AS host, cluster AS domain_group FROM lab
+""")
+def g3_domain_cc(spark, sf_dir):
+    """Site-family clustering: connected components over the host link
+    graph (same deterministic edge derivation as g1) — the webgraph op
+    behind mirror/alias detection and per-family crawl budgets. Reuses the
+    shuffle-native large-star/small-star CC (operators/clusters.py, string
+    node ids, lexicographic min label); oracle is the recursive min-label
+    CTE. Host-cardinality data — orders below URL cardinality at scale."""
+    from crawler_spark.operators.clusters import connected_components
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    cc = connected_components(edges, src="src", dst="dst")
+    return cc.select(F.col("node").alias("host"),
+                     F.col("cluster").alias("domain_group"))
+
+
+@q("px4_weighted_sample", """
+WITH s AS (SELECT doc_id, n_chars,
+                  -ln((('0x' || substr(md5('ws/' || doc_id), 1, 8))::BIGINT
+                       + 1) / 4294967296.0)
+                  / greatest(CAST(n_chars AS DOUBLE), 1.0) AS ek
+           FROM documents)
+SELECT doc_id, n_chars, round(ek, 4) AS es_key
+FROM s ORDER BY ek LIMIT 100
+""")
+def px4_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential race, content-stable u from md5): 100 documents
+    drawn with probability proportional to length. Map-side key + global
+    top-k (TakeOrderedAndProject: per-partition heaps, no full sort).
+    See operators/sampling.weighted_sample."""
+    from crawler_spark.operators.sampling import weighted_sample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "n_chars", 100, F.col("doc_id"))
+
+
 @q("tx10_unigram_logprob", """
 WITH w AS (SELECT doc_id,
                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
