@@ -433,9 +433,13 @@ def cross_doc_repeats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     n_windows, n_rep_windows, rep_frac) — flat/hashable.
 
     Dataflow: rolling_hashes_col (Rabin-Karp windows, shared with tx4) ->
-    posexplode -> ONE partial-agg shuffle on rh (count_distinct docs, the
-    two-phase agg absorbs hot-window skew) -> join back on rh (exchange
-    reuse: same key) -> per-doc rollup on even doc keys.
+    posexplode -> partial-agg shuffle on (rh, doc) then rh (two-phase
+    count_distinct absorbs hot-window skew) -> the much smaller repeated-
+    hash set joins back against the exploded windows (AQE elects broadcast
+    at our sizes, sort-merge on rh at corpus scale) -> per-doc rollup on
+    even doc keys. The map-side rolls derivation is recomputed per branch
+    (verified in the physical plan) — at corpus scale persist the exploded
+    (doc, rh) view once instead of re-deriving it three times.
 
     Scale (100 TB): the explode is map-side but shuffles O(total windows)
     rows. `sample_mod` > 1 switches to content-defined sampling (keep

@@ -1516,11 +1516,12 @@ def dd11_substring_repeats(spark, sf_dir):
     window whose Rabin-Karp rolling hash occurs in >= 2 distinct documents
     is a repeated passage; per doc, the covered-window count and fraction.
 
-    Scale: posexplode map-side, ONE partial-agg shuffle on rh (two-phase
-    count_distinct absorbs hot-window skew), join back on the same key
-    (exchange reuse), even-keyed per-doc rollup. At 10^12 words the
-    sample_mod knob (content-defined winnowing sampling) divides shuffle
-    volume; exact here for the oracle. See textdedup.cross_doc_repeats."""
+    Scale: posexplode map-side, two-phase count_distinct shuffle on the
+    window hash (absorbs hot-window skew), repeated-set join back
+    (broadcast here, sort-merge at corpus scale), even-keyed per-doc
+    rollup. At 10^12 words the sample_mod knob (content-defined winnowing
+    sampling) divides shuffle volume; exact here for the oracle.
+    See textdedup.cross_doc_repeats."""
     from crawler_spark.operators.textdedup import (
         cross_doc_repeats, word_hashes_col,
     )
