@@ -252,3 +252,73 @@ def cosine_pandas_udf(query_vec: list[float]):
         return pd.Series(sims)
 
     return cos
+
+
+def sq_corpus_stats(emb: DataFrame, vec_col: str = "embedding",
+                    dim: int = 64) -> DataFrame:
+    """Per-dimension min/max over the corpus as ONE single-row DataFrame of
+    two dim-length arrays (mns, mxs) — the deterministic 'codebook' of the
+    scalar quantizer. Fully distributed: posexplode -> dim-cardinality agg
+    -> ordered collect_list; no driver collect (the row is broadcast)."""
+    d = emb.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                   .alias("d", "x"))
+    stats = d.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return (stats.groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("d", "mn"))).alias("_a"),
+                 F.array_sort(F.collect_list(F.struct("d", "mx"))).alias("_b"))
+            .select(F.transform("_a", lambda s: s["mn"]).alias("mns"),
+                    F.transform("_b", lambda s: s["mx"]).alias("mxs")))
+
+
+def sq_quantize(v: Column, mns: Column, mxs: Column) -> Column:
+    """SQ8 scalar quantization: per dim, floor((x-mn)/(mx-mn)*255) in
+    [0,255] (mx==mn dims collapse to 0). All-IEEE-exact ops on identical
+    doubles -> bit-identical codes in Spark and the SQL oracle."""
+    return F.transform(
+        v.cast("array<double>"),
+        lambda x, i: F.when(
+            F.get(mxs, i) > F.get(mns, i),
+            F.floor((x - F.get(mns, i))
+                    / (F.get(mxs, i) - F.get(mns, i)) * 255.0))
+        .otherwise(F.lit(0)).cast("long"))
+
+
+def sq_rerank_topk(emb: DataFrame, query: DataFrame, k: int = 10,
+                   shortlist: int = 50, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Two-stage ANN (an6, the FAISS-SQ production pattern): stage 1 ranks
+    the corpus by EXACT-INTEGER quantized dot product (8-bit codes — at
+    scale the code table is 4-32x smaller than the float corpus and scans
+    from a compact column); stage 2 re-ranks only the per-query shortlist
+    with true cosine. Integer stage-1 scores make the candidate set
+    bit-stable across engines; the final output is an1-shaped
+    (qid, vec_id, cosine, rnk)."""
+    from pyspark.sql import Window
+    stats = sq_corpus_stats(emb, vec_col)
+    corp = (emb.crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), F.col(vec_col),
+                    sq_quantize(F.col(vec_col), F.col("mns"), F.col("mxs"))
+                    .alias("qz")))
+    qry = (query.crossJoin(F.broadcast(stats))
+           .select(F.col(id_col).alias("qid"),
+                   F.col(vec_col).alias("qvec"),
+                   sq_quantize(F.col(vec_col), F.col("mns"), F.col("mxs"))
+                   .alias("qzq")))
+    cand = (corp.crossJoin(F.broadcast(qry))
+            .where(F.col(id_col) != F.col("qid"))
+            .select("qid", F.col(id_col), F.col(vec_col), F.col("qvec"),
+                    F.aggregate(F.zip_with("qz", "qzq",
+                                           lambda a, b: a * b),
+                                F.lit(0).cast("long"),
+                                lambda acc, x: acc + x).alias("ad")))
+    w1 = Window.partitionBy("qid").orderBy(F.desc("ad"), F.col(id_col))
+    short = (cand.withColumn("crnk", F.row_number().over(w1))
+             .where(F.col("crnk") <= shortlist))
+    scored = short.select(
+        "qid", F.col(id_col),
+        F.round(cosine_col(F.col(vec_col).cast("array<double>"),
+                           F.col("qvec").cast("array<double>")), 4)
+        .alias("cosine"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w2))
+            .where(F.col("rnk") <= k))

@@ -1667,6 +1667,54 @@ def tx9_hash_split(spark, sf_dir):
     return d.select("doc_id", hash_split(key, 50).alias("split"))
 
 
+@q("an6_sq_rerank", """
+WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+            FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT d, min(embedding[d]::DOUBLE) AS mn, max(embedding[d]::DOUBLE) AS mx
+      FROM embeddings, range(1, 65) t(d) GROUP BY d),
+sa AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM s),
+corp AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                list_transform(range(1, 65), d -> CASE WHEN mxs[d] > mns[d]
+                  THEN CAST(floor((embedding[d]::DOUBLE - mns[d])
+                                  / (mxs[d] - mns[d]) * 255.0) AS BIGINT)
+                  ELSE 0 END) AS qz
+         FROM embeddings, sa),
+qq AS (SELECT qid, qvec,
+              list_transform(range(1, 65), d -> CASE WHEN mxs[d] > mns[d]
+                THEN CAST(floor((qvec[d] - mns[d])
+                                / (mxs[d] - mns[d]) * 255.0) AS BIGINT)
+                ELSE 0 END) AS qzq
+       FROM q0, sa),
+cand AS (SELECT qq.qid, c.vec_id, c.v, qq.qvec,
+                list_reduce(list_prepend(0::BIGINT,
+                  list_transform(range(1, 65), d -> c.qz[d] * qq.qzq[d])),
+                  (a, b) -> a + b) AS ad
+         FROM corp c, qq WHERE c.vec_id <> qq.qid),
+short AS (SELECT qid, vec_id, v, qvec FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY ad DESC, vec_id) AS crnk
+  FROM cand) WHERE crnk <= 50)
+SELECT qid, vec_id, cosine, rnk FROM (
+  SELECT qid, vec_id,
+         round(list_cosine_similarity(v, qvec), 4) AS cosine,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(list_cosine_similarity(v, qvec), 4) DESC, vec_id)
+           AS rnk
+  FROM short) WHERE rnk <= 10
+""")
+def an6_sq_rerank(spark, sf_dir):
+    """Two-stage ANN, the FAISS-SQ production pattern: 8-bit scalar-
+    quantized integer dot product shortlists 50 candidates per query
+    (bit-stable across engines — the codes and scores are exact integers),
+    then true cosine re-ranks the shortlist to top-10. At corpus scale the
+    code table scans 4-32x less data than the float corpus and the exact
+    pass touches only shortlist rows. See similarity.sq_rerank_topk."""
+    from crawler_spark.operators.similarity import sq_rerank_topk
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2))
+    return sq_rerank_topk(e, q, k=10, shortlist=50)
+
+
 @q("g3_domain_cc", """
 WITH RECURSIVE
 e0 AS (SELECT DISTINCT source AS src,
