@@ -70,6 +70,31 @@ CHECKS = {
     "w4_wave_admission": (["Window", "BroadcastHashJoin"],
                           ["BatchEvalPython", "ArrowEvalPython",
                            "CartesianProduct", "SortMergeJoin"]),
+    # --- round 3 ---
+    # weighted sample: per-partition heaps, never a global sort
+    "px4_weighted_sample": (["TakeOrderedAndProject"],
+                            ["Exchange rangepartitioning",
+                             "BatchEvalPython", "ArrowEvalPython"]),
+    # substring repeats: two-phase agg on the window hash; no Python,
+    # no cartesian (the repeated-set join is broadcast/SMJ on rh)
+    "dd11_substring_repeats": (["partial_count"],
+                               ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct"]),
+    # unigram logprob: partial+final aggs; the corpus-total is a broadcast
+    # scalar (nested-loop over ONE row), never a cartesian over data
+    "tx10_unigram_logprob": (["HashAggregate", "partial_count"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"]),
+    # sliding windows: the 4-window fan-out is map-side (explode of window
+    # starts) feeding one partial+final agg
+    "st4_sliding_window": (["HashAggregate"],
+                           ["BatchEvalPython", "ArrowEvalPython"]),
+    # SQ8 two-stage ANN: stats + query batch broadcast, no cartesian
+    "an6_sq_rerank": ([], ["CartesianProduct", "BatchEvalPython",
+                           "ArrowEvalPython"]),
+    # decode algebra: the kernel is Arrow-batched mapInPandas BY DESIGN
+    # (that is the surface under test); forbid row-at-a-time Python
+    "mm5_decode_algebra": (["MapInPandas"], ["BatchEvalPython"]),
 }
 
 
