@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
 
 # extensions never enqueued (media is *captured as spans*, not crawled — F8)
 ASSET_EXT_RE = r"\.(png|jpe?g|gif|webp|ico|svg|css|js|mjs|pdf|zip|gz|tar|mp3|mp4|ogg|wav|avi|mov|woff2?|ttf|eot)$"
@@ -87,3 +88,65 @@ def blacklist_col(url_canon: Column, patterns: tuple[str, ...]) -> Column:
     for p in patterns:
         cond = cond | url_canon.rlike(p)
     return cond
+
+
+# Above this seed count the scope predicate switches from an expression to a
+# broadcast semi-join/set: an In() literal list is one expression CHILD per
+# seed, and Catalyst re-walks that tree through every optimizer rule — at
+# 10k seeds that measured 8-10s of *serial driver planning* per admission
+# plan (see BENCH/BASELINE.md round 3), and a 10^6-seed crawl could not hold
+# the list in an expression at all.
+SCOPE_JOIN_MIN_HOSTS = 64
+
+
+def _scope_ok_set(host: str, seeds: frozenset, keys: frozenset,
+                  subdomains: bool, tld: bool) -> bool:
+    """scope_ok with set lookups instead of per-seed scans: O(labels) per
+    host, independent of seed count. Property-tested equal to scope_ok."""
+    if host in seeds:
+        return True
+    if subdomains:
+        i = host.find(".")
+        while i != -1:
+            if host[i + 1:] in seeds:
+                return True
+            i = host.find(".", i + 1)
+    return tld and tld_key(host) in keys
+
+
+def scope_filter(df: DataFrame, host: Column, seed_hosts: list[str],
+                 subdomains: bool, tld: bool) -> DataFrame:
+    """F2/F3/F4 admission over a DataFrame — picks the physical strategy by
+    seed-set size; all three paths implement exactly scope_ok's semantics
+    (tests/test_scope.py proves four-way equality on a generated corpus).
+
+    * small seed set: the scope_col expression — whole-stage codegen, zero
+      extra plan nodes (the common hand-seeded crawl).
+    * large, exact-host scope (the bulk-seeded production shape): broadcast
+      LEFT SEMI join against a seed-host dim. O(1) literals in the plan, one
+      JVM hash probe per row, preserves row multiplicity (n_refs counting
+      upstream of A2 needs duplicates kept).
+    * large + subdomains/tld: the match key is not a single column (any
+      dot-suffix may hit), so the seed set ships as a broadcast variable to
+      an Arrow-vectorized predicate — O(labels) set lookups per row, no
+      join, no plan growth. Off the hot path (wide-scope bulk crawls are
+      rare); documented trade: Python eval instead of codegen.
+    """
+    if len(seed_hosts) <= SCOPE_JOIN_MIN_HOSTS:
+        return df.where(scope_col(host, seed_hosts, subdomains, tld))
+    spark = df.sparkSession
+    if not subdomains and not tld:
+        dim = spark.createDataFrame([(h,) for h in sorted(set(seed_hosts))],
+                                    "_seed_host string")
+        return df.join(F.broadcast(dim), host == dim["_seed_host"],
+                       "left_semi")
+    seeds = frozenset(seed_hosts)
+    keys = frozenset(tld_key(h) for h in seed_hosts) if tld else frozenset()
+    bc = spark.sparkContext.broadcast((seeds, keys))
+
+    @F.pandas_udf("boolean")
+    def _ok(h: pd.Series) -> pd.Series:
+        s, k = bc.value
+        return h.map(lambda x: _scope_ok_set(x, s, k, subdomains, tld))
+
+    return df.where(_ok(host))

@@ -39,7 +39,7 @@ from crawler_spark.operators.dedup import (
 from crawler_spark.operators.robots import (
     build_robots_table, fetch_robots_rules, gate_frontier,
 )
-from crawler_spark.operators.scope import asset_col, blacklist_col, scope_col
+from crawler_spark.operators.scope import asset_col, blacklist_col, scope_filter
 from crawler_spark.plans.tableio import MemoryStore, SnapDirStore
 from crawler_spark.sources.fetch import parse_spans, ua_col
 from crawler_spark.spec import CrawlJobSpec
@@ -104,7 +104,12 @@ def _admit(spark: SparkSession, cands: DataFrame, seen: DataFrame | None,
     if spec.blacklist:
         c = c.where(~blacklist_col(F.col("url_canon"), spec.blacklist))
     c = c.withColumn("host", host_col(F.col("url_canon")))
-    c = c.where(scope_col(F.col("host"), seed_hosts, spec.subdomains, spec.tld))
+    # strategy dispatch: expression for hand-seeded crawls, broadcast
+    # semi-join past SCOPE_JOIN_MIN_HOSTS — a 10k-seed In() literal costs
+    # 8-10s of serial driver planning PER WAVE (round-3 event-log evidence,
+    # BENCH/BASELINE.md) and a bulk-seeded production crawl can't hold its
+    # seed list in an expression at all
+    c = scope_filter(c, F.col("host"), seed_hosts, spec.subdomains, spec.tld)
     # A2: in-wave dedup on the casefold key, deterministic min representative.
     # The same aggregate counts the URL's in-wave in-degree (n_refs): the
     # admitted row's priority becomes -n_refs, so heavily-referenced pages

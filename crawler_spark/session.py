@@ -6,6 +6,9 @@ cluster cores (set per entry point; bench.py scales it with local[N])."""
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -29,6 +32,11 @@ def get_spark(app: str = "crawler_spark", master: str | None = None,
         "spark.ui.enabled": "false",
     }
     confs.update(extra or {})
+    # Ops escape hatch: JSON dict of extra confs (e.g. event-log settings for
+    # a profiling run) without an entry-point code change. Highest precedence.
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_extra:
+        confs.update(json.loads(env_extra))
     for k, v in confs.items():
         b = b.config(k, v)
     return b.getOrCreate()

