@@ -5,7 +5,7 @@ ANSI-SQL oracle twin in crawler_spark/queries.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # tiny per-language marker lists (n-gram heuristic; deterministic)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -224,3 +224,41 @@ def repetition_signals_col(text: Column) -> Column:
 
     words = F.split(F.trim(text), r"\s+")
     return F.element_at(F.transform(F.array(words), over_words), 1)
+
+
+# --- BM25 relevance scoring (tx11) ----------------------------------------
+def bm25_scores(docs: DataFrame, text: Column, terms: tuple[str, ...],
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed term set.
+
+    The retrieval primitive of a training-data pipeline (quality-targeted
+    subcorpus selection, eval-set neighborhood mining). Lucene's idf form:
+    ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1, length norm b.
+
+    Scale shape (100 TB corpus): the corpus is filtered to the query terms
+    BEFORE any shuffle (tf rows ~ n_terms * hit docs, not corpus tokens);
+    df/N/avgdl are term- or scalar-cardinality aggregates joined back via
+    broadcast — the corpus is touched in exactly one map-side pass.
+
+    Returns (doc_id, bm25:double rounded 4) for docs with >= 1 term hit.
+    Oracle twin: tx11_bm25 in queries.py (same tokenization, whitespace
+    split on trim(lower(text)) — textdedup.WORD_SPLIT_RE).
+    """
+    w = docs.select("doc_id", F.split(F.trim(F.lower(text)), r"\s+").alias("w"))
+    stats = w.agg(F.count("*").alias("n"),
+                  F.avg(F.size("w")).alias("avgdl"))
+    tf = (w.select("doc_id", F.size("w").alias("dl"),
+                   F.explode("w").alias("term"))
+          .where(F.col("term").isin(list(terms)))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    return (tf.join(F.broadcast(df), "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(idf * norm), 4).alias("bm25")))

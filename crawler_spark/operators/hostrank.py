@@ -125,3 +125,71 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 5,
             f"AS rank FROM hosts h LEFT JOIN c{k} c USING (host))")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT host, ROUND(rank, 4) AS rank FROM r{iters}")
+
+
+def hits_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg) over distinct (src, dst) host edges:
+    the hub/authority complement to PageRank for crawl prioritization —
+    authorities are fetch targets, hubs are frontier-expansion sources.
+
+    hub_0 = 1; per iteration: auth(v) = sum_{u->v} hub(u), hub(u) =
+    sum_{u->v} auth(v), each sum-normalized (divide by the global sum, one
+    scalar broadcast) so values stay bounded and deterministic.  Same scale
+    shape as pagerank_hosts: per iteration two host-cardinality shuffles
+    (join on src/dst + groupBy), lineage cut per iteration.  Returns
+    (host, auth, hub) for every host appearing as src or dst."""
+    e = edges.select("src", "dst").distinct()
+    hosts = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    hub = hosts.withColumn("hub", F.lit(1.0))
+    auth = hosts.withColumn("auth", F.lit(0.0))
+    for _ in range(iters):
+        am = (e.join(hub.withColumnRenamed("host", "src"), "src")
+              .groupBy(F.col("dst").alias("host"))
+              .agg(F.sum("hub").alias("mass")))
+        atot = am.agg(F.sum("mass").alias("t"))
+        auth = (hosts.join(am, "host", "left")
+                .crossJoin(F.broadcast(atot))
+                .select("host", (F.coalesce(F.col("mass"), F.lit(0.0))
+                                 / F.col("t")).alias("auth"))
+                .localCheckpoint(eager=True))
+        hm = (e.join(auth.withColumnRenamed("host", "dst"), "dst")
+              .groupBy(F.col("src").alias("host"))
+              .agg(F.sum("auth").alias("mass")))
+        htot = hm.agg(F.sum("mass").alias("t"))
+        hub = (hosts.join(hm, "host", "left")
+               .crossJoin(F.broadcast(htot))
+               .select("host", (F.coalesce(F.col("mass"), F.lit(0.0))
+                                / F.col("t")).alias("hub"))
+               .localCheckpoint(eager=True))
+    return auth.join(hub, "host")
+
+
+def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin of `hits_hosts`: the K iterations unrolled as chained
+    CTEs, sum-normalized exactly like the engine side."""
+    ctes = [f"e AS ({edges_cte})",
+            "hosts AS (SELECT src AS host FROM e UNION "
+            "SELECT dst AS host FROM e)",
+            "h0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS hub FROM hosts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"am{k} AS (SELECT e.dst AS host, SUM(h.hub) AS mass "
+            f"FROM e JOIN h{k-1} h ON h.host = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"a{k} AS (SELECT h.host, COALESCE(m.mass, 0) "
+            f"/ (SELECT SUM(mass) FROM am{k}) AS auth "
+            f"FROM hosts h LEFT JOIN am{k} m USING (host))")
+        ctes.append(
+            f"hm{k} AS (SELECT e.src AS host, SUM(a.auth) AS mass "
+            f"FROM e JOIN a{k} a ON a.host = e.dst GROUP BY e.src)")
+        ctes.append(
+            f"h{k} AS (SELECT h.host, COALESCE(m.mass, 0) "
+            f"/ (SELECT SUM(mass) FROM hm{k}) AS hub "
+            f"FROM hosts h LEFT JOIN hm{k} m USING (host))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT host, ROUND(a.auth, 4) AS auth, "
+            f"ROUND(h.hub, 4) AS hub "
+            f"FROM a{iters} a JOIN h{iters} h USING (host)")

@@ -1749,6 +1749,28 @@ def g3_domain_cc(spark, sf_dir):
                      F.col("cluster").alias("domain_group"))
 
 
+from crawler_spark.operators.hostrank import hits_oracle_sql  # noqa: E402
+
+
+@q("g4_hits", hits_oracle_sql(_G1_EDGES_SQL, iters=3))
+def g4_hits(spark, sf_dir):
+    """HITS hubs/authorities over the host graph (same deterministic edge
+    derivation as g1): the link-analysis complement to PageRank — crawl
+    schedulers fetch authorities and expand frontiers from hubs. 3 fixed
+    sum-normalized iterations; oracle unrolls them as chained CTEs. Host
+    cardinality throughout (2-3 orders below URLs at the design point)."""
+    from crawler_spark.operators.hostrank import hits_hosts
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    out = hits_hosts(edges, iters=3)
+    return out.select("host", F.round("auth", 4).alias("auth"),
+                      F.round("hub", 4).alias("hub"))
+
+
 @q("px4_weighted_sample", """
 WITH s AS (SELECT doc_id, n_chars,
                   -ln((('0x' || substr(md5('ws/' || doc_id), 1, 8))::BIGINT
@@ -1789,6 +1811,37 @@ def tx10_unigram_logprob(spark, sf_dir):
     and shuffle only the tail. See operators/langmodel.py."""
     from crawler_spark.operators.langmodel import unigram_logprob
     return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_TX11_TERMS = ("spark", "merge", "window", "sort")
+
+
+@q("tx11_bm25", f"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+g AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+       WHERE term IN {_TX11_TERMS!r} GROUP BY 1, 2, 3),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       round(SUM(ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))), 4)
+         AS bm25
+FROM tf JOIN df USING (term) CROSS JOIN g
+GROUP BY tf.doc_id
+""")
+def tx11_bm25(spark, sf_dir):
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set (k1=1.2, b=0.75, Lucene idf) — the retrieval primitive behind
+    quality-targeted subcorpus selection. Corpus filtered to query terms
+    before any shuffle; df/N/avgdl are broadcast-joined aggregates. See
+    functions/text.bm25_scores."""
+    from crawler_spark.functions.text import bm25_scores
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, F.col("text"), _TX11_TERMS)
 
 
 @q("an5_ivf_recall", """
