@@ -95,6 +95,17 @@ CHECKS = {
     # decode algebra: the kernel is Arrow-batched mapInPandas BY DESIGN
     # (that is the surface under test); forbid row-at-a-time Python
     "mm5_decode_algebra": (["MapInPandas"], ["BatchEvalPython"]),
+    # HITS: iterative plan is cut per-iteration (localCheckpoint), so the
+    # final plan is the last join over checkpointed scans; the per-iter
+    # scalar normalization is a broadcast over ONE row — forbid cartesian
+    # over data and any Python
+    "g4_hits": ([], ["CartesianProduct", "BatchEvalPython",
+                     "ArrowEvalPython"]),
+    # BM25: term filter must reach BEFORE the tf aggregation (pre-shuffle
+    # corpus cut); df and the N/avgdl scalar join back as broadcasts
+    "tx11_bm25": (["HashAggregate", "BroadcastHashJoin"],
+                  ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct"]),
 }
 
 
