@@ -1,4 +1,5 @@
-"""Corpus-statistics language-model quality scoring (tx10).
+"""Corpus-statistics language-model quality scoring (tx10 unigram,
+tx12 bigram conditional).
 
 CCNet (Wenzek et al., LREC 2020) ranks crawl documents by KenLM perplexity;
 the deterministic, dependency-free analog over the corpus's OWN statistics
@@ -18,6 +19,43 @@ tail — the exact two-shuffle form here is the oracle contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, text) -> (id, n_bigrams, neg_logprob): the word-ORDER axis tx10
+    cannot see. neg_logprob = round(mean -ln(P(w2|w1)), 4) over the doc's
+    bigram instances, with P(w2|w1) = c(w1 w2) / c(w1·) from this corpus
+    (c(w1·) counts w1 as a bigram head, so rows sum to a proper conditional).
+    Shuffled text keeps its tx10 score but spikes here — the n-gram LM
+    fluency signal (CCNet's KenLM axis, order 2). Docs with < 2 words have
+    no bigram instances and drop out (score undefined), as in the oracle.
+
+    Scale shape: bigram generation is a map-side HOF (one sequence/transform
+    per row, no Python); then two partial-agg shuffles (bigram counts, head
+    counts) and two joins back. The bigram vocabulary is ~10x unigram's but
+    Zipf-headed the same way — at 10^12 words broadcast the head table and
+    shuffle only the tail, exactly as tx10's docstring prescribes."""
+    w = docs.select(id_col,
+                    F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+    # sequence(1, 0) would be DESCENDING [1, 0] — guard short docs to [].
+    idx = F.when(F.size("w") >= 2,
+                 F.sequence(F.lit(1), F.size("w") - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    bigram = F.transform(
+        idx, lambda i: F.concat(F.element_at(F.col("w"), i), F.lit(" "),
+                                F.element_at(F.col("w"), i + 1)))
+    bg = w.select(id_col, F.explode(bigram).alias("bigram"))
+    c12 = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    heads = (bg.select(F.substring_index("bigram", " ", 1).alias("w1"))
+             .groupBy("w1").agg(F.count("*").alias("c1")))
+    scored = (bg.join(c12, "bigram")
+              .withColumn("w1", F.substring_index("bigram", " ", 1))
+              .join(heads, "w1"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(F.log("c1") - F.log("c12")), 4)
+                  .alias("neg_logprob")))
 
 
 def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",

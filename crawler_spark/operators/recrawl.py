@@ -234,3 +234,32 @@ def due_for_recrawl_adaptive(fetch_log: DataFrame, current_wave: int,
             .where(F.col("age") >= F.coalesce(F.col("ttl_waves"),
                                               F.lit(default_ttl_waves)))
             .drop("ttl_waves"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url_canon",
+                  fp_col: str = "fingerprint") -> DataFrame:
+    """Incremental-recrawl delta between two crawl snapshots: for every key
+    in either snapshot, classify it as `new` (absent from the old crawl),
+    `gone` (absent from the new one), `changed` (present in both with a
+    different content fingerprint) or `unchanged`. This is the operator a
+    continuous-crawl pipeline runs after every recrawl wave to feed the
+    change-rate estimator (`change_rate`) and to emit only the delta to
+    downstream consumers instead of re-shipping the whole corpus.
+
+    Output: (key_col, status) — one row per key in the union of both
+    snapshots.
+
+    Scale shape: ONE full-outer join on the key. At the 10^10-URL design
+    point both snapshots live bucketed by url_hash (the seen-store layout),
+    so the join is co-partitioned and shuffle-free; unbucketed inputs cost
+    exactly one exchange per side. The fingerprints are the only payload
+    carried — never the documents.
+    """
+    o = old.select(F.col(key_col), F.col(fp_col).alias("_fp_old"))
+    n = new.select(F.col(key_col), F.col(fp_col).alias("_fp_new"))
+    status = (F.when(F.col("_fp_old").isNull(), F.lit("new"))
+              .when(F.col("_fp_new").isNull(), F.lit("gone"))
+              .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (o.join(n, key_col, "full_outer")
+            .select(key_col, status.alias("status")))

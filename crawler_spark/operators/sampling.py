@@ -1,6 +1,6 @@
 """Corpus sampling for training-data mixtures.
 
-Two deterministic selection operators a pre-training pipeline runs after
+Deterministic selection operators a pre-training pipeline runs after
 filtering/dedup:
 
 * `token_budget_select` — per-stratum (usually per-language) quality-ranked
@@ -10,8 +10,12 @@ filtering/dedup:
 * `hash_split` — deterministic train/validation assignment by content-stable
   hash, so the split is reproducible across runs and engines and never
   depends on row order or partitioning.
+* `temperature_sampling` — XLM-R/mT5-style (n_l/N)^alpha language mixing
+  with content-stable accept coins.
+* `weighted_sample` / `pack_sequences` — see their docstrings.
 
-Both are pure column algebra with exact ANSI-SQL twins (queries.py tx8/tx9).
+All are pure column algebra with exact ANSI-SQL twins (queries.py
+tx8/tx9/px4/px5/px3).
 """
 
 from __future__ import annotations
@@ -145,6 +149,48 @@ def pack_sequences(df: DataFrame, tokens_col: str, order_col: str = "doc_id",
                         F.floor(F.col("prev_tokens") / budget).cast("long"))
             .withColumn("seq_offset",
                         (F.col("prev_tokens") % budget).cast("long")))
+
+
+def temperature_sampling(df: DataFrame, strata_col: str, key: Column,
+                         alpha: float = 0.3, budget: int = 10_000,
+                         salt: str = "ts/") -> DataFrame:
+    """Multilingual temperature sampling (the XLM-R / mT5 mixing rule):
+    draw ~`budget` rows whose stratum proportions follow
+    p_l ∝ (n_l/N)^alpha — upsampling tail strata relative to their natural
+    share (alpha=1 natural, alpha->0 uniform). Nothing is random: each
+    row's accept test is a content-stable md5 coin on `key` (the hash_split
+    discipline), so the drawn corpus is reproducible across runs, engines,
+    and partitionings.
+
+    Keeps surviving input rows and adds the per-stratum columns `n_docs`,
+    `p_sample` (round 6) and `rate` (round 6; min(1, budget*p/n)).
+
+    Scale shape: ONE partial-agg shuffle at stratum cardinality (tiny),
+    two broadcast one-row scalars (N, Z), then the rate table broadcast
+    back onto the corpus with a map-side integer compare — the corpus
+    itself NEVER shuffles. The accept boundary is integerized
+    (h32 < floor(rate_6 * 2^32), both BIGINT) so engines agree
+    bit-for-bit; `rate` is rounded to 6 places before integerizing to keep
+    the pow/divide ulp noise away from the boundary.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("double").alias("_n"))
+    q = (counts.crossJoin(F.broadcast(tot))
+         .withColumn("_q", F.pow(F.col("n_docs") / F.col("_n"), alpha)))
+    z = q.agg(F.sum("_q").alias("_z"))
+    rates = (q.crossJoin(F.broadcast(z))
+             .withColumn("p_sample", F.round(F.col("_q") / F.col("_z"), 6))
+             .withColumn("rate",
+                         F.round(F.least(
+                             F.lit(1.0),
+                             F.lit(float(budget)) * (F.col("_q") / F.col("_z"))
+                             / F.col("n_docs")), 6))
+             .select(strata_col, "n_docs", "p_sample", "rate"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))),
+                           1, 8), 16, 10).cast("long")
+    cut = F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")
+    return (df.join(F.broadcast(rates), strata_col)
+            .where(h < cut))
 
 
 def weighted_sample(df: DataFrame, weight_col: str, k: int,

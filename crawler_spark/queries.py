@@ -2141,3 +2141,135 @@ def mm4_multimodal_pack(spark, sf_dir):
                      .cast("long")))
     return pack_sequences(t, "n_tokens", order_col="doc_id",
                           budget=_MM4_BUDGET, n_blocks=8)
+
+# =====================================================================
+# Round-3 late additions: LM order-2 scoring, temperature mixing,
+# recrawl snapshot diff, WARC round-trip
+# =====================================================================
+
+@q("tx12_bigram_logprob", """
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])) AS bigram
+       FROM w),
+c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+       FROM bg GROUP BY 1)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(c1.c1) - ln(c12.c12)), 4) AS neg_logprob
+FROM bg JOIN c12 USING (bigram)
+        JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+GROUP BY bg.doc_id
+""")
+def tx12_bigram_logprob(spark, sf_dir):
+    """Order-2 LM fluency scoring: mean -ln(P(w2|w1)) under the corpus's
+    own bigram conditionals — the word-ORDER axis tx10's unigram score is
+    blind to (shuffled text keeps its tx10 score, spikes here). Map-side
+    HOF bigram generation; two partial-agg shuffles + joins back. See
+    operators/langmodel.bigram_logprob."""
+    from crawler_spark.operators.langmodel import bigram_logprob
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_PX5_ALPHA, _PX5_BUDGET = 0.3, 450
+
+
+@q("px5_temperature_mix", f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM c),
+q AS (SELECT lang, n_docs, pow(n_docs / t.n, {_PX5_ALPHA}) AS q
+      FROM c CROSS JOIN t),
+z AS (SELECT sum(q) AS z FROM q),
+r AS (SELECT lang, n_docs, round(q / z.z, 6) AS p_sample,
+             round(least(1.0, {_PX5_BUDGET} * (q / z.z) / n_docs), 6) AS rate
+      FROM q CROSS JOIN z)
+SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs, r.p_sample,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE ('0x' || substr(md5('ts/' || d.source || '/' || d.doc_id), 1, 8))::BIGINT
+      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+GROUP BY 1, 2, 3
+""")
+def px5_temperature_mix(spark, sf_dir):
+    """XLM-R/mT5 temperature sampling (p_l ∝ (n_l/N)^alpha, alpha=0.3):
+    per-language sampled-corpus summary — stratum size, target proportion,
+    and how many docs the content-stable md5 coin kept under a 450-doc
+    budget (en is cut hard, tail langs ride near/at rate 1.0). Corpus
+    never shuffles; the rate table is a broadcast. See
+    operators/sampling.temperature_sampling."""
+    from crawler_spark.operators.sampling import temperature_sampling
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+    kept = temperature_sampling(d, "lang", key, alpha=_PX5_ALPHA,
+                                budget=_PX5_BUDGET)
+    return (kept.groupBy("lang", "n_docs", "p_sample")
+            .agg(F.count("*").alias("n_kept"))
+            .select("lang", F.col("n_docs").cast("long").alias("n_docs"),
+                    "p_sample", "n_kept"))
+
+
+@q("rc3_snapshot_diff", """
+WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents
+             WHERE doc_id % 10 <> 9),
+new AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || '#v2'
+                        ELSE text END) AS fp
+        FROM documents WHERE doc_id % 10 <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.fp IS NULL THEN 'new'
+            WHEN n.fp IS NULL THEN 'gone'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""")
+def rc3_snapshot_diff(spark, sf_dir):
+    """Incremental-recrawl delta between two crawl snapshots (new / gone /
+    changed / unchanged per URL) — the per-wave operator that feeds the
+    change-rate estimator (rc2) and ships only deltas downstream. Snapshots
+    derived deterministically from `documents`: the old crawl misses the
+    %10==9 slice, the new one misses %10==0 and re-fetched different
+    content for the %7==0 docs. One full-outer join on the key; bucketed
+    snapshot storage makes it shuffle-free at 10^10 URLs. See
+    operators/recrawl.snapshot_diff."""
+    from crawler_spark.operators.recrawl import snapshot_diff
+    d = _t(spark, sf_dir, "documents")
+    old = (d.where(F.col("doc_id") % 10 != 9)
+           .select(F.col("doc_id"), F.md5("text").alias("fingerprint")))
+    new = (d.where(F.col("doc_id") % 10 != 0)
+           .select(F.col("doc_id"),
+                   F.md5(F.when(F.col("doc_id") % 7 == 0,
+                                F.concat(F.col("text"), F.lit("#v2")))
+                         .otherwise(F.col("text"))).alias("fingerprint")))
+    return snapshot_diff(old, new, key_col="doc_id", fp_col="fingerprint")
+
+
+@q("wc1_warc_roundtrip", """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""")
+def wc1_warc_roundtrip(spark, sf_dir):
+    """WARC 1.0 interchange gate: render every document into spec-shaped
+    WARC response records, concatenate them into 20 archive files in
+    deterministic order (all JVM-side), then re-parse the blobs with the
+    Content-Length-framed mapInPandas splitter and prove every payload
+    byte survived (md5 vs the corpus straight from parquet — the oracle
+    never sees WARC at all, so any framing bug breaks the hash). See
+    sources/warc.py."""
+    from crawler_spark.sources.warc import (
+        parse_warc, warc_file_blobs, warc_record_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("https://corpus.example/doc/"),
+                   F.col("doc_id").cast("string"))
+    files = warc_file_blobs(
+        d.withColumn("file_id", (F.col("doc_id") % 20).cast("long")),
+        "file_id", "doc_id", warc_record_col(uri, F.col("text")))
+    parsed = parse_warc(files, "blob")
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("n_bytes"),
+        F.md5("payload").alias("payload_md5"))

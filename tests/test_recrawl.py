@@ -294,3 +294,18 @@ def test_budget_completed_crawl_is_recrawlable(spark, small_cfg,
     refetched = {r["url_canon"] for r in rerun.fetch_log.collect()}
     assert refetched == {r["url_canon"] for r in run.fetch_log.collect()
                          if r["status"] == 200}
+
+
+def test_snapshot_diff_statuses(spark):
+    """rc3: the four statuses, exhaustively, on a constructed pair."""
+    from crawler_spark.operators.recrawl import snapshot_diff
+    old = spark.createDataFrame(
+        [("u1", "f1"), ("u2", "f2"), ("u3", "f3")],
+        "url_canon string, fingerprint string")
+    new = spark.createDataFrame(
+        [("u1", "f1"), ("u2", "fX"), ("u4", "f4")],
+        "url_canon string, fingerprint string")
+    got = {r.url_canon: r.status
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "gone", "u4": "new"}

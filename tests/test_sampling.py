@@ -127,3 +127,52 @@ def test_pack_sequences_blocking_invariance_and_semantics(spark):
         prev += 10 * (i % 7) + 3
     # at least one doc straddles a boundary (offset + n_tokens > budget)
     assert any(o + rows[i][1] > 100 for i, (_, _, o) in base.items())
+
+
+def test_temperature_sampling_properties(spark):
+    """px5 operator invariants: p sums to 1, kept <= stratum size, rate
+    hits the clamp for tail strata under a generous budget, the accept set
+    is budget-monotone (bigger budget => superset), and the draw is
+    deterministic under repartitioning."""
+    from crawler_spark.operators.sampling import temperature_sampling
+    import pyspark.sql.functions as F
+    rows = [(i, "en" if i % 10 < 6 else ("de" if i % 10 < 9 else "fr"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    key = F.col("doc_id").cast("string")
+
+    kept = temperature_sampling(df, "lang", key, alpha=0.3, budget=600)
+    rates = {r.lang: r for r in
+             kept.select("lang", "n_docs", "p_sample", "rate")
+                 .distinct().collect()}
+    assert abs(sum(r.p_sample for r in rates.values()) - 1.0) < 1e-4
+    per = {r.lang: r.n_kept for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n_kept")).collect()}
+    for lang, r in rates.items():
+        assert per[lang] <= r.n_docs
+    # fr has 100 docs; temperature lifts its share so budget*p_fr > 100
+    assert rates["fr"].rate == 1.0 and per["fr"] == 100
+
+    small = set(r.doc_id for r in
+                temperature_sampling(df, "lang", key, alpha=0.3,
+                                     budget=300).select("doc_id").collect())
+    big = set(r.doc_id for r in kept.select("doc_id").collect())
+    assert small <= big
+    again = set(r.doc_id for r in
+                temperature_sampling(df.repartition(13), "lang", key,
+                                     alpha=0.3, budget=600)
+                .select("doc_id").collect())
+    assert again == big
+
+
+def test_temperature_alpha_one_is_natural(spark):
+    """alpha=1 degenerates to uniform rate budget/N across strata."""
+    from crawler_spark.operators.sampling import temperature_sampling
+    import pyspark.sql.functions as F
+    rows = [(i, "a" if i < 800 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sampling(df, "lang", F.col("doc_id").cast("string"),
+                                alpha=1.0, budget=500)
+    rates = {r.lang: r.rate for r in
+             kept.select("lang", "rate").distinct().collect()}
+    assert rates == {"a": 0.5, "b": 0.5}

@@ -106,6 +106,27 @@ CHECKS = {
     "tx11_bm25": (["HashAggregate", "BroadcastHashJoin"],
                   ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython",
                    "CartesianProduct"]),
+    # --- round 3, late additions ---
+    # bigram LM: map-side HOF bigram generation feeding partial+final aggs;
+    # the count joins may legitimately sort-merge (big x big), but no
+    # Python and no cartesian anywhere
+    "tx12_bigram_logprob": (["HashAggregate", "partial_count"],
+                            ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct"]),
+    # temperature mixing: the rate table must come back as a BROADCAST onto
+    # the corpus (the corpus itself never shuffles pre-filter); N and Z are
+    # one-row broadcast scalars, never a data cartesian
+    "px5_temperature_mix": (["BroadcastHashJoin"],
+                            ["SortMergeJoin", "BatchEvalPython",
+                             "ArrowEvalPython", "CartesianProduct"]),
+    # snapshot diff: ONE full-outer join on the key and nothing else
+    "rc3_snapshot_diff": (["FullOuter"],
+                          ["BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct"]),
+    # WARC round-trip: the record splitter is Arrow-batched mapInPandas BY
+    # DESIGN (the surface under test); render side is pure JVM — forbid
+    # row-at-a-time Python
+    "wc1_warc_roundtrip": (["MapInPandas"], ["BatchEvalPython"]),
 }
 
 
