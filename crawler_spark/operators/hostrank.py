@@ -193,3 +193,55 @@ def hits_oracle_sql(edges_cte: str, iters: int = 3) -> str:
             + f"\nSELECT host, ROUND(a.auth, 4) AS auth, "
             f"ROUND(h.hub, 4) AS hub "
             f"FROM a{iters} a JOIN h{iters} h USING (host)")
+
+
+def hop_distance(edges: DataFrame, seeds: DataFrame,
+                 max_hops: int = 6) -> DataFrame:
+    """BFS hop distance from a seed-host set over distinct (src, dst) host
+    edges: (host, hops) with hops = length of the shortest directed path
+    from any seed (seeds themselves at 0), up to `max_hops`. The crawl-
+    planning view of the webgraph — how deep a frontier must go to reach a
+    host, and the graph twin of the wave loop itself: each iteration is
+    exactly the engine's expand + seen-anti-join admission shape (J1).
+
+    Per hop: one join frontier⋈edges at host cardinality, a distinct, and
+    an anti-join against the settled set; lineage cut per hop
+    (localCheckpoint, as in pagerank/hits/CC). Early-exits when the
+    frontier drains. Unreached hosts are absent from the output (the
+    oracle's min-over-paths semantics under the same cap).
+    """
+    e = edges.select("src", "dst").distinct()
+    dist = (seeds.select(F.col("host"), F.lit(0).alias("hops"))
+            .distinct().localCheckpoint(eager=True))
+    frontier = dist
+    for i in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["host"] == e["src"])
+               .select(F.col("dst").alias("host"),
+                       F.lit(i).alias("hops"))
+               .distinct()
+               .join(dist.select("host"), "host", "left_anti")
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def hop_distance_oracle_sql(edges_cte: str, seeds_sql: str,
+                            max_hops: int = 6) -> str:
+    """Recursive-CTE twin of `hop_distance`: enumerate (host, hops) pairs
+    breadth-first under the hop cap, then keep the minimum per host —
+    identical to BFS's first-visit distance for every host whose shortest
+    path fits the cap."""
+    return f"""
+WITH RECURSIVE e AS ({edges_cte}),
+walk AS (
+  SELECT host, 0 AS hops FROM ({seeds_sql})
+  UNION
+  SELECT e.dst AS host, walk.hops + 1 AS hops
+  FROM walk JOIN e ON e.src = walk.host
+  WHERE walk.hops < {max_hops}
+)
+SELECT host, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY host
+"""

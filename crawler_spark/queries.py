@@ -2273,3 +2273,70 @@ def wc1_warc_roundtrip(spark, sf_dir):
          .alias("doc_id"),
         F.col("n_bytes"),
         F.md5("payload").alias("payload_md5"))
+
+
+_G5_EDGES_SQL = (
+    "SELECT DISTINCT source AS src, "
+    "'src' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst FROM documents "
+    "WHERE doc_id % 11 = 0 "
+    "AND source <> 'src' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR)")
+_G5_SEEDS_SQL = "SELECT 'src0' AS host UNION ALL SELECT 'src9'"
+
+from crawler_spark.operators.hostrank import (  # noqa: E402
+    hop_distance, hop_distance_oracle_sql,
+)
+
+
+@q("g5_hop_distance",
+   hop_distance_oracle_sql(_G5_EDGES_SQL, _G5_SEEDS_SQL, max_hops=6))
+def g5_hop_distance(spark, sf_dir):
+    """BFS hop distance from a 2-seed host set over a sparse deterministic
+    host graph (depths 0-4 + unreachable hosts at this fixture) — the
+    crawl-planning "how deep must the frontier go" view, and the graph twin
+    of the wave loop: each hop is the engine's expand + seen-anti-join (J1)
+    shape at host cardinality with per-hop lineage cuts. Oracle: recursive
+    min-over-paths CTE under the same hop cap. See
+    operators/hostrank.hop_distance."""
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 40).cast("string"))
+    edges = (d.where(F.col("doc_id") % 11 == 0)
+             .select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    seeds = spark.createDataFrame([("src0",), ("src9",)], "host string")
+    return hop_distance(edges, seeds, max_hops=6)
+
+
+@q("ex1_boilerplate_strip", """
+SELECT doc_id,
+       CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 8.0)
+            AS INT) AS n_blocks,
+       md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' '))
+         AS content_md5
+FROM documents
+""")
+def ex1_boilerplate_strip(spark, sf_dir):
+    """Main-content extraction gated by the wc1 round-trip pattern: each
+    document is rendered into an HTML page with link-dense chrome (nav,
+    sidebar, footer) around its 8-word content paragraphs (every 4th
+    paragraph carries an inline anchor that must SURVIVE), then the
+    link-density extractor must reproduce the normalized original text
+    md5-exactly and keep exactly the content blocks — the oracle never
+    sees HTML. Pure codegen column algebra, zero shuffle, zero Python.
+    The page is let-bound once via the array/transform idiom (NOTES fact
+    #1) so the render isn't re-evaluated per consumer. See
+    functions/extract.py."""
+    from crawler_spark.functions.extract import (
+        main_content_col, n_content_blocks_col, render_page_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    page = render_page_col(words, F.col("source"))
+    stats = F.element_at(
+        F.transform(F.array(page), lambda p: F.struct(
+            n_content_blocks_col(p).cast("int").alias("n_blocks"),
+            F.md5(main_content_col(p)).alias("content_md5"))), 1)
+    return d.select("doc_id",
+                    stats.getField("n_blocks").alias("n_blocks"),
+                    stats.getField("content_md5").alias("content_md5"))

@@ -128,3 +128,27 @@ def test_end_to_end_rank_then_recrawl_ordering(spark, small_cfg):
     # same admissible web => same seen set; only ordering shifts
     assert {r["url_canon"] for r in run2.seen.collect()} == \
            {r["url_canon"] for r in run.seen.collect()}
+
+
+def test_hop_distance_bfs_semantics(spark):
+    """g5: shortest-path hops on a constructed graph — branch, diamond
+    (min over paths), cycle, unreachable node, multi-seed min, hop cap."""
+    from crawler_spark.operators.hostrank import hop_distance
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),     # chain a->b->c->d
+         ("a", "c"),                              # diamond: c at 1, not 2
+         ("d", "a"),                              # cycle back
+         ("s2", "d"),                             # second seed shortcut
+         ("x", "y")],                             # island (unreached)
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("s2",)], "host string")
+    got = {r.host: r.hops for r in hop_distance(edges, seeds).collect()}
+    assert got == {"a": 0, "s2": 0, "b": 1, "c": 1, "d": 1}
+    # hop cap truncates: chain u0->u1->u2->u3 capped at 2
+    chain = spark.createDataFrame(
+        [("u0", "u1"), ("u1", "u2"), ("u2", "u3")], "src string, dst string")
+    got2 = {r.host: r.hops for r in
+            hop_distance(chain,
+                         spark.createDataFrame([("u0",)], "host string"),
+                         max_hops=2).collect()}
+    assert got2 == {"u0": 0, "u1": 1, "u2": 2}

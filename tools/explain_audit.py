@@ -127,6 +127,15 @@ CHECKS = {
     # DESIGN (the surface under test); render side is pure JVM — forbid
     # row-at-a-time Python
     "wc1_warc_roundtrip": (["MapInPandas"], ["BatchEvalPython"]),
+    # BFS hop distance: iterative plan cut per hop (localCheckpoint) — the
+    # returned frame IS the final checkpoint (a plain RDD scan, like
+    # g4_hits); the per-hop expand/anti-join shape is audited by j1.
+    # Forbid Python/cartesian in whatever fragment remains.
+    "g5_hop_distance": ([], ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct"]),
+    # boilerplate strip: pure per-row HOF algebra — NO exchange, NO Python
+    "ex1_boilerplate_strip": ([], ["Exchange", "BatchEvalPython",
+                                   "ArrowEvalPython"]),
 }
 
 
