@@ -1,0 +1,98 @@
+"""Temporal/interval join operators Spark's optimizer has no native form
+for: as-of join (j6) and banded range join (j7).
+
+Both are the canonical crawl-metadata joins:
+
+* as-of — attach the policy/config/robots version that was IN FORCE when
+  each fetch happened (most recent dim version with valid_from <= t).
+  Naive SQL is a correlated top-1-per-row; Spark's join operators can
+  only express it as an inequality join (BroadcastNestedLoop) plus a
+  window — O(n·m) pairs. The union-and-window formulation here is O(n+m)
+  with ONE shuffle and no join node at all.
+* range join — attach every [lo, hi) band a value falls in (rate tiers,
+  size classes, IP ranges). A plain inequality join is a cartesian; the
+  bucket-expansion trick turns it into an equi-join on floor(val/width)
+  with a residual filter — the standard banded range-join rewrite (the
+  optimization Databricks' range-join hints and DuckDB's IEJoin serve).
+
+Both have exact ANSI twins the driver gates (DuckDB ASOF JOIN / an
+inequality join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              left_ts: str, right_ts: str) -> DataFrame:
+    """Left as-of join: every `left` row gains the `right` row's payload
+    columns from the most recent `right_ts` <= `left_ts` within its key
+    group (ties at equal timestamps match, i.e. `>=` semantics); left rows
+    before any version keep nulls. `right_ts` itself is emitted as the
+    matched version timestamp.
+
+    Union-and-window: tag both sides, union by key, sort each key group by
+    (t, side) with right rows first at equal t, and forward-fill the right
+    payload with last(ignorenulls). Requires (on, right_ts) unique in
+    `right` (assert-checked semantics: the latest fill wins regardless).
+
+    Scale shape: ONE hash-partition exchange on the key (the window), no
+    join operator, no pair blow-up — both inputs stream through in key
+    order. Skewed keys shard exactly like any window; at 10^10 events the
+    dim side is negligible and the sort is the per-key event sort the
+    pipeline usually already has.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rvals = [c for c in right.columns if c not in (*keys, right_ts)]
+    lonly = [c for c in left.columns if c not in keys]
+    l2 = left.select(
+        *keys, *lonly, F.col(left_ts).alias("_t"), F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in rvals],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_vt"))
+    r2 = right.select(
+        *keys,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lonly],
+        F.col(right_ts).alias("_t"), F.lit(0).alias("_side"),
+        *rvals, F.col(right_ts).alias("_vt"))
+    w = (Window.partitionBy(*keys).orderBy("_t", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = l2.unionByName(r2).select(
+        *keys, *lonly, "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rvals],
+        F.last("_vt", ignorenulls=True).over(w).alias(right_ts))
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def range_join(facts: DataFrame, bands: DataFrame, val_col: str,
+               lo_col: str, hi_col: str, bucket_width: float,
+               broadcast_bands: bool = True) -> DataFrame:
+    """Interval join: every (fact, band) pair with
+    lo <= val < hi (half-open), WITHOUT a cartesian/nested-loop plan.
+
+    Each band row is exploded to the integer buckets its interval covers
+    (floor(lo/w) .. ceil(hi/w)-1 — the last bucket any value < hi can
+    occupy), facts compute their single bucket map-side, and the match is
+    an EQUI-join on bucket plus the exact residual predicate. Empty bands
+    (hi <= lo) are dropped before the sequence guard against Spark's
+    descending-sequence surprise.
+
+    Cost: |bands| × (interval/width) expanded rows — pick `bucket_width`
+    near the median band width so expansion stays O(|bands|). With
+    `broadcast_bands` (the 100-TB default: band dims are small) facts
+    never shuffle; otherwise it is one exchange per side on bucket.
+    """
+    wdt = float(bucket_width)
+    b = (bands.where(F.col(hi_col) > F.col(lo_col))
+         .withColumn("_bkt", F.explode(F.sequence(
+             F.floor(F.col(lo_col) / wdt).cast("long"),
+             (F.ceil(F.col(hi_col) / wdt) - 1).cast("long")))))
+    if broadcast_bands:
+        b = F.broadcast(b)
+    f = facts.withColumn("_bkt", F.floor(F.col(val_col) / wdt).cast("long"))
+    return (f.join(b, "_bkt")
+            .where((F.col(val_col) >= F.col(lo_col))
+                   & (F.col(val_col) < F.col(hi_col)))
+            .drop("_bkt"))

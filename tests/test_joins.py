@@ -1,0 +1,99 @@
+"""As-of and banded range joins (operators/joins.py, j6/j7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.joins import asof_join, range_join
+
+
+def test_asof_semantics(spark):
+    """>= tie matches, pre-first-version nulls, latest-version fill."""
+    left = spark.createDataFrame(
+        [(1, "k1", 4), (2, "k1", 5), (3, "k1", 9), (4, "k1", 100),
+         (5, "k2", 50)],
+        "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("k1", 5, "a"), ("k1", 9, "b"), ("k3", 1, "z")],
+        "k string, v_from long, v string")
+    got = {r.event_id: (r.v, r.v_from)
+           for r in asof_join(left, right, "k", "t", "v_from").collect()}
+    assert got == {
+        1: (None, None),      # before any version
+        2: ("a", 5),          # tie: t == v_from matches
+        3: ("b", 9),          # newer version supersedes
+        4: ("b", 9),
+        5: (None, None),      # key with no versions at all
+    }
+
+
+def test_asof_equals_naive_inequality_topk(spark):
+    """Union-and-window == the naive inequality-join + row_number oracle
+    on a deterministic mixed fixture."""
+    left = spark.createDataFrame(
+        [(i, f"k{i % 7}", (i * 13) % 50) for i in range(200)],
+        "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [(f"k{j % 7}", j * 3 + (j % 7), f"v{j}") for j in range(20)],
+        "k string, v_from long, v string")
+    got = asof_join(left, right, "k", "t", "v_from") \
+        .select("event_id", "v", "v_from")
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_id").orderBy(F.desc("v_from"))
+    naive = (left.join(right, "k", "left")
+             .where(F.col("v_from").isNull() | (F.col("t") >= F.col("v_from")))
+             .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+             .select("event_id", "v", "v_from"))
+    # left rows whose only join partners were filtered out vanish from the
+    # naive inner-ish form; re-add them as null matches
+    missing = left.join(naive.select("event_id"), "event_id", "left_anti") \
+        .select("event_id", F.lit(None).cast("string").alias("v"),
+                F.lit(None).cast("long").alias("v_from"))
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, naive.unionByName(missing).collect()))
+
+
+def test_range_join_equals_naive_and_boundaries(spark):
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [0.0, 9.99, 10.0, 15.5, 29.9, 30.0, 55.0, 100.0])],
+        "fid long, value double")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 30.0), (2, 5.0, 55.0),
+         (3, 55.0, 55.0),                       # empty band: dropped
+         (4, 90.0, 200.0)],
+        "band_id int, lo double, hi double")
+    for width in (4.0, 10.0, 64.0):              # result width-independent
+        got = sorted((r.fid, r.band_id) for r in
+                     range_join(facts, bands, "value", "lo", "hi",
+                                width).collect())
+        naive = sorted((r.fid, r.band_id) for r in
+                       facts.crossJoin(bands)
+                       .where((F.col("value") >= F.col("lo"))
+                              & (F.col("value") < F.col("hi"))).collect())
+        assert got == naive
+    # explicit boundary reading: lo inclusive, hi exclusive
+    pairs = dict()
+    for fid, band_id in naive:
+        pairs.setdefault(fid, set()).add(band_id)
+    assert pairs[0] == {0}            # 0.0: in [0,10) only
+    assert pairs[2] == {1, 2}         # 10.0: excluded from [0,10)
+    assert 6 not in pairs             # 55.0: excluded from [5,55), hi-side
+    assert 3 not in {b for s in pairs.values() for b in s}  # empty band
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    facts = spark.range(100).select(
+        F.col("id").alias("fid"), (F.col("id") % 37).cast("double")
+        .alias("value"))
+    bands = spark.createDataFrame([(0, 0.0, 20.0), (1, 10.0, 37.0)],
+                                  "band_id int, lo double, hi double")
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        range_join(facts, bands, "value", "lo", "hi", 8.0) \
+            .explain("formatted")
+    txt = buf.getvalue()
+    assert "BroadcastHashJoin" in txt
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt

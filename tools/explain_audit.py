@@ -136,6 +136,18 @@ CHECKS = {
     # boilerplate strip: pure per-row HOF algebra — NO exchange, NO Python
     "ex1_boilerplate_strip": ([], ["Exchange", "BatchEvalPython",
                                    "ArrowEvalPython"]),
+    # as-of join: union-and-window — there must be NO join operator of any
+    # kind in the plan (the whole point: no inequality pair blow-up)
+    "j6_asof_join": (["Window", "Union"],
+                     ["SortMergeJoin", "BroadcastHashJoin",
+                      "BroadcastNestedLoopJoin", "CartesianProduct",
+                      "BatchEvalPython", "ArrowEvalPython"]),
+    # range join: bucket expansion must yield a broadcast EQUI-join —
+    # never the nested-loop/cartesian a plain inequality join plans
+    "j7_range_join": (["BroadcastHashJoin"],
+                      ["BroadcastNestedLoopJoin", "CartesianProduct",
+                       "SortMergeJoin", "BatchEvalPython",
+                       "ArrowEvalPython"]),
 }
 
 
