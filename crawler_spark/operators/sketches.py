@@ -1,0 +1,46 @@
+"""Deterministic mergeable sketches (ks1): KMV distinct-count estimation.
+
+Production Spark estimates distinct counts with HyperLogLog++
+(`approx_count_distinct`) — but HLL register layouts differ across
+engines, so it can never sit under a cross-engine hash gate. The
+K-Minimum-Values sketch (Bar-Yossef et al. 2002; the ThetaSketch
+ancestor) has the same mergeable-minima structure and IS exactly
+reproducible from any fixed hash: keep the k smallest distinct 32-bit
+hash values; if fewer than k exist the count is exact, else estimate
+(k-1) * 2^32 / h_(k) from the k-th minimum.
+
+Scale shape: the distinct() is a partial-agged shuffle (map-side combine
+absorbs duplicate keys); the per-group k-th order statistic is a window
+over DISTINCT hashes only. At 10^10 distinct keys per group, replace the
+window with per-partition partial k-minima folded by a second tiny agg —
+same algebra (minima of minima), one fewer sort; the window form here is
+the oracle-checkable reference semantics. Estimation error ~ 1/sqrt(k-2)
+relative (k=64 -> ~13%), visible in the ks1 fixture output next to the
+exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def kmv_distinct(df: DataFrame, group_cols: list[str], key: Column,
+                 k: int = 64) -> DataFrame:
+    """Per group: (n_exact BIGINT, kmv_est DOUBLE round 4) distinct-count
+    of `key` — exact when the group has < k distinct keys, else the KMV
+    estimate from the k-th smallest md5-derived 32-bit hash. The same
+    content-stable hash family as hash_split/weighted_sample, so the
+    sketch is reproducible across runs, engines, and partitionings."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+         .cast("long")
+    d = df.select(*group_cols, h.alias("_h")).distinct()
+    w_rk = Window.partitionBy(*group_cols).orderBy("_h")
+    r = d.withColumn("_rk", F.row_number().over(w_rk))
+    agg = (r.groupBy(*group_cols)
+           .agg(F.count("*").alias("n_exact"),
+                F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk")))
+    est = (F.when(F.col("n_exact") < k,
+                  F.col("n_exact").cast("double"))
+           .otherwise(F.round(F.lit(float(k - 1)) * F.lit(4294967296.0)
+                              / F.col("_hk"), 4)))
+    return agg.select(*group_cols, "n_exact", est.alias("kmv_est"))

@@ -2403,3 +2403,71 @@ def j7_range_join(spark, sf_dir):
     out = range_join(e, bands, "value", "lo", "hi", bucket_width=32.0)
     return out.select("event_id", F.col("band_id").cast("int"),
                       F.round("value", 2).alias("value"))
+
+
+@q("ks1_kmv_distinct", """
+WITH h AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                    AS h32
+           FROM events GROUP BY 1, 2),
+r AS (SELECT day_id, h32,
+             row_number() OVER (PARTITION BY day_id ORDER BY h32) AS rk
+      FROM h),
+a AS (SELECT day_id, CAST(count(*) AS BIGINT) AS n_exact,
+             max(CASE WHEN rk = 64 THEN h32 END) AS hk
+      FROM r GROUP BY 1)
+SELECT day_id, n_exact,
+       CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+            ELSE round(63.0 * 4294967296.0 / hk, 4) END AS kmv_est
+FROM a
+""")
+def ks1_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (k=64) of daily active users — the
+    oracle-checkable stand-in for approx_count_distinct's HLL (whose
+    register layout can never cross engines). Exact count printed next to
+    the estimate so the fixture shows the sketch actually estimating.
+    See operators/sketches.kmv_distinct."""
+    from crawler_spark.operators.sketches import kmv_distinct
+    e = _t(spark, sf_dir, "events")
+    d = e.select(F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+                 .alias("day_id"), "user_id")
+    return kmv_distinct(d, ["day_id"], F.col("user_id"), k=64)
+
+
+@q("st5_hypertable_rollup", """
+WITH x AS (SELECT event_type,
+                  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+                  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+                  value
+           FROM events)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(day_start, -1) AS day_start,
+       COALESCE(hour_start, -1) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM x GROUP BY ROLLUP(event_type, day_start, hour_start)
+""")
+def st5_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (the brief's named example):
+    the SAME metric materialized at every granularity of the
+    type -> day -> hour hierarchy in ONE pass — GROUP BY ROLLUP plans a
+    single Expand + partial/final agg (one shuffle total), not three
+    scans. This is how per-hour, per-day and all-time crawl metrics
+    coexist at 100 TB without re-reading the events."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("long")
+         .alias("day_start"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long")
+         .alias("hour_start"),
+        "value")
+    return (x.rollup("event_type", "day_start", "hour_start")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.coalesce(F.col("event_type"), F.lit("(all)"))
+                     .alias("event_type"),
+                    F.coalesce(F.col("day_start"), F.lit(-1)).cast("long")
+                     .alias("day_start"),
+                    F.coalesce(F.col("hour_start"), F.lit(-1)).cast("long")
+                     .alias("hour_start"),
+                    "n", "sum_value"))

@@ -148,6 +148,14 @@ CHECKS = {
                       ["BroadcastNestedLoopJoin", "CartesianProduct",
                        "SortMergeJoin", "BatchEvalPython",
                        "ArrowEvalPython"]),
+    # hypertable rollup: all three granularities in ONE pass — a single
+    # Expand feeding partial/final aggs, never three scans
+    "st5_hypertable_rollup": (["Expand", "partial_count"],
+                              ["BatchEvalPython", "ArrowEvalPython"]),
+    # KMV sketch: distinct is partial-agged; no Python anywhere
+    "ks1_kmv_distinct": (["HashAggregate"],
+                         ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct"]),
 }
 
 
