@@ -2471,3 +2471,43 @@ def st5_hypertable_rollup(spark, sf_dir):
                     F.coalesce(F.col("hour_start"), F.lit(-1)).cast("long")
                      .alias("hour_start"),
                     "n", "sum_value"))
+
+
+@q("g6_redirect_resolve", """
+WITH RECURSIVE e AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+         CASE WHEN doc_id % 40 = 3 THEN 'u' || CAST(doc_id - 3 AS VARCHAR)
+              ELSE 'u' || CAST(doc_id + 1 AS VARCHAR) END AS dst
+  FROM documents WHERE doc_id % 4 <> 3 OR doc_id % 40 = 3),
+walk AS (
+  SELECT src AS start, dst AS cur, 1 AS hops FROM e
+  UNION ALL
+  SELECT walk.start, e.dst, walk.hops + 1
+  FROM walk JOIN e ON e.src = walk.cur WHERE walk.hops < 16),
+fin AS (SELECT start, cur, hops,
+               row_number() OVER (PARTITION BY start ORDER BY hops DESC)
+                 AS rk
+        FROM walk)
+SELECT start AS src, cur AS final, CAST(hops AS INT) AS hops,
+       CAST(CASE WHEN cur IN (SELECT src FROM e) THEN 0 ELSE 1 END AS INT)
+         AS resolved
+FROM fin WHERE rk = 1
+""")
+def g6_redirect_resolve(spark, sf_dir):
+    """3xx redirect-chain resolution by pointer doubling (Wyllie list
+    ranking): final landing URL + hop count for every redirect source,
+    loops surfaced as resolved=0 at the 16-hop fetcher cap instead of
+    chased forever. Deterministic fixture: length<=3 chains plus a 4-cycle
+    every 10th group. Four self-joins at edge cardinality replace up to 16
+    sequential joins — the O(log L) shape that survives 10^10-edge redirect
+    graphs. Oracle: recursive walk capped at 16 hops, max-hop row per
+    start. See operators/hostrank.resolve_redirects."""
+    from crawler_spark.operators.hostrank import resolve_redirects
+    d = _t(spark, sf_dir, "documents")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    edges = (d.where((F.col("doc_id") % 4 != 3) | (F.col("doc_id") % 40 == 3))
+             .select(u(F.col("doc_id")).alias("src"),
+                     u(F.when(F.col("doc_id") % 40 == 3,
+                              F.col("doc_id") - 3)
+                       .otherwise(F.col("doc_id") + 1)).alias("dst")))
+    return resolve_redirects(edges, rounds=4)

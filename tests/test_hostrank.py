@@ -152,3 +152,29 @@ def test_hop_distance_bfs_semantics(spark):
                          spark.createDataFrame([("u0",)], "host string"),
                          max_hops=2).collect()}
     assert got2 == {"u0": 0, "u1": 1, "u2": 2}
+
+
+def test_resolve_redirects_pointer_doubling(spark):
+    """g6: terminal chains resolve with exact hop counts; loops cap at
+    2^rounds unresolved; doubling == sequential chase."""
+    from crawler_spark.operators.hostrank import resolve_redirects
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),          # chain -> terminal d
+         ("p", "q"), ("q", "p"),                       # 2-cycle
+         ("lone", "end")],
+        "src string, dst string")
+    got = {r.src: (r.final, r.hops, r.resolved)
+           for r in resolve_redirects(edges, rounds=4).collect()}
+    assert got["a"] == ("d", 3, 1)
+    assert got["b"] == ("d", 2, 1)
+    assert got["c"] == ("d", 1, 1)
+    assert got["lone"] == ("end", 1, 1)
+    # 2-cycle: 16 hops lands back where it started, unresolved
+    assert got["p"] == ("p", 16, 0)
+    assert got["q"] == ("q", 16, 0)
+    # a 17-node chain is NOT settled by 4 rounds (cap semantics)
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(20)], "src string, dst string")
+    r0 = {r.src: r for r in resolve_redirects(chain, rounds=4).collect()}
+    assert (r0["n0"].final, r0["n0"].hops, r0["n0"].resolved) == ("n16", 16, 0)
+    assert r0["n10"].resolved == 1 and r0["n10"].final == "n20"

@@ -156,6 +156,11 @@ CHECKS = {
     "ks1_kmv_distinct": (["HashAggregate"],
                          ["BatchEvalPython", "ArrowEvalPython",
                           "CartesianProduct"]),
+    # redirect resolution: per-round checkpoints leave the final round's
+    # self-join + the terminal-marker join; both at edge cardinality —
+    # forbid Python/cartesian
+    "g6_redirect_resolve": ([], ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct"]),
 }
 
 
