@@ -145,8 +145,14 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Pass max_df=None for exhaustive candidates (exact all-pairs recall —
     quadratic on hot shingles, never safe as a direct method at scale).
     """
+    # Checkpoint the shingle projection: it feeds the candidate explode AND
+    # both verify joins, and Catalyst re-derives map projections per branch
+    # (NOTES fact #1) — one shingle pass instead of three. At 10^12-doc
+    # scale, prune docs to the candidate id set with a semi-join before the
+    # verify recompute instead of materializing every array.
     sh = docs.select(F.col(id_col).alias("doc_id"),
-                     shingles_col(F.col(text_col), shingle_n).alias("sh"))
+                     shingles_col(F.col(text_col), shingle_n).alias("sh")) \
+             .localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     # groupBy(shingle) + in-bucket pair generation == the ex⋈ex self-join on
     # shingle, but evaluates the shingle expression once and shuffles once.
