@@ -1,7 +1,8 @@
 """Temporal/interval join operators Spark's optimizer has no native form
-for: as-of join (j6) and banded range join (j7).
+for: as-of join (j6), banded range join (j7), and per-key time-window
+correlation join (j8).
 
-Both are the canonical crawl-metadata joins:
+These are the canonical crawl-metadata joins:
 
 * as-of — attach the policy/config/robots version that was IN FORCE when
   each fetch happened (most recent dim version with valid_from <= t).
@@ -95,4 +96,33 @@ def range_join(facts: DataFrame, bands: DataFrame, val_col: str,
     return (f.join(b, "_bkt")
             .where((F.col(val_col) >= F.col(lo_col))
                    & (F.col(val_col) < F.col(hi_col)))
+            .drop("_bkt"))
+
+
+def time_window_join(left: DataFrame, right: DataFrame, on: str | list[str],
+                     left_ts: str, right_ts: str,
+                     lag_max: float) -> DataFrame:
+    """Per-key temporal correlation join: every (left, right) pair sharing
+    the key with 0 <= left_ts - right_ts < lag_max — "which right events
+    immediately preceded this left event". The streaming stream-stream
+    join's batch twin, and per-key the same trap as j7: a plain inequality
+    join is a per-key cartesian (quadratic on hot keys).
+
+    Bucketization: with bucket width = lag_max, a qualifying pair's
+    buckets differ by 0 or 1, so the right side is exploded to
+    {b, b+1} and the match becomes an EQUI-join on (key, bucket) plus the
+    exact residual predicate; each pair matches in exactly one bucket
+    variant (no dedup needed). Cost: 2x right rows shuffled, pairs
+    generated only within lag-adjacent buckets — O(matches), not
+    O(per-key n²).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = float(lag_max)
+    r = right.withColumn("_bkt", F.explode(F.array(
+        F.floor(F.col(right_ts) / w).cast("long"),
+        (F.floor(F.col(right_ts) / w) + 1).cast("long"))))
+    l2 = left.withColumn("_bkt", F.floor(F.col(left_ts) / w).cast("long"))
+    return (l2.join(r, [*keys, "_bkt"])
+            .where((F.col(left_ts) >= F.col(right_ts))
+                   & (F.col(left_ts) - F.col(right_ts) < w))
             .drop("_bkt"))

@@ -44,3 +44,39 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], key: Column,
            .otherwise(F.round(F.lit(float(k - 1)) * F.lit(4294967296.0)
                               / F.col("_hk"), 4)))
     return agg.select(*group_cols, "n_exact", est.alias("kmv_est"))
+
+
+def count_min(df: DataFrame, key: Column, depth: int = 4,
+              width: int = 64) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) with
+    content-stable hash rows: estimate each key's frequency as
+    min over d rows of its bucket's total count. Always an OVERestimate
+    (collisions only add); error <= 2N/width with prob 1-2^-depth. The
+    mergeable frequency companion to `kmv_distinct`'s cardinality sketch —
+    bucket tables from different partitions/days ADD cell-wise.
+
+    Returns (key, n_exact BIGINT, cm_est BIGINT): exact printed next to
+    the estimate so fixtures show the sketch overcounting.
+
+    Scale shape: the sketch table is ONE partial-agg shuffle at
+    depth*width cells (tiny, broadcastable); the per-key estimate is a
+    broadcast join of keys against their d cells + a min-rollup. The
+    corpus never carries more than its (key, row, bucket) projection."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    ks = key.cast("string")
+    # bucket derives from the projected _k so it composes after any select
+    bkt = (F.conv(F.substring(F.md5(F.concat(F.col("j").cast("string"),
+                                             F.lit("/"), F.col("_k"))),
+                              1, 8), 16, 10).cast("long") % width)
+    cells = (df.select(ks.alias("_k"), rows)
+             .select("_k", "j", bkt.alias("b"))
+             .groupBy("j", "b").agg(F.count("*").alias("c")))
+    keys = df.select(ks.alias("_k")).distinct() \
+             .select("_k", rows).select("_k", "j", bkt.alias("b"))
+    est = (keys.join(F.broadcast(cells), ["j", "b"])
+           .groupBy("_k").agg(F.min("c").alias("cm_est")))
+    exact = df.select(ks.alias("_k")).groupBy("_k") \
+              .agg(F.count("*").alias("n_exact"))
+    return (exact.join(est, "_k")
+            .select(F.col("_k").alias("key"), "n_exact",
+                    F.col("cm_est").cast("long").alias("cm_est")))

@@ -2511,3 +2511,70 @@ def g6_redirect_resolve(spark, sf_dir):
                               F.col("doc_id") - 3)
                        .otherwise(F.col("doc_id") + 1)).alias("dst")))
     return resolve_redirects(edges, rounds=4)
+
+
+@q("j8_time_window_join", """
+WITH x AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  event_type
+           FROM events),
+e AS (SELECT event_id, user_id, t FROM x WHERE event_type = 'error'),
+c AS (SELECT user_id, t AS ct FROM x WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.t,
+       CAST(count(c.ct) AS BIGINT) AS n_prior_clicks
+FROM e LEFT JOIN c
+  ON c.user_id = e.user_id AND e.t >= c.ct AND e.t - c.ct < 300
+GROUP BY 1, 2, 3
+""")
+def j8_time_window_join(spark, sf_dir):
+    """Per-key temporal correlation (stream-stream join's batch twin): for
+    every error event, how many clicks the same user made in the preceding
+    5 minutes. Engine side buckets time at the lag width and explodes the
+    right side to {b, b+1}, turning the per-key inequality cartesian into
+    an equi-join on (user, bucket) + residual — O(matches), not O(n² per
+    hot user). Oracle is the plain inequality join. See
+    operators/joins.time_window_join."""
+    from crawler_spark.operators.joins import time_window_join
+    x = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"))
+    errors = x.where(F.col("event_type") == "error") \
+              .select("event_id", "user_id", "t")
+    clicks = x.where(F.col("event_type") == "click") \
+              .select("user_id", F.col("t").alias("ct"))
+    m = time_window_join(errors, clicks, on="user_id",
+                         left_ts="t", right_ts="ct", lag_max=300)
+    cnt = m.groupBy("event_id").agg(F.count("*").alias("n"))
+    return (errors.join(cnt, "event_id", "left")
+            .select("event_id", "user_id", "t",
+                    F.coalesce("n", F.lit(0)).cast("long")
+                     .alias("n_prior_clicks")))
+
+
+@q("ks2_countmin", """
+WITH k AS (SELECT CAST(user_id AS VARCHAR) AS _k FROM events),
+cells AS (SELECT j,
+                 ('0x' || substr(md5(CAST(j AS VARCHAR) || '/' || _k), 1, 8))
+                   ::BIGINT % 64 AS b,
+                 count(*) AS c
+          FROM k, range(0, 4) t(j) GROUP BY 1, 2),
+keys AS (SELECT DISTINCT _k FROM k),
+kb AS (SELECT _k, j,
+              ('0x' || substr(md5(CAST(j AS VARCHAR) || '/' || _k), 1, 8))
+                ::BIGINT % 64 AS b
+       FROM keys, range(0, 4) t(j)),
+est AS (SELECT _k, min(c) AS cm_est FROM kb JOIN cells USING (j, b)
+        GROUP BY 1),
+exact AS (SELECT _k, CAST(count(*) AS BIGINT) AS n_exact FROM k GROUP BY 1)
+SELECT exact._k AS key, n_exact, CAST(cm_est AS BIGINT) AS cm_est
+FROM exact JOIN est USING (_k)
+""")
+def ks2_countmin(spark, sf_dir):
+    """Count-Min frequency sketch (depth 4 x width 64) of per-user event
+    counts — the mergeable overestimating frequency companion to ks1's
+    KMV cardinality sketch, exactly reproducible across engines from the
+    md5 hash rows. 150 users into 64 buckets collide by construction, so
+    the fixture shows cm_est >= n_exact with real overcounts. See
+    operators/sketches.count_min."""
+    from crawler_spark.operators.sketches import count_min
+    e = _t(spark, sf_dir, "events")
+    return count_min(e, F.col("user_id"), depth=4, width=64)

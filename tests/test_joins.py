@@ -97,3 +97,29 @@ def test_range_join_plan_has_no_nested_loop(spark):
     txt = buf.getvalue()
     assert "BroadcastHashJoin" in txt
     assert "NestedLoop" not in txt and "CartesianProduct" not in txt
+
+
+def test_time_window_join_equals_naive_and_boundaries(spark):
+    from crawler_spark.operators.joins import time_window_join
+    left = spark.createDataFrame(
+        [(i, f"u{i % 3}", i * 97 % 1000) for i in range(60)],
+        "lid long, k string, t long")
+    right = spark.createDataFrame(
+        [(j, f"u{j % 3}", j * 53 % 1000) for j in range(80)],
+        "rid long, k string, rt long")
+    got = sorted((r.lid, r.rid) for r in
+                 time_window_join(left, right, "k", "t", "rt", 100)
+                 .collect())
+    naive = sorted((r.lid, r.rid) for r in
+                   left.join(right, "k")
+                   .where((F.col("t") >= F.col("rt"))
+                          & (F.col("t") - F.col("rt") < 100)).collect())
+    assert got == naive and len(got) > 0
+    # boundary: lag exactly == lag_max is EXCLUDED, 0 lag included
+    l2 = spark.createDataFrame([(1, "k", 1000)], "lid long, k string, t long")
+    r2 = spark.createDataFrame(
+        [(10, "k", 1000), (11, "k", 901), (12, "k", 900), (13, "k", 1001)],
+        "rid long, k string, rt long")
+    ids = sorted(r.rid for r in
+                 time_window_join(l2, r2, "k", "t", "rt", 100).collect())
+    assert ids == [10, 11]  # rt=900 is t-100 (excluded); rt=1001 is future

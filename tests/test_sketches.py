@@ -27,3 +27,27 @@ def test_kmv_partition_invariant(spark):
     a = kmv_distinct(df, ["g"], F.col("key")).first()
     b = kmv_distinct(df.repartition(17), ["g"], F.col("key")).first()
     assert (a.n_exact, a.kmv_est) == (b.n_exact, b.kmv_est)
+
+
+def test_countmin_overestimates_and_is_exact_when_wide(spark):
+    from crawler_spark.operators.sketches import count_min
+    rows = [(i % 150,) for i in range(6000)]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = count_min(df, F.col("user_id"), depth=4, width=64).collect()
+    assert len(got) == 150
+    assert all(r.cm_est >= r.n_exact for r in got)     # never undercounts
+    assert any(r.cm_est > r.n_exact for r in got)      # 150 keys, 64 buckets
+    # a very wide sketch should be exact for 150 keys (w=8192, d=4:
+    # collision odds in all 4 rows ~ (150/8192)^4 per key pair)
+    wide = count_min(df, F.col("user_id"), depth=4, width=8192).collect()
+    assert all(r.cm_est == r.n_exact for r in wide)
+
+
+def test_countmin_partition_invariant(spark):
+    from crawler_spark.operators.sketches import count_min
+    df = spark.createDataFrame([(i % 37,) for i in range(2000)],
+                               "user_id long")
+    a = sorted(map(tuple, count_min(df, F.col("user_id")).collect()))
+    b = sorted(map(tuple,
+                   count_min(df.repartition(13), F.col("user_id")).collect()))
+    assert a == b

@@ -161,6 +161,15 @@ CHECKS = {
     # forbid Python/cartesian
     "g6_redirect_resolve": ([], ["BatchEvalPython", "ArrowEvalPython",
                                  "CartesianProduct"]),
+    # time-window correlation: bucketized EQUI-join — the per-key
+    # inequality cartesian/nested-loop must never appear
+    "j8_time_window_join": ([], ["BroadcastNestedLoopJoin",
+                                 "CartesianProduct", "BatchEvalPython",
+                                 "ArrowEvalPython"]),
+    # Count-Min: tiny cell table broadcast back onto the key set
+    "ks2_countmin": (["BroadcastHashJoin", "HashAggregate"],
+                     ["CartesianProduct", "BatchEvalPython",
+                      "ArrowEvalPython"]),
 }
 
 
