@@ -221,3 +221,34 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .withColumn("_ek", ek)
             .orderBy("_ek").limit(k)
             .drop("_ek"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key: Column,
+                      frac: float) -> DataFrame:
+    """Exact-quota stratified sampling: ceil(frac * n_s) rows from every
+    stratum s, chosen by a content-stable md5 rank — the zero-variance
+    holdout/eval split (tx9's Bernoulli hash_split has binomial quota
+    noise; temperature_sampling reweights across strata; this one hits
+    each stratum's quota EXACTLY and reproducibly across runs, engines,
+    and partitionings).
+
+    Adds `_rk` (the 1-based within-stratum rank) so callers can take
+    nested subsamples (rank <= m for any m <= quota is itself the
+    m-quota sample — samples are monotone in frac).
+
+    Scale shape: one shuffle on the stratum key; the per-stratum sort is
+    at stratum cardinality. Strata here are language/source-grade keys
+    (dozens to thousands of groups) — for a HUGE stratum, swap the window
+    for the two-phase threshold trick used by token_budget_threshold:
+    find the quota-th smallest hash per stratum from per-partition
+    partial minima, then keep rows below it map-side."""
+    # hex md5 lexicographic order == numeric order (NOTES fact #3): rank
+    # by the hex string directly, no 64-bit integerization needed.
+    h = F.md5(F.concat(F.lit("strat/"), key.cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), key.asc())
+    n = Window.partitionBy(strata_col)
+    r = (df.withColumn("_rk", F.row_number().over(w).cast("long"))
+         .withColumn("_quota",
+                     F.ceil(F.lit(frac) * F.count("*").over(n))
+                     .cast("long")))
+    return r.where(F.col("_rk") <= F.col("_quota")).drop("_quota")

@@ -485,3 +485,50 @@ def cross_doc_repeats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
                      .alias("n_rep_windows"),
                     F.round(F.coalesce("n_rep", F.lit(0))
                             / F.col("n_windows"), 4).alias("rep_frac")))
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_n: int = 3,
+                      threshold: float = 0.8,
+                      max_df: int | None = 64) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (Broder's resemblance
+    companion): c(A in B) = |A∩B| / |A|. Jaccard (dd4) misses the
+    quote-inside-article / page-inside-mirror case — a 50-word doc fully
+    embedded in a 5000-word doc has Jaccard ~0.01 but containment 1.0,
+    and exactly that asymmetry is what leaks eval sets and duplicates
+    boilerplate-wrapped content into training corpora.
+
+    Same two-stage shape as ngram_jaccard_pairs (one candidate shuffle
+    with the max_df hot-shingle quadratic guard, then TRUE containment
+    over the UNFILTERED sets for candidate pairs only). Emits one row per
+    unordered pair with BOTH directions, kept when either side reaches
+    `threshold`: (doc_a, doc_b, c_ab, c_ba) where c_ab = |A∩B|/|A|."""
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     shingles_col(F.col(text_col), shingle_n).alias("sh")) \
+             .localCheckpoint(eager=False)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    buckets = (ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+               .where(F.size("ids") >= 2))
+    if max_df is not None:
+        buckets = buckets.where(F.size("ids") <= max_df)
+    pair_arr = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(F.least(x, y).alias("doc_a"),
+                               F.greatest(x, y).alias("doc_b")))))
+    cands = (buckets.select(F.explode(pair_arr).alias("p"))
+             .select(F.col("p.doc_a").alias("doc_a"),
+                     F.col("p.doc_b").alias("doc_b"))
+             .distinct())
+    inter = F.size(F.array_intersect("sha", "shb"))
+    j = (cands
+         .join(sh.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("sha")), "doc_a")
+         .join(sh.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("shb")), "doc_b")
+         .withColumn("c_ab", F.round(inter / F.size("sha"), 4))
+         .withColumn("c_ba", F.round(inter / F.size("shb"), 4))
+         .where((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
+         .select("doc_a", "doc_b", "c_ab", "c_ba"))
+    return j

@@ -2578,3 +2578,245 @@ def ks2_countmin(spark, sf_dir):
     from crawler_spark.operators.sketches import count_min
     e = _t(spark, sf_dir, "events")
     return count_min(e, F.col("user_id"), depth=4, width=64)
+
+
+@q("mm6_span_stats", """
+WITH spans AS (""" + _SPAN_SQL + """)
+SELECT doc_id,
+       len(spans)::BIGINT AS n_spans,
+       len(list_filter(spans, x -> x.kind = 'text'))::BIGINT AS n_text,
+       CAST(CASE WHEN len(spans) >= 2 THEN
+              len(list_filter(range(2, len(spans) + 1),
+                              i -> spans[i].kind <> spans[i-1].kind))
+            ELSE 0 END + 1 AS BIGINT) AS n_runs,
+       CAST(list_sum(list_transform(spans, x ->
+              CASE WHEN x.kind = 'text' THEN length(x.text) ELSE 0 END))
+            AS BIGINT) AS text_chars,
+       CAST(list_max(list_transform(spans, x -> x."offset")) AS BIGINT)
+         AS last_offset
+FROM spans
+""")
+def mm6_span_stats(spark, sf_dir):
+    """Interleaved span-sequence profiling (the px2 keep-gate's diagnostic
+    sibling): per document, span count, text-span count, the number of
+    maximal same-kind RUNS (the text<->media alternation structure
+    interleaved-pretraining curricula select on), total text characters,
+    and the last span offset. One let-bound struct fold over the span
+    array (NOTES fact #1: five sibling stats referencing the spans
+    projection directly would re-derive it five times) — adjacent-kind
+    boundaries come from an index filter over the ALREADY-EVALUATED lambda
+    array, so the whole row is zero-shuffle codegen algebra."""
+    s = _spans_df(spark, sf_dir)
+
+    def stats(sp):
+        n = F.size(sp)
+        boundaries = F.when(n >= 2, F.size(F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(sp, i).getField("kind")
+            != F.element_at(sp, i - 1).getField("kind")))).otherwise(F.lit(0))
+        text_len = F.transform(
+            sp, lambda x: F.when(x.kind == "text", F.length(x.text))
+                           .otherwise(F.lit(0)).cast("long"))
+        return F.struct(
+            n.cast("long").alias("n_spans"),
+            F.size(F.filter(sp, lambda x: x.kind == "text")).cast("long")
+             .alias("n_text"),
+            (boundaries + 1).cast("long").alias("n_runs"),
+            F.aggregate(text_len, F.lit(0).cast("long"),
+                        lambda a, x: a + x).alias("text_chars"),
+            F.array_max(F.transform(sp, lambda x: x.offset)).cast("long")
+             .alias("last_offset"))
+
+    st = F.element_at(F.transform(F.array(F.col("spans")), stats), 1)
+    return s.select(
+        "doc_id", st.getField("n_spans").alias("n_spans"),
+        st.getField("n_text").alias("n_text"),
+        st.getField("n_runs").alias("n_runs"),
+        st.getField("text_chars").alias("text_chars"),
+        st.getField("last_offset").alias("last_offset"))
+
+
+@q("mm7_media_dedup", """
+WITH spans AS (""" + _SPAN_SQL + """),
+m AS (SELECT doc_id, unnest(spans) AS s FROM spans)
+SELECT regexp_replace(s.media_ref, '/[0-9]+/m', '/m') AS asset,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM m WHERE s.kind = 'media' GROUP BY 1
+""")
+def mm7_media_dedup(spark, sf_dir):
+    """Media-asset dedup across interleaved documents: the crawler's
+    fetch-once rule for images/video (J1's anti-join analog at ASSET
+    granularity). media_refs normalize to their underlying asset key
+    (the per-doc path segment stripped — CDNs serve one object under
+    per-page URLs), then one partial-agged shuffle yields each asset's
+    reference count, citing-document count, and first-seen document (the
+    canonical fetch owner). At 100 TB the explode is map-side and the
+    groupBy carries only (asset) keys — no doc payload moves."""
+    s = _spans_df(spark, sf_dir)
+    m = (s.select("doc_id", F.explode("spans").alias("s"))
+         .where(F.col("s.kind") == "media")
+         .select("doc_id",
+                 F.regexp_replace(F.col("s.media_ref"), "/[0-9]+/m", "/m")
+                  .alias("asset")))
+    return (m.groupBy("asset")
+            .agg(F.count("*").cast("long").alias("n_refs"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+@q("ks3_exact_quantile", """
+WITH v AS (SELECT event_type, value AS _v, count(*) AS _c
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, _v, _c,
+             sum(_c) OVER (PARTITION BY event_type ORDER BY _v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+             sum(_c) OVER (PARTITION BY event_type) AS _n
+      FROM v)
+SELECT event_type, CAST(sum(_c) AS BIGINT) AS n,
+       round(min(CASE WHEN _cum >= ceil(CAST(0.5 AS DOUBLE) * _n)
+                 THEN _v END), 4) AS q_50,
+       round(min(CASE WHEN _cum >= ceil(CAST(0.9 AS DOUBLE) * _n)
+                 THEN _v END), 4) AS q_90,
+       round(min(CASE WHEN _cum >= ceil(CAST(0.99 AS DOUBLE) * _n)
+                 THEN _v END), 4) AS q_99
+FROM r GROUP BY event_type
+""")
+def ks3_exact_quantile(spark, sf_dir):
+    """Distributed EXACT per-type latency/value quantiles (p50/p90/p99) —
+    the oracle-checkable companion to approx_percentile, whose t-digest
+    state can never hash across engines. The plan compresses to DISTINCT
+    (type, value) pairs before any sort (map-side combine absorbs repeated
+    measurements), so the per-group window runs at distinct-value
+    cardinality. ceil(q*n) is evaluated in DOUBLE on both engines (a
+    DECIMAL literal would ceil differently on exact multiples). See
+    operators/sketches.exact_quantiles."""
+    from crawler_spark.operators.sketches import exact_quantiles
+    e = _t(spark, sf_dir, "events")
+    return exact_quantiles(e.select("event_type", "value"),
+                           ["event_type"], F.col("value"),
+                           qs=(0.5, 0.9, 0.99))
+
+
+_G7_HOSTS_SQL = ("(SELECT DISTINCT source AS src, "
+                 "CAST(substr(source, 4) AS INT) AS h FROM documents)")
+_G7_EDGES_SQL = f"""
+SELECT src, 'src' || CAST((h + 1) % 40 AS VARCHAR) AS dst FROM {_G7_HOSTS_SQL} hosts
+UNION ALL
+SELECT src, 'src' || CAST((h + 2) % 40 AS VARCHAR) FROM {_G7_HOSTS_SQL} hosts
+UNION ALL
+SELECT src, 'src' || CAST((h * 7 + 3) % 23 AS VARCHAR) FROM {_G7_HOSTS_SQL} hosts
+"""
+
+from crawler_spark.operators.hostrank import triangle_oracle_sql  # noqa: E402
+
+
+@q("g7_triangle_count", triangle_oracle_sql(_G7_EDGES_SQL))
+def g7_triangle_count(spark, sf_dir):
+    """Per-host triangle participation over the host link graph — the
+    clustering/cohesion signal behind link-farm and mirror-ring detection.
+    Engine side is the DEGREE-ORDERED oriented wedge join (out-degree
+    bounded by O(sqrt(m)) per node, so a Zipf hub can't go quadratic);
+    the oracle is the plain lexicographic a<b<c three-way join — the
+    triangle set is orientation-independent. Fixture graph: two chain
+    families (h->h+1, h->h+2 mod 40: one guaranteed triangle per host)
+    plus the g1 link family (h->7h+3 mod 23) for irregular closures.
+    See operators/hostrank.triangle_counts."""
+    from crawler_spark.operators.hostrank import triangle_counts
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("src"),
+                     F.substring("source", 4, 10).cast("int").alias("h")) \
+             .distinct()
+
+    def to_dst(e):
+        return F.concat(F.lit("src"), e.cast("string"))
+
+    edges = (hosts.select("src", to_dst((F.col("h") + 1) % 40).alias("dst"))
+             .unionAll(hosts.select(
+                 "src", to_dst((F.col("h") + 2) % 40).alias("dst")))
+             .unionAll(hosts.select(
+                 "src", to_dst((F.col("h") * 7 + 3) % 23).alias("dst"))))
+    return triangle_counts(edges)
+
+
+@q("px6_stratified_split", """
+WITH r AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                      ORDER BY md5('strat/' || CAST(doc_id AS VARCHAR)),
+                               doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS strat_rank
+FROM r WHERE rk <= CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)
+""")
+def px6_stratified_split(spark, sf_dir):
+    """Exact-quota stratified holdout: ceil(20%) of every language,
+    selected by content-stable md5 rank (hex order == numeric order,
+    NOTES fact #3) — zero quota variance, nested-monotone in the
+    fraction, reproducible across engines/partitionings. One shuffle on
+    the stratum key. See operators/sampling.stratified_sample."""
+    from crawler_spark.operators.sampling import stratified_sample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(d, "lang", F.col("doc_id"), 0.2)
+    return out.select("doc_id", "lang", F.col("_rk").alias("strat_rank"))
+
+
+@q("dd12_containment", """
+WITH sh AS (""" + _SHINGLE_SQL + """),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+fex AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s
+        WHERE df.df <= 64),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fex a JOIN fex b ON a.s = b.s AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sa.sh), 4)
+               AS c_ab,
+             round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(sb.sh), 4)
+               AS c_ba
+      FROM cands
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, c_ab, c_ba FROM v
+WHERE c_ab >= 0.8 OR c_ba >= 0.8
+""")
+def dd12_containment(spark, sf_dir):
+    """Asymmetric shingle CONTAINMENT dedup (|A∩B|/|A|): catches the
+    quote-inside-article / page-inside-mirror pairs Jaccard structurally
+    misses (a short doc fully embedded in a long one has Jaccard ~0 but
+    containment 1.0 — the exact shape of eval-set leaks and boilerplate-
+    wrapped duplication). Same two-stage scale shape as dd4: capped
+    candidate buckets, TRUE containment over unfiltered sets. See
+    operators/textdedup.containment_pairs."""
+    from crawler_spark.operators.textdedup import containment_pairs
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.8)
+
+
+@q("st6_late_data_policy", """
+WITH x AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events),
+r AS (SELECT event_id, t,
+             max(t) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm0
+      FROM x)
+SELECT event_id, t, COALESCE(wm0, t) AS wm,
+       (t < COALESCE(wm0, t) - 600) AS late
+FROM r
+""")
+def st6_late_data_policy(spark, sf_dir):
+    """The watermark admission rule itself, batch-inspectable: replay
+    events in arrival order (event_id) and flag exactly the rows a
+    withWatermark(ts, 10 min) stream would drop — event time more than
+    600s behind the running max already seen. Engine side is a
+    DISTRIBUTED PREFIX MAX (block-local cummax + n_blocks-row broadcast
+    offsets — px3's prefix-sum shape with max algebra), NOT the global
+    single-task window the oracle writes. See
+    streaming/windows.late_data_flags."""
+    from crawler_spark.streaming.windows import late_data_flags
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = late_data_flags(e, ts_col="ts", order_col="event_id",
+                          delay_sec=600)
+    return out.select("event_id", "t", "wm", "late")

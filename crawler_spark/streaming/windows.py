@@ -65,3 +65,48 @@ def dedup_within_watermark(events: DataFrame,
     the streaming form of the crawl's idempotent URL re-discovery handling."""
     return (_ts(events).withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
+
+
+def late_data_flags(events: DataFrame, ts_col: str = "ts",
+                    order_col: str = "event_id",
+                    delay_sec: int = 600,
+                    n_blocks: int = 32) -> DataFrame:
+    """Batch twin of the WATERMARK admission rule itself (st1-st4 use
+    watermarks; this op makes the drop decision inspectable): replay
+    events in arrival order (`order_col`) and flag each one late iff its
+    event time has fallen more than `delay_sec` behind the maximum event
+    time already seen — exactly the row set a `withWatermark(ts,
+    delay)` stream would silently drop, surfaced as a column for
+    monitoring and replay-vs-stream reconciliation.
+
+    Adds: t (epoch seconds), wm (the exclusive running max event time at
+    arrival, = own t for the first arrival), late (boolean).
+
+    Scale shape: the exclusive running maximum over arrival order is the
+    same global sequential dependency as sequence packing, and gets the
+    same cure — a distributed prefix MAX, not one global window task:
+    block-local exclusive cummax over range-partitioned arrival blocks,
+    plus an n_blocks-row broadcast table of exclusive block prefix
+    maxima. Identical output for any monotone blocking."""
+    from pyspark.sql import Window
+
+    t = F.unix_timestamp(F.col(ts_col)).cast("long")
+    blocked = (events.withColumn("_t", t)
+               .repartitionByRange(n_blocks, F.col(order_col))
+               .withColumn("_blk", F.spark_partition_id()))
+    w_loc = (Window.partitionBy("_blk").orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    local = blocked.withColumn("_lmax", F.max("_t").over(w_loc))
+    w_blk = (Window.orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (blocked.groupBy("_blk")
+               .agg(F.max("_t").alias("_bmax"))
+               .withColumn("_boff", F.max("_bmax").over(w_blk))
+               .select("_blk", "_boff"))
+    out = (local.join(F.broadcast(offsets), "_blk")
+           .withColumn("wm", F.coalesce(F.greatest("_lmax", "_boff"),
+                                        F.col("_lmax"), F.col("_boff"),
+                                        F.col("_t")).cast("long"))
+           .drop("_blk", "_lmax", "_boff"))
+    return (out.withColumn("late", F.col("_t") < F.col("wm") - delay_sec)
+            .withColumnRenamed("_t", "t"))
