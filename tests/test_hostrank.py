@@ -178,3 +178,41 @@ def test_resolve_redirects_pointer_doubling(spark):
     r0 = {r.src: r for r in resolve_redirects(chain, rounds=4).collect()}
     assert (r0["n0"].final, r0["n0"].hops, r0["n0"].resolved) == ("n16", 16, 0)
     assert r0["n10"].resolved == 1 and r0["n10"].final == "n20"
+
+
+def test_triangle_counts_goldens(spark):
+    """K4: 4 triangles, every vertex in 3. C5: none. Star: none. Directed
+    duplicates and self-loops are erased before counting."""
+    from crawler_spark.operators.hostrank import triangle_counts
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    k4 += [("b", "a"), ("a", "a")]  # reverse dup + self loop: no effect
+    got = {r.host: r.n_triangles for r in
+           triangle_counts(spark.createDataFrame(
+               k4, "src string, dst string")).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    c5 = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+          ("n4", "n0")]
+    assert triangle_counts(spark.createDataFrame(
+        c5, "src string, dst string")).count() == 0
+
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    assert triangle_counts(spark.createDataFrame(
+        star, "src string, dst string")).count() == 0
+
+
+def test_triangle_counts_orientation_invariance(spark):
+    """Relabeling nodes (which scrambles both the degree order and the
+    lexicographic order) must not change any per-node count."""
+    from crawler_spark.operators.hostrank import triangle_counts
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+             ("c", "e"), ("a", "e"), ("b", "e")]
+    base = {r.host: r.n_triangles for r in
+            triangle_counts(spark.createDataFrame(
+                edges, "src string, dst string")).collect()}
+    ren = {"a": "zz", "b": "yy", "c": "xx", "d": "ww", "e": "vv"}
+    flipped = [(ren[s], ren[d]) for s, d in edges]
+    got = {r.host: r.n_triangles for r in
+           triangle_counts(spark.createDataFrame(
+               flipped, "src string, dst string")).collect()}
+    assert got == {ren[k]: v for k, v in base.items()}

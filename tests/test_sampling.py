@@ -176,3 +176,34 @@ def test_temperature_alpha_one_is_natural(spark):
     rates = {r.lang: r.rate for r in
              kept.select("lang", "rate").distinct().collect()}
     assert rates == {"a": 0.5, "b": 0.5}
+
+
+def test_stratified_sample_exact_quota_and_nesting(spark):
+    """Every stratum yields EXACTLY ceil(frac*n) rows; a smaller fraction's
+    sample is a strict subset of a larger one's (rank monotonicity); the
+    selection is partitioning-invariant."""
+    import math
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.sampling import stratified_sample
+    sizes = {"en": 50, "de": 10, "fr": 1, "ja": 7}
+    rows, k = [], 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((k, lang)); k += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    s20 = stratified_sample(df, "lang", F.col("doc_id"), 0.2).collect()
+    per = {}
+    for r in s20:
+        per.setdefault(r.lang, set()).add(r.doc_id)
+    assert {g: len(v) for g, v in per.items()} == \
+           {g: math.ceil(0.2 * n) for g, n in sizes.items()}
+
+    s10 = stratified_sample(df, "lang", F.col("doc_id"), 0.1).collect()
+    small = {(r.lang, r.doc_id) for r in s10}
+    big = {(r.lang, r.doc_id) for r in s20}
+    assert small <= big  # nested-monotone in frac
+
+    rep = stratified_sample(df.repartition(13), "lang",
+                            F.col("doc_id"), 0.2).collect()
+    assert {(r.lang, r.doc_id) for r in rep} == big

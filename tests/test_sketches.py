@@ -51,3 +51,40 @@ def test_countmin_partition_invariant(spark):
     b = sorted(map(tuple,
                    count_min(df.repartition(13), F.col("user_id")).collect()))
     assert a == b
+
+
+def test_exact_quantiles_vs_reference(spark):
+    """Type-1 (lower) quantile: smallest v with running count >= ceil(q*n);
+    engine must match the sequential definition with heavy duplicates."""
+    import math
+    from crawler_spark.operators.sketches import exact_quantiles
+    vals = {"a": [float((i * 37) % 101) for i in range(500)],   # dup-heavy
+            "b": [float(i) / 7.0 for i in range(23)]}           # small odd n
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in
+           exact_quantiles(df, ["g"], F.col("v"),
+                           qs=(0.5, 0.9, 0.99)).collect()}
+
+    def ref(vs, q):
+        s = sorted(vs)
+        return round(s[math.ceil(q * len(s)) - 1], 4)
+
+    for g, vs in vals.items():
+        assert got[g].n == len(vs)
+        assert got[g].q_50 == ref(vs, 0.5)
+        assert got[g].q_90 == ref(vs, 0.9)
+        assert got[g].q_99 == ref(vs, 0.99)
+
+
+def test_exact_quantiles_ceil_boundary_and_partitioning(spark):
+    """Exact-multiple targets (q*n integral in decimal) follow the shared
+    DOUBLE arithmetic on both sides; result is partitioning-invariant."""
+    from crawler_spark.operators.sketches import exact_quantiles
+    rows = [("g", float(i)) for i in range(1, 11)]  # n=10: 0.5*n boundary
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = exact_quantiles(df, ["g"], F.col("v"), qs=(0.5,)).first()
+    assert r.q_50 == 5.0  # ceil(5.0) = 5 -> 5th smallest
+    r2 = exact_quantiles(df.repartition(7), ["g"], F.col("v"),
+                         qs=(0.5,)).first()
+    assert r2.q_50 == r.q_50

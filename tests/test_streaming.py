@@ -149,3 +149,40 @@ def test_stateful_host_totals_accumulate_across_batches(spark, small_cfg, tmp_pa
     from collections import Counter
     per_host_emissions = Counter(r["host"] for r in emitted)
     assert max(per_host_emissions.values()) > 1
+
+
+def test_late_data_flags_hand_fixture(spark):
+    """Watermark replay semantics: a row is late iff its event time is more
+    than delay behind the max event time of STRICTLY EARLIER arrivals; the
+    first arrival is never late (wm = own t)."""
+    from pyspark.sql import functions as F
+    from crawler_spark.streaming.windows import late_data_flags
+    arrivals = [(1, 100), (2, 50), (3, 800), (4, 900), (5, 190), (6, 950)]
+    df = spark.createDataFrame(arrivals, "event_id long, sec long") \
+              .select("event_id",
+                      F.timestamp_seconds("sec").alias("ts"))
+    got = {r.event_id: (r.t, r.wm, r.late)
+           for r in late_data_flags(df, delay_sec=600).collect()}
+    assert got[1] == (100, 100, False)   # first arrival: wm = own t
+    assert got[2] == (50, 100, False)    # behind, but within delay
+    assert got[3] == (800, 100, False)
+    assert got[4] == (900, 800, False)
+    assert got[5] == (190, 900, True)    # 190 < 900 - 600
+    assert got[6] == (950, 900, False)
+
+
+def test_late_data_flags_blocking_invariance(spark):
+    """The distributed prefix max must give the same answer for any block
+    count (1 block == the sequential global window)."""
+    from pyspark.sql import functions as F
+    from crawler_spark.streaming.windows import late_data_flags
+    rows = [(i, (i * 211) % 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, sec long") \
+              .select("event_id", F.timestamp_seconds("sec").alias("ts"))
+    one = sorted((r.event_id, r.t, r.wm, r.late)
+                 for r in late_data_flags(df, delay_sec=100,
+                                          n_blocks=1).collect())
+    many = sorted((r.event_id, r.t, r.wm, r.late)
+                  for r in late_data_flags(df.repartition(9), delay_sec=100,
+                                           n_blocks=16).collect())
+    assert one == many

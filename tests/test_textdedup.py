@@ -236,3 +236,30 @@ def test_cross_doc_repeats_short_doc_whole_window(spark):
     assert (got[2].n_windows, got[2].n_rep_windows) == (1, 1)
     assert (got[3].n_windows, got[3].n_rep_windows, got[3].rep_frac) \
         == (13, 0, 0.0)
+
+
+def test_containment_asymmetric_prefix_embedding(spark):
+    """A doc that is a strict prefix of a longer doc has c_ab = 1.0 (all of
+    A's shingles appear in B) while c_ba < 1 — the asymmetric pair Jaccard
+    misses; unrelated docs produce no pair."""
+    from crawler_spark.operators.textdedup import containment_pairs
+    a = " ".join(f"w{i}" for i in range(20))
+    b = a + " " + " ".join(f"x{i}" for i in range(40))
+    c = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.c_ab, r.c_ba)
+           for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert set(got) == {(1, 2)}
+    c_ab, c_ba = got[(1, 2)]
+    assert c_ab == 1.0          # A fully contained in B
+    assert c_ba < 0.5           # but B is mostly not A
+
+
+def test_containment_identical_docs_symmetric(spark):
+    from crawler_spark.operators.textdedup import containment_pairs
+    t = " ".join(f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string")
+    r = containment_pairs(docs, threshold=0.8).collect()
+    assert len(r) == 1 and r[0].c_ab == 1.0 and r[0].c_ba == 1.0

@@ -170,6 +170,44 @@ CHECKS = {
     "ks2_countmin": (["BroadcastHashJoin", "HashAggregate"],
                      ["CartesianProduct", "BatchEvalPython",
                       "ArrowEvalPython"]),
+    # --- round 3, closing additions ---
+    # span-sequence stats: ONE let-bound struct fold per row — no exchange,
+    # no Python of any kind
+    "mm6_span_stats": ([], ["Exchange", "BatchEvalPython",
+                            "ArrowEvalPython"]),
+    # media-asset dedup: map-side explode feeding partial+final aggs (the
+    # count-distinct plans its own Expand), keys-only shuffle
+    "mm7_media_dedup": (["HashAggregate"],
+                        ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct", "SortMergeJoin"]),
+    # exact quantiles: the distinct-value compression (partial_count) must
+    # precede the per-group window — the sort runs at distinct-value
+    # cardinality, never raw-row
+    "ks3_exact_quantile": (["HashAggregate", "partial_count", "Window"],
+                           ["BatchEvalPython", "ArrowEvalPython",
+                            "CartesianProduct"]),
+    # triangle counting: the (degree, id) rank table joins back as a
+    # BROADCAST; the wedge join may legitimately sort-merge (edge x edge)
+    # but never a cartesian/nested-loop
+    "g7_triangle_count": (["BroadcastHashJoin"],
+                          ["BroadcastNestedLoopJoin", "CartesianProduct",
+                           "BatchEvalPython", "ArrowEvalPython"]),
+    # stratified split: one hash exchange on the stratum key + window;
+    # never a global range sort
+    "px6_stratified_split": (["Window"],
+                             ["Exchange rangepartitioning",
+                              "BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"]),
+    # containment: dd4's two-stage shape — capped candidate buckets then
+    # verify joins; no Python, no cartesian
+    "dd12_containment": ([], ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"]),
+    # watermark replay: distributed prefix MAX (block windows + broadcast
+    # offsets) — same audit as px3: the broadcast join must be present,
+    # no corpus-wide single-partition window
+    "st6_late_data_policy": (["Window", "BroadcastHashJoin"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "SortMergeJoin"]),
 }
 
 

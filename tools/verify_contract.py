@@ -3,6 +3,12 @@ on Spark AND its oracle_sql() twin on DuckDB at sf0.01; compare row count,
 column names, and order-insensitive canonical values.
 
 Usage: python tools/verify_contract.py [--sf /root/testdata/sf0.01] [--only name]
+                                       [--json out.json]
+
+--json writes a driver-format snapshot ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}) — the committed evidence for
+registry entries the driver's own CORRECTNESS snapshot (capped at its row
+limit) does not reach.
 """
 
 from __future__ import annotations
@@ -42,6 +48,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     import duckdb
@@ -57,6 +64,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report = {}
     n_ran = 0
     for name, fn in qs.items():
         if args.only and args.only not in name:
@@ -69,9 +77,16 @@ def main():
             s_rows = sdf.collect()
         except Exception as e:
             failures.append(name)
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark {type(e).__name__}: {e}"[:300]}
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(s_rows),
+                            "oracle_rows": None, "err": "no_oracle"}
             print(f"ok   {name}: rows-only, {len(s_rows)} rows "
                   f"({time.time()-t0:.1f}s)")
             if len(s_rows) == 0:
@@ -84,19 +99,30 @@ def main():
             d_rows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(s_rows),
+                            "oracle_rows": None,
+                            "err": f"duckdb {type(e).__name__}: {e}"[:300]}
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             continue
         problems = []
-        if sorted(s_cols) != sorted(d_cols):
+        schema_ok = sorted(s_cols) == sorted(d_cols)
+        rows_ok = len(s_rows) == len(d_rows)
+        hash_ok = None
+        if not schema_ok:
             problems.append(f"schema {sorted(s_cols)} != {sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
+        if not rows_ok:
             problems.append(f"rowcount {len(s_rows)} != {len(d_rows)}")
         if not problems:
             a = canon_rows([tuple(r) for r in s_rows], s_cols)
             b = canon_rows(d_rows, d_cols)
-            if a != b:
+            hash_ok = a == b
+            if not hash_ok:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, e.g. {diff}")
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": hash_ok, "spark_rows": len(s_rows),
+                        "oracle_rows": len(d_rows), "err": None}
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
@@ -107,6 +133,11 @@ def main():
     skipped = len(qs) - n_ran
     print(f"\n{n_ran - len(failures)}/{n_ran} pass"
           + (f" ({skipped} skipped by --only)" if skipped else ""))
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {args.json} ({len(report)} entries)")
     return 1 if failures else 0
 
 
