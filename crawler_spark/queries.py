@@ -47,12 +47,44 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+# Query names that already carry a committed driver-correctness row
+# (CORRECTNESS_r02.json). The driver's per-round snapshot records only the
+# FIRST ~50 registry entries, so the export order below puts queries that
+# have NEVER had a driver row first — maximizing cumulative driver-gate
+# coverage across rounds. Previously-covered queries keep their committed
+# r02 evidence and fill the remaining slots in definition order.
+_DRIVER_COVERED_R02 = frozenset({
+    "j1_seen_anti_join", "f2_scope_same_source", "f3_scope_prefix",
+    "f4_tld_scope", "f5_robots_gate", "p3_ua_assignment",
+    "f6_blacklist_regex", "f8_asset_filter", "w1_priority_window",
+    "w2_per_key_topk", "w3_global_topk", "w4_wave_admission",
+    "a2_distinct_dedup", "a3_union_seen", "so1_except", "a4_metrics_rollup",
+    "j2_dim_join", "j3_left_outer", "p1_url_canon", "p5_url_parts",
+    "p2_span_derive", "p2_span_explode_media", "rc1_recrawl_due",
+    "st1_tumbling_window", "st2_sessionize", "st3_event_dedup",
+    "dd1_exact_dedup", "dd2_fingerprint", "dd3_minhash_lsh",
+    "dd4_ngram_jaccard", "dd5_simhash", "tx1_lang_id", "tx2_quality_score",
+    "tx3_token_count", "tx4_rolling_fingerprint", "an1_cosine_topk",
+    "an2_ivf_topk", "an4_lsh_ann", "dd6_embedding_neardup",
+    "dd10_semantic_keep", "an3_embedding_stats", "crawl_bfs",
+    "mm1_multimodal_decode", "mm2_image_resize", "mm3_frame_sample",
+    "dd7_dup_clusters", "dd8_canonical_keep", "tx5_decontaminate",
+    "g1_hostrank", "tx6_pii_scrub",
+})
+
+
+def _export_order(names) -> list[str]:
+    new = [n for n in names if n not in _DRIVER_COVERED_R02]
+    old = [n for n in names if n in _DRIVER_COVERED_R02]
+    return new + old
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _export_order(_QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _export_order(_QUERIES) if n in _ORACLES}
 
 
 # =====================================================================
