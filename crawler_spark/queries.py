@@ -2852,3 +2852,145 @@ def st6_late_data_policy(spark, sf_dir):
     out = late_data_flags(e, ts_col="ts", order_col="event_id",
                           delay_sec=600)
     return out.select("event_id", "t", "wm", "late")
+
+
+_G8_EDGES_SQL = (
+    "SELECT DISTINCT source AS src, "
+    "'src' || CAST((doc_id * 7 + 3) % (1 + (CAST(substr(source, 4) AS INT) "
+    "% 20)) AS VARCHAR) AS dst FROM documents "
+    "WHERE source <> 'src' || CAST((doc_id * 7 + 3) % (1 + "
+    "(CAST(substr(source, 4) AS INT) % 20)) AS VARCHAR)")
+
+
+@q("g8_degree_histogram", f"""
+WITH e0 AS ({_G8_EDGES_SQL}),
+out_d AS (SELECT src AS host, count(*) AS deg FROM e0 GROUP BY 1),
+in_d AS (SELECT dst AS host, count(*) AS deg FROM e0 GROUP BY 1),
+u AS (SELECT 'out' AS direction, deg FROM out_d
+      UNION ALL SELECT 'in', deg FROM in_d)
+SELECT direction, CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg
+FROM u GROUP BY 1, 2
+""")
+def g8_degree_histogram(spark, sf_dir):
+    """Log2-binned in/out-degree distribution of the host link graph —
+    the fan-out profile a frontier scheduler sizes its politeness and
+    skew-salting thresholds from (a heavy log-log tail == Zipf hubs that
+    need the salted path). The log2 bucket is computed as
+    length(bin(deg)) - 1: pure integer algebra, bit-identical across
+    engines (floor(log2(x)) through libm doubles is NOT — last-ulp
+    differences straddle integer boundaries). Two keys-only aggregates;
+    degree table is host-cardinality. Fixture: the dst modulus varies
+    per source (1 + h%20), so degrees span several log2 buckets."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e0 = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+          .where(F.col("src") != F.col("dst")).distinct())
+    out_d = e0.groupBy(F.col("src").alias("host")) \
+              .agg(F.count("*").alias("deg"))
+    in_d = e0.groupBy(F.col("dst").alias("host")) \
+             .agg(F.count("*").alias("deg"))
+    u = (out_d.select(F.lit("out").alias("direction"), "deg")
+         .unionAll(in_d.select(F.lit("in").alias("direction"), "deg")))
+    return (u.groupBy("direction",
+                      (F.length(F.bin("deg")) - 1).cast("int")
+                      .alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_hosts"),
+                 F.min("deg").cast("long").alias("min_deg"),
+                 F.max("deg").cast("long").alias("max_deg")))
+
+
+@q("f9_url_template_mining", """
+WITH u AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 3 = 0 THEN '/cat'
+               WHEN doc_id % 3 = 1 THEN '/tag'
+               ELSE '/u' END)
+           || CAST(doc_id % 7 AS VARCHAR) || '/item/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '/page/' || CAST(doc_id % 97 AS VARCHAR)
+                   ELSE '' END AS path
+  FROM documents)
+SELECT regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_hosts,
+       min(path) AS sample_path
+FROM u GROUP BY 1
+""")
+def f9_url_template_mining(spark, sf_dir):
+    """URL template mining — the spider-trap / infinite-space detector:
+    collapse every digit run in the path to N and count URLs per
+    template. A template whose n_urls explodes while n_hosts stays small
+    is a calendar/pagination trap the frontier should cap (the budget
+    F7 then applies per template, not per URL). Map-side regex, one
+    keys-only shuffle with two-phase count-distinct; template cardinality
+    is orders below URL cardinality at 10^10."""
+    d = _t(spark, sf_dir, "documents")
+    route = (F.when(F.col("doc_id") % 3 == 0, "/cat")
+             .when(F.col("doc_id") % 3 == 1, "/tag")
+             .otherwise("/u"))
+    path = F.concat(
+        route, (F.col("doc_id") % 7).cast("string"),
+        F.lit("/item/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/page/"),
+                        (F.col("doc_id") % 97).cast("string")))
+         .otherwise(F.lit("")))
+    u = d.select("source", path.alias("path"))
+    return (u.groupBy(F.regexp_replace("path", "[0-9]+", "N")
+                      .alias("template"))
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.countDistinct("source").cast("long").alias("n_hosts"),
+                 F.min("path").alias("sample_path")))
+
+
+@q("dd13_lsh_recall", "WITH " + _LSH_CTES + """,
+cand AS (SELECT doc_a, doc_b FROM (""" + _LSH_PAIRS_SQL + """)),
+tex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM tex a JOIN tex b ON a.s = b.s AND a.doc_id < b.doc_id),
+truth AS (
+  SELECT doc_a, doc_b FROM tcand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+              / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8)
+SELECT (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM cand) AS n_cand,
+       (SELECT count(*) FROM truth t
+        JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+       round((SELECT count(*) FROM truth t
+              JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+             / (SELECT count(*) FROM truth), 4) AS recall
+""")
+def dd13_lsh_recall(spark, sf_dir):
+    """Dedup-index quality evaluation (an5's text twin): recall of dd3's
+    MinHash-LSH candidate pairs against the EXHAUSTIVE true-Jaccard>=0.8
+    pair set (dd4 semantics with the df cap off). The eval that justifies
+    an LSH band configuration before a 10^10-doc run — at scale the truth
+    side runs on a sampled slice (it is the quadratic one), the LSH side
+    stays the production plan. One row: n_truth, n_cand, n_hit, recall."""
+    from crawler_spark.operators.textdedup import (
+        lsh_band_pairs, ngram_jaccard_pairs,
+    )
+    d = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(d, threshold=0.8, max_df=None) \
+        .select("doc_a", "doc_b")
+    cand = lsh_band_pairs(d, n_perm=8, band_size=2, shingle_n=3,
+                          max_bucket=64).select("doc_a", "doc_b")
+    hits = truth.join(cand.withColumn("_hit", F.lit(1)),
+                      ["doc_a", "doc_b"], "left")
+    m = hits.agg(F.count("*").cast("long").alias("n_truth"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                  .alias("n_hit"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    return (m.crossJoin(F.broadcast(nc))
+            .select("n_truth", "n_cand", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_truth"), 4)
+                     .alias("recall")))

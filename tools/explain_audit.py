@@ -208,6 +208,22 @@ CHECKS = {
     "st6_late_data_policy": (["Window", "BroadcastHashJoin"],
                              ["BatchEvalPython", "ArrowEvalPython",
                               "SortMergeJoin"]),
+    # degree histogram: two keys-only aggs + union; no joins of any kind
+    "g8_degree_histogram": (["HashAggregate", "Union"],
+                            ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct", "SortMergeJoin",
+                             "BroadcastHashJoin"]),
+    # URL template mining: map-side regex + keys-only two-phase agg.
+    # SortAggregate, not Hash — the min(string) buffer is not
+    # mutable-fixed (same shape note as g2); the partial aggs must sit
+    # before the exchange
+    "f9_url_template_mining": (["partial_count", "partial_min"],
+                               ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct", "SortMergeJoin"]),
+    # LSH recall eval: pair joins may sort-merge (pairs x pairs); the
+    # n_cand scalar is a one-row broadcast, never a data cartesian
+    "dd13_lsh_recall": ([], ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct"]),
 }
 
 
