@@ -222,3 +222,41 @@ def sample_frames(df: DataFrame, every_n: int, n_frames: int = 16,
 
     src = df.withColumn(bin_col, F.col(bin_col).cast("binary"))
     return src.mapInPandas(_sample, out_schema)
+
+
+def frame_byte_sums(df: DataFrame, every_n: int = 2, n_frames: int = 8,
+                    id_col: str = "doc_id",
+                    bin_col: str = "payload_bin") -> DataFrame:
+    """The frame sampler's ORACLE-CHECKABLE twin (mm5's pattern applied to
+    the 1->N shape): the same mapInPandas fan-out and the same
+    np.array_split framing as `sample_frames`, but emitting each sampled
+    frame's exact integer byte SUM and SIZE instead of float features —
+    cross-engine hashable, so the UDTF fan-out semantics (which rows,
+    which frame indices, which byte ranges) sit under the hash gate while
+    the codec stub stays swappable. Narrow op, partitioning preserved."""
+    out_schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", LongType(), False),
+        StructField("frame_sum", LongType(), False),
+    ])
+
+    def _sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(b) if b is not None else b""
+                frames = np.array_split(
+                    np.frombuffer(raw, dtype=np.uint8), n_frames)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    sizes.append(int(len(frames[fi])))
+                    sums.append(int(frames[fi].sum()))
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame_bytes": pd.Series(sizes, dtype="int64"),
+                                "frame_sum": pd.Series(sums, dtype="int64")})
+
+    return df.withColumn(bin_col, F.col(bin_col).cast("binary")) \
+             .mapInPandas(_sums, out_schema)

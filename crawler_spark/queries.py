@@ -2994,3 +2994,44 @@ def dd13_lsh_recall(spark, sf_dir):
             .select("n_truth", "n_cand", "n_hit",
                     F.round(F.col("n_hit") / F.col("n_truth"), 4)
                      .alias("recall")))
+
+
+_MM8_FRAME_COLS = """
+       CAST((n//8) + (CASE WHEN fi < (n%8) THEN 1 ELSE 0 END) AS BIGINT)
+         AS frame_bytes,
+       CAST(coalesce(list_sum(
+         cps[(fi*(n//8) + least(fi, n%8) + 1):
+             (fi*(n//8) + least(fi, n%8) + (n//8)
+              + (CASE WHEN fi < (n%8) THEN 1 ELSE 0 END))]), 0) AS BIGINT)
+         AS frame_sum"""
+
+_MM8_SQL = """
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS s
+           FROM documents),
+     b AS (SELECT doc_id,
+                  list_transform(split(s, ''), ch -> ascii(ch)) AS cps,
+                  length(s) AS n
+           FROM a),
+     f AS (SELECT doc_id, cps, n, unnest([0, 2, 4, 6]) AS fi FROM b)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,""" + _MM8_FRAME_COLS + """
+FROM f
+"""
+
+
+@q("mm8_frame_algebra", _MM8_SQL)
+def mm8_frame_algebra(spark, sf_dir):
+    """Oracle-checkable frame sampling: the real 1->N mapInPandas fan-out
+    (multimodal.frame_byte_sums, sharing np.array_split framing and the
+    every_n stride with `sample_frames`) over ASCII-projected payload
+    bytes, vs a DuckDB twin of the same frame-boundary algebra over code
+    points. With mm8 the whole mm family's SEMANTICS sit under the hash
+    gate (mm5: chunk decode algebra; mm8: UDTF fan-out + byte ranges) —
+    only the codec calls themselves stay stubbed."""
+    from crawler_spark.operators.multimodal import frame_byte_sums
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+        .alias("ascii_text"))
+    src = d.withColumn("payload_bin", F.encode("ascii_text", "UTF-8"))
+    return frame_byte_sums(src, every_n=2, n_frames=8)

@@ -88,3 +88,35 @@ def test_decode_sums_twin_matches_feature_means(spark, media_df):
             want = sc / zc if zc else 0.0
             assert abs(f["features"][c] - want) < 1e-3
         assert sum(s[f"z{c}"] for c in range(FEATURE_DIM)) == n
+
+
+def test_frame_sums_twin_matches_sample_frames(spark, media_df):
+    """The oracle-checkable frame twin (frame_byte_sums, mm8) and the
+    feature sampler (sample_frames) share the np.array_split framing and
+    the every_n stride: for every VIDEO row both emit the same
+    (doc_id, frame_idx) fan-out with the same frame byte sizes, and the
+    twin's sizes partition n_bytes over the sampled+skipped frames."""
+    from crawler_spark.operators.multimodal import frame_byte_sums
+
+    vids = media_df.where(F.col("media_type") == "video")
+    frames = {(r["doc_id"], r["frame_idx"]): r["frame_bytes"]
+              for r in sample_frames(vids, every_n=2, n_frames=8).collect()}
+    sums = {(r["doc_id"], r["frame_idx"]): r
+            for r in frame_byte_sums(vids, every_n=2, n_frames=8).collect()}
+    assert set(frames) == set(sums) and len(frames) > 0
+    for k, nb in frames.items():
+        assert sums[k]["frame_bytes"] == nb
+    # per-doc: sampled frame indices are exactly 0,2,4,6 and each size
+    # follows the array_split rule against the doc's total byte count
+    n_bytes = {r["doc_id"]: r["n_bytes"]
+               for r in vids.select(
+                   "doc_id",
+                   F.length(F.col("payload_bin")).alias("n_bytes")).collect()}
+    docs = {d for d, _ in sums}
+    for d in docs:
+        idxs = sorted(fi for dd, fi in sums if dd == d)
+        assert idxs == [0, 2, 4, 6]
+        n = n_bytes[d]
+        for fi in idxs:
+            want = n // 8 + (1 if fi < n % 8 else 0)
+            assert sums[(d, fi)]["frame_bytes"] == want

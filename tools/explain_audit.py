@@ -224,6 +224,9 @@ CHECKS = {
     # n_cand scalar is a one-row broadcast, never a data cartesian
     "dd13_lsh_recall": ([], ["BatchEvalPython", "ArrowEvalPython",
                              "CartesianProduct"]),
+    # frame-sampler twin: Arrow-batched mapInPandas 1->N BY DESIGN (the
+    # surface under test); forbid row-at-a-time Python
+    "mm8_frame_algebra": (["MapInPandas"], ["BatchEvalPython"]),
 }
 
 
