@@ -252,3 +252,30 @@ def stratified_sample(df: DataFrame, strata_col: str, key: Column,
                      F.ceil(F.lit(frac) * F.count("*").over(n))
                      .cast("long")))
     return r.where(F.col("_rk") <= F.col("_quota")).drop("_quota")
+
+
+def global_rank(df: DataFrame, order_by: list[Column],
+                n_blocks: int = 32, out_col: str = "_rn") -> DataFrame:
+    """DISTRIBUTED global row_number over a total order — the prefix-sum
+    shape (pack_sequences) applied to ranking: the naive
+    `row_number() OVER (ORDER BY ...)` with no partition key collapses
+    the corpus into ONE task; instead (1) range-partition by the order
+    keys into n_blocks ordered blocks and rank block-locally (parallel),
+    (2) exclusive-cumsum the n_blocks per-block counts on one tiny task
+    and broadcast them back as offsets. The caller's order must be TOTAL
+    (add a unique tiebreaker) — then the result is deterministic and
+    independent of where the sampled range boundaries land."""
+    blocked = (df.repartitionByRange(n_blocks, *order_by)
+               .withColumn("_blk", F.spark_partition_id()))
+    w_loc = Window.partitionBy("_blk").orderBy(*order_by)
+    local = blocked.withColumn("_lrn",
+                               F.row_number().over(w_loc).cast("long"))
+    w_blk = (Window.orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (blocked.groupBy("_blk").agg(F.count("*").alias("_bn"))
+               .withColumn("_boff", F.coalesce(F.sum("_bn").over(w_blk),
+                                               F.lit(0)).cast("long"))
+               .select("_blk", "_boff"))
+    return (local.join(F.broadcast(offsets), "_blk")
+            .withColumn(out_col, F.col("_boff") + F.col("_lrn"))
+            .drop("_blk", "_lrn", "_boff"))

@@ -3035,3 +3035,116 @@ def mm8_frame_algebra(spark, sf_dir):
         .alias("ascii_text"))
     src = d.withColumn("payload_bin", F.encode("ascii_text", "UTF-8"))
     return frame_byte_sums(src, every_n=2, n_frames=8)
+
+
+@q("so4_intersect", """
+SELECT doc_id FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT doc_id FROM documents WHERE n_chars > 200
+""")
+def so4_intersect(spark, sf_dir):
+    """SO-family completion: INTERSECT (distinct semantics) — the
+    frontier-algebra op behind 'URLs both discovered this wave AND due
+    for recrawl'. Plans as a left-semi join over distinct keys; one
+    keys-only shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("lang") == "en").select("doc_id")
+    b = d.where(F.col("n_chars") > 200).select("doc_id")
+    return a.intersect(b)
+
+
+@q("a7_metrics_pivot", """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+         AS n_click,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+         AS n_error,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+         AS n_view,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+         AS purchase_value
+FROM events GROUP BY 1
+""")
+def a7_metrics_pivot(spark, sf_dir):
+    """Metrics pivot: the per-day crawl dashboard row (clicks/errors/views
+    wide, one column per type) via groupBy().pivot() with an EXPLICIT
+    value list — Spark then plans a single pass with pivot-aggregate
+    columns (no second job to discover distinct types, which at 10^10
+    rows would be a full extra scan). Oracle is the equivalent
+    conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    p = (e.select(day.alias("day_id"), "event_type", "value")
+         .groupBy("day_id")
+         .pivot("event_type", ["click", "error", "view", "purchase"])
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("value"), 2).alias("val")))
+    return p.select(
+        "day_id",
+        F.coalesce("click_n", F.lit(0)).cast("long").alias("n_click"),
+        F.coalesce("error_n", F.lit(0)).cast("long").alias("n_error"),
+        F.coalesce("view_n", F.lit(0)).cast("long").alias("n_view"),
+        F.col("purchase_val").alias("purchase_value"))
+
+
+@q("w5_frontier_sharding", """
+WITH r AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+                  count(*) OVER () AS n
+           FROM documents)
+SELECT doc_id, CAST(rn AS BIGINT) AS global_rank,
+       CAST((rn - 1) * 8 // n + 1 AS INT) AS shard
+FROM r
+""")
+def w5_frontier_sharding(spark, sf_dir):
+    """Priority-balanced frontier sharding: every URL gets a GLOBAL
+    priority rank and one of 8 crawler shards (shard = floor((rn-1)*k/n)
+    + 1 — equal-size contiguous rank ranges, so each worker receives the
+    same mix of high- and low-priority work as a range, not a lottery).
+    Engine side computes the global rank DISTRIBUTEDLY: block-local
+    row_numbers over range-partitioned priority blocks + the broadcast
+    n_blocks-row offset table (px3's prefix-sum shape) — never the
+    single-task global window the oracle writes. See
+    operators/sampling.global_rank."""
+    from crawler_spark.operators.sampling import global_rank
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank(d, order_by=[F.col("n_chars").desc(),
+                                      F.col("doc_id").asc()])
+    n = d.agg(F.count("*").alias("_n"))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select("doc_id",
+                    F.col("_rn").alias("global_rank"),
+                    (F.floor((F.col("_rn") - 1) * 8 / F.col("_n")) + 1)
+                    .cast("int").alias("shard")))
+
+
+@q("rc4_crawl_delay_budget", """
+WITH pend AS (SELECT source AS host, count(*) AS pending FROM documents
+              GROUP BY 1),
+d AS (SELECT host, pending,
+             1 + (CAST(substr(host, 4) AS INT) % 7) AS crawl_delay
+      FROM pend)
+SELECT host, CAST(crawl_delay AS INT) AS crawl_delay,
+       CAST(pending AS BIGINT) AS pending,
+       CAST(60 // crawl_delay AS BIGINT) AS wave_capacity,
+       CAST(least(pending, 60 // crawl_delay) AS BIGINT) AS alloc
+FROM d
+""")
+def rc4_crawl_delay_budget(spark, sf_dir):
+    """Robots Crawl-delay wave budgeting (F5xF7): per host, the fetch
+    capacity of a 60s politeness wave under its crawl-delay directive
+    (floor(wave/delay)) and the actual allocation (min with pending) —
+    the arithmetic the token-bucket scheduler (J3/W2) draws its per-host
+    quotas from. One keys-only aggregate + map-side arithmetic; fixture
+    delay = 1 + h%7 seconds."""
+    d = _t(spark, sf_dir, "documents")
+    pend = d.groupBy(F.col("source").alias("host")) \
+            .agg(F.count("*").alias("pending"))
+    delay = (F.substring("host", 4, 10).cast("int") % 7 + 1)
+    cap = F.floor(60 / F.col("crawl_delay")).cast("long")
+    return (pend.withColumn("crawl_delay", delay.cast("int"))
+            .select("host", "crawl_delay",
+                    F.col("pending").cast("long").alias("pending"),
+                    cap.alias("wave_capacity"),
+                    F.least(F.col("pending").cast("long"), cap)
+                     .alias("alloc")))

@@ -207,3 +207,23 @@ def test_stratified_sample_exact_quota_and_nesting(spark):
     rep = stratified_sample(df.repartition(13), "lang",
                             F.col("doc_id"), 0.2).collect()
     assert {(r.lang, r.doc_id) for r in rep} == big
+
+
+def test_global_rank_total_and_blocking_invariant(spark):
+    """global_rank must equal the sequential row_number over the same total
+    order, for any block count and input partitioning."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.sampling import global_rank
+    rows = [(i, (i * 37) % 50) for i in range(300)]  # heavy key ties
+    df = spark.createDataFrame(rows, "doc_id long, pri long")
+    order = [F.col("pri").desc(), F.col("doc_id").asc()]
+    got = {r.doc_id: r._rn
+           for r in global_rank(df.repartition(11), order,
+                                n_blocks=7).collect()}
+    want = {doc_id: rn + 1
+            for rn, (doc_id, _) in enumerate(
+                sorted(rows, key=lambda t: (-t[1], t[0])))}
+    assert got == want
+    one = {r.doc_id: r._rn
+           for r in global_rank(df, order, n_blocks=1).collect()}
+    assert one == want

@@ -227,6 +227,26 @@ CHECKS = {
     # frame-sampler twin: Arrow-batched mapInPandas 1->N BY DESIGN (the
     # surface under test); forbid row-at-a-time Python
     "mm8_frame_algebra": (["MapInPandas"], ["BatchEvalPython"]),
+    # INTERSECT plans as a distinct + left-semi join, keys only
+    "so4_intersect": (["LeftSemi"],
+                      ["BatchEvalPython", "ArrowEvalPython",
+                       "CartesianProduct"]),
+    # pivot with an explicit value list: ONE pass (no distinct-discovery
+    # job), pivot aggregates inside a partial+final hash agg
+    "a7_metrics_pivot": (["HashAggregate", "partial_count"],
+                         ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct", "SortMergeJoin"]),
+    # distributed global rank: block windows + broadcast offsets (px3's
+    # audit); the n-row scalar is a one-row broadcast NL, never a data
+    # cartesian
+    "w5_frontier_sharding": (["Window", "BroadcastHashJoin"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "SortMergeJoin", "CartesianProduct"]),
+    # crawl-delay budget: keys-only agg + map-side arithmetic, no joins
+    "rc4_crawl_delay_budget": (["HashAggregate"],
+                               ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct", "SortMergeJoin",
+                                "BroadcastHashJoin"]),
 }
 
 
