@@ -124,8 +124,15 @@ def pack_sequences(df: DataFrame, tokens_col: str, order_col: str = "doc_id",
     Set n_blocks ~ cluster cores; the only global structure that ever sits
     in one place is the n_blocks-row offset table.
     """
+    # localCheckpoint is a CORRECTNESS barrier: repartitionByRange samples
+    # its boundaries with a plan-derived seed, and the local-cumsum and
+    # block-offset branches below are separate consumers — without one
+    # materialization they can see DIFFERENT blockings (the branches only
+    # stay consistent when exchange reuse happens to fire), silently
+    # corrupting the prefix. One cached blocking serves both.
     blocked = (df.repartitionByRange(n_blocks, F.col(order_col))
-               .withColumn("_blk", F.spark_partition_id()))
+               .withColumn("_blk", F.spark_partition_id())
+               .localCheckpoint(eager=False))
     w_loc = (Window.partitionBy("_blk").orderBy(order_col)
              .rowsBetween(Window.unboundedPreceding, -1))
     local = blocked.withColumn(
@@ -265,8 +272,11 @@ def global_rank(df: DataFrame, order_by: list[Column],
     and broadcast them back as offsets. The caller's order must be TOTAL
     (add a unique tiebreaker) — then the result is deterministic and
     independent of where the sampled range boundaries land."""
+    # same consistency barrier as pack_sequences: both consumers below
+    # must see ONE sampled blocking (see pack_sequences for the failure).
     blocked = (df.repartitionByRange(n_blocks, *order_by)
-               .withColumn("_blk", F.spark_partition_id()))
+               .withColumn("_blk", F.spark_partition_id())
+               .localCheckpoint(eager=False))
     w_loc = Window.partitionBy("_blk").orderBy(*order_by)
     local = blocked.withColumn("_lrn",
                                F.row_number().over(w_loc).cast("long"))

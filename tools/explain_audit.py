@@ -247,6 +247,15 @@ CHECKS = {
                                ["BatchEvalPython", "ArrowEvalPython",
                                 "CartesianProduct", "SortMergeJoin",
                                 "BroadcastHashJoin"]),
+    # minhash estimate: candidate-bounded verify joins over the shared
+    # checkpointed shingle/signature projections; no Python, no cartesian
+    "dd14_minhash_estimate": ([], ["BatchEvalPython", "ArrowEvalPython",
+                                   "CartesianProduct"]),
+    # lag quantiles: st6's prefix max + ks3's distinct compression — the
+    # quantile window must sit on a partial-agged input
+    "st7_arrival_lag_quantiles": (["Window", "partial_count"],
+                                  ["BatchEvalPython", "ArrowEvalPython",
+                                   "CartesianProduct"]),
 }
 
 
