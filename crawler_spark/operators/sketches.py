@@ -68,8 +68,12 @@ def exact_quantiles(df: DataFrame, group_cols: list[str], value: Column,
     compresses; the quantile is then exact over the bucketed measure.
 
     Returns one row per group: (*group_cols, n BIGINT, q_50, q_90, ...
-    DOUBLE round 4) — column names q_<100*q>."""
+    DOUBLE round 4) — column names q_<100*q>. NULL measurements are
+    DROPPED up front (the SQL aggregate convention) — without the filter
+    the per-group sort would diverge across engines (Spark ASC is NULLS
+    FIRST, DuckDB NULLS LAST) and NULL rows would shift every target."""
     vals = (df.select(*group_cols, value.alias("_v"))
+            .where(F.col("_v").isNotNull())
             .groupBy(*group_cols, "_v").agg(F.count("*").alias("_c")))
     w_cum = (Window.partitionBy(*group_cols).orderBy("_v")
              .rowsBetween(Window.unboundedPreceding, 0))

@@ -74,15 +74,61 @@ def minhash_sig_cols(shingles: Column, n_perm: int) -> list[Column]:
             for i in range(n_perm)]
 
 
+def _in_bucket_pairs(ids: Column) -> Column:
+    """Ordered (doc_a < doc_b) pair combinations from a bucket's id array —
+    the i<j slice trick shared by every bucketed candidate generator
+    (LSH bands, shingle df, containment). One definition: an off-by-one
+    here would otherwise have to be fixed in three places."""
+    return F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(F.least(x, y).alias("doc_a"),
+                               F.greatest(x, y).alias("doc_b")))))
+
+
+def _shingle_projection(docs: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int) -> DataFrame:
+    """Checkpointed (doc_id, sh) projection — computed ONCE per operator
+    call even when it feeds candidate generation plus verify joins
+    (Catalyst re-derives map projections per branch, NOTES fact #1)."""
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       shingles_col(F.col(text_col), shingle_n).alias("sh")) \
+               .localCheckpoint(eager=False)
+
+
+def _shingle_candidates(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing >= 1 shingle, generated inside
+    per-shingle buckets (== the explode self-join on shingle, but one
+    shingle evaluation and one shuffle). `max_df` is the hot-bucket
+    quadratic guard: grams in more than max_df docs carry no dedup signal
+    and alone turn one bucket into O(corpus^2) pairs at 100x scale."""
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    buckets = (ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+               .where(F.size("ids") >= 2))
+    if max_df is not None:
+        buckets = buckets.where(F.size("ids") <= max_df)
+    return (buckets.select(F.explode(_in_bucket_pairs(F.col("ids")))
+                           .alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"),
+                    F.col("p.doc_b").alias("doc_b"))
+            .distinct())
+
+
 def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    n_perm: int = 8, band_size: int = 2, shingle_n: int = 3,
-                   max_bucket: int = 64) -> DataFrame:
+                   max_bucket: int = 64, sh: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b. Two docs are
     candidates when >= 1 band (concatenation of `band_size` minhashes)
     collides. Buckets wider than `max_bucket` are dropped (template guard —
     the quadratic-pair cap at scale).
+
+    Pass a precomputed (doc_id, sh) frame via `sh` when the caller already
+    holds the shingle projection (dd13/dd14 reuse one checkpoint across
+    the LSH, truth, and signature paths — otherwise this function would
+    re-derive the full shingle pass).
     """
     assert n_perm % band_size == 0
     n_bands = n_perm // band_size
@@ -90,8 +136,9 @@ def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     # common-subexpression-eliminate the (large) gram-builder expression
     # across the n_perm signature columns — inlining it per column measured
     # 7x slower on the same input.
-    sh = docs.select(F.col(id_col).alias("doc_id"),
-                     shingles_col(F.col(text_col), shingle_n).alias("sh"))
+    if sh is None:
+        sh = docs.select(F.col(id_col).alias("doc_id"),
+                         shingles_col(F.col(text_col), shingle_n).alias("sh"))
     sig = sh.select("doc_id", *minhash_sig_cols(F.col("sh"), n_perm))
     bands = sig.select(
         "doc_id",
@@ -109,13 +156,7 @@ def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     buckets = (bands.groupBy("band", "key")
                .agg(F.collect_list("doc_id").alias("ids"))
                .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket)))
-    pair_arr = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-            lambda y: F.struct(F.least(x, y).alias("doc_a"),
-                               F.greatest(x, y).alias("doc_b")))))
-    pairs = (buckets.select(F.explode(pair_arr).alias("p"))
+    pairs = (buckets.select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
              .groupBy(F.col("p.doc_a").alias("doc_a"),
                       F.col("p.doc_b").alias("doc_b"))
              .agg(F.count("*").alias("n_shared_bands")))
@@ -125,7 +166,8 @@ def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
                         threshold: float = 0.8,
-                        max_df: int | None = 64) -> DataFrame:
+                        max_df: int | None = 64,
+                        sh: DataFrame | None = None) -> DataFrame:
     """N-gram Jaccard similarity pairs >= threshold, two-stage:
 
     1. CANDIDATES: explode(shingles) -> groupBy(shingle) -> in-bucket pair
@@ -145,31 +187,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Pass max_df=None for exhaustive candidates (exact all-pairs recall —
     quadratic on hot shingles, never safe as a direct method at scale).
     """
-    # Checkpoint the shingle projection: it feeds the candidate explode AND
-    # both verify joins, and Catalyst re-derives map projections per branch
-    # (NOTES fact #1) — one shingle pass instead of three. At 10^12-doc
-    # scale, prune docs to the candidate id set with a semi-join before the
-    # verify recompute instead of materializing every array.
-    sh = docs.select(F.col(id_col).alias("doc_id"),
-                     shingles_col(F.col(text_col), shingle_n).alias("sh")) \
-             .localCheckpoint(eager=False)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    # groupBy(shingle) + in-bucket pair generation == the ex⋈ex self-join on
-    # shingle, but evaluates the shingle expression once and shuffles once.
-    buckets = (ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
-               .where(F.size("ids") >= 2))
-    if max_df is not None:
-        buckets = buckets.where(F.size("ids") <= max_df)
-    pair_arr = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-            lambda y: F.struct(F.least(x, y).alias("doc_a"),
-                               F.greatest(x, y).alias("doc_b")))))
-    cands = (buckets.select(F.explode(pair_arr).alias("p"))
-             .select(F.col("p.doc_a").alias("doc_a"),
-                     F.col("p.doc_b").alias("doc_b"))
-             .distinct())
+    # At 10^12-doc scale, prune docs to the candidate id set with a
+    # semi-join before the verify recompute instead of materializing every
+    # array.
+    if sh is None:
+        sh = _shingle_projection(docs, id_col, text_col, shingle_n)
+    cands = _shingle_candidates(sh, max_df)
     # Verification joins ship full shingle arrays only for docs that appear
     # in a candidate pair — volume ∝ candidates (cap-bounded), not corpus.
     j = (cands
@@ -503,24 +526,8 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     over the UNFILTERED sets for candidate pairs only). Emits one row per
     unordered pair with BOTH directions, kept when either side reaches
     `threshold`: (doc_a, doc_b, c_ab, c_ba) where c_ab = |A∩B|/|A|."""
-    sh = docs.select(F.col(id_col).alias("doc_id"),
-                     shingles_col(F.col(text_col), shingle_n).alias("sh")) \
-             .localCheckpoint(eager=False)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    buckets = (ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
-               .where(F.size("ids") >= 2))
-    if max_df is not None:
-        buckets = buckets.where(F.size("ids") <= max_df)
-    pair_arr = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-            lambda y: F.struct(F.least(x, y).alias("doc_a"),
-                               F.greatest(x, y).alias("doc_b")))))
-    cands = (buckets.select(F.explode(pair_arr).alias("p"))
-             .select(F.col("p.doc_a").alias("doc_a"),
-                     F.col("p.doc_b").alias("doc_b"))
-             .distinct())
+    sh = _shingle_projection(docs, id_col, text_col, shingle_n)
+    cands = _shingle_candidates(sh, max_df)
     inter = F.size(F.array_intersect("sha", "shb"))
     j = (cands
          .join(sh.select(F.col("doc_id").alias("doc_a"),

@@ -2977,13 +2977,14 @@ def dd13_lsh_recall(spark, sf_dir):
     side runs on a sampled slice (it is the quadratic one), the LSH side
     stays the production plan. One row: n_truth, n_cand, n_hit, recall."""
     from crawler_spark.operators.textdedup import (
-        lsh_band_pairs, ngram_jaccard_pairs,
+        _shingle_projection, lsh_band_pairs, ngram_jaccard_pairs,
     )
     d = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(d, threshold=0.8, max_df=None) \
+    sh = _shingle_projection(d, "doc_id", "text", 3)  # ONE shingle pass
+    truth = ngram_jaccard_pairs(d, threshold=0.8, max_df=None, sh=sh) \
         .select("doc_a", "doc_b")
     cand = lsh_band_pairs(d, n_perm=8, band_size=2, shingle_n=3,
-                          max_bucket=64).select("doc_a", "doc_b")
+                          max_bucket=64, sh=sh).select("doc_a", "doc_b")
     hits = truth.join(cand.withColumn("_hit", F.lit(1)),
                       ["doc_a", "doc_b"], "left")
     m = hits.agg(F.count("*").cast("long").alias("n_truth"),
@@ -3176,14 +3177,13 @@ def dd14_minhash_estimate(spark, sf_dir):
     checkpointed once and feeds both the signature and the truth joins
     (NOTES fact #1); candidate volume is dd3's (bucket-capped)."""
     from crawler_spark.operators.textdedup import (
-        lsh_band_pairs, minhash_sig_cols, shingles_col,
+        _shingle_projection, lsh_band_pairs, minhash_sig_cols,
     )
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles_col(F.col("text"), 3).alias("sh")) \
-          .localCheckpoint(eager=False)
+    sh = _shingle_projection(d, "doc_id", "text", 3)  # ONE shingle pass
     sig = sh.select("doc_id", *minhash_sig_cols(F.col("sh"), 8))
     pairs = lsh_band_pairs(d, n_perm=8, band_size=2, shingle_n=3,
-                           max_bucket=64).select("doc_a", "doc_b")
+                           max_bucket=64, sh=sh).select("doc_a", "doc_b")
     agree = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
                 for i in range(8))
     j = (pairs

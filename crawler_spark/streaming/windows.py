@@ -110,9 +110,10 @@ def late_data_flags(events: DataFrame, ts_col: str = "ts",
                .agg(F.max("_t").alias("_bmax"))
                .withColumn("_boff", F.max("_bmax").over(w_blk))
                .select("_blk", "_boff"))
+    # greatest() skips NULLs, so this is NULL only for the global first
+    # arrival (both _lmax and _boff NULL) — which falls through to own t.
     out = (local.join(F.broadcast(offsets), "_blk")
            .withColumn("wm", F.coalesce(F.greatest("_lmax", "_boff"),
-                                        F.col("_lmax"), F.col("_boff"),
                                         F.col("_t")).cast("long"))
            .drop("_blk", "_lmax", "_boff"))
     return (out.withColumn("late", F.col("_t") < F.col("wm") - delay_sec)

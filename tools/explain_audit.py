@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 # (query, required plan substrings, forbidden plan substrings)
 CHECKS = {
     "f2_scope_same_source": (["PushedFilters: [", "ReadSchema:"], []),
-    "w3_global_topk": (["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    "w3_global_topk": (["TakeOrderedAndProject"], ["rangepartitioning("]),
     "j2_dim_join": (["BroadcastHashJoin"], ["SortMergeJoin"]),
     "j1_seen_anti_join": (["LeftAnti"], []),
     "a2_distinct_dedup": (["HashAggregate"], []),
@@ -73,7 +73,7 @@ CHECKS = {
     # --- round 3 ---
     # weighted sample: per-partition heaps, never a global sort
     "px4_weighted_sample": (["TakeOrderedAndProject"],
-                            ["Exchange rangepartitioning",
+                            ["rangepartitioning(",
                              "BatchEvalPython", "ArrowEvalPython"]),
     # substring repeats: two-phase agg on the window hash; no Python,
     # no cartesian (the repeated-set join is broadcast/SMJ on rh)
@@ -195,7 +195,7 @@ CHECKS = {
     # stratified split: one hash exchange on the stratum key + window;
     # never a global range sort
     "px6_stratified_split": (["Window"],
-                             ["Exchange rangepartitioning",
+                             ["rangepartitioning(",
                               "BatchEvalPython", "ArrowEvalPython",
                               "CartesianProduct"]),
     # containment: dd4's two-stage shape — capped candidate buckets then
