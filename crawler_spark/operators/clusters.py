@@ -141,3 +141,36 @@ def canonical_docs(clustered: DataFrame, quality: DataFrame,
     return (clustered.join(quality, id_col)
             .withColumn("keep", F.row_number().over(w) == 1)
             .select(id_col, "cluster", "keep"))
+
+
+def kcore_peel(edges: DataFrame, src: str = "src", dst: str = "dst",
+               k: int = 8, rounds: int = 5) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983): drop
+    every node with undirected degree < k, induce the subgraph on the
+    survivors, repeat. Returns (node, deg) for the nodes of the
+    round-`rounds` subgraph with their in-core degree.
+
+    Fixed round count (not fixpoint-detected) so the oracle can unroll
+    the identical computation; at fixture scale the peel converges well
+    inside `rounds` (asserted in tests), and production callers raise
+    `rounds` — each extra round is two cheap host-cardinality jobs.
+
+    Scale shape: the edge list is symmetrized once (union + distinct);
+    each round is ONE partial-agged degree count plus two LEFT SEMI
+    joins against the keep-set. On a host graph the keep-set is
+    host-cardinality (broadcast); on a URL-level graph both joins
+    sort-merge on the same key, and `localCheckpoint` cuts the growing
+    lineage exactly as connected_components does."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        e = (e.join(F.broadcast(keep), "u", "left_semi")
+             .join(F.broadcast(keep.select(F.col("u").alias("v"))),
+                   "v", "left_semi")
+             .localCheckpoint(eager=True))
+    return (e.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+            .select(F.col("u").alias("node"), "deg"))

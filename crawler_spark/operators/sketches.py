@@ -123,3 +123,60 @@ def count_min(df: DataFrame, key: Column, depth: int = 4,
     return (exact.join(est, "_k")
             .select(F.col("_k").alias("key"), "n_exact",
                     F.col("cm_est").cast("long").alias("cm_est")))
+
+
+# alpha_m * m^2 * 2^53 for m=256 (p=8): the whole numerator of the HLL
+# estimator pre-folded into ONE double literal so both engines perform
+# exactly one double division in the same order (repr is bit-exact).
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_NUMER = 4.2399330249068963e+20  # 0.7213/(1+1.079/256) * 256^2 * 2^53
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str],
+                 key: Column) -> DataFrame:
+    """Per-group HyperLogLog (Flajolet et al. 2007) distinct-count with a
+    CROSS-ENGINE-EXACT register algebra — the oracle-checkable HLL that
+    `approx_count_distinct` (HLL++, engine-private register layout) can
+    never be.
+
+    Register index = first 8 bits of md5(key); rank = leading-zero count
+    of the next 52 bits + 1, computed as `53 - length(bin(v))` — pure
+    integer algebra, no libm (see g8: floor(log2()) through doubles is
+    not bit-stable across engines). The harmonic sum is INTEGERIZED:
+    sum_j 2^(53 - M_j) as BIGINT (max 256 * 2^53 < 2^62, exact), with
+    empty registers contributing 2^53 each — so the only floating-point
+    op is one final double division by the pre-folded numerator literal,
+    bit-identical in any IEEE-754 engine. Raw (uncorrected) estimator by
+    design: the linear-counting small-range correction needs ln(), which
+    is libm; `zero_regs` is emitted so a caller can apply it.
+
+    Scale shape vs ks1 (KMV): NO distinct() anywhere — the register table
+    is a plain groupBy max, so the map-side partial agg reduces every
+    partition to <= m rows regardless of key cardinality; the shuffle
+    carries at most m rows per group. This is the sketch to run at 10^10
+    keys; KMV's distinct() shuffle is the price of its exactness below k.
+    n_exact (one count-distinct agg) is fixture display only.
+
+    Returns (*group_cols, n_exact BIGINT, regs_used INT, zero_regs INT,
+    hll_est DOUBLE round 4)."""
+    hx = F.md5(key.cast("string"))
+    reg = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rank = (F.when(v == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(v)))).cast("int")
+    regs = (df.select(*group_cols, reg.alias("_reg"), rank.alias("_rk"))
+            .groupBy(*group_cols, "_reg").agg(F.max("_rk").alias("_mj")))
+    per_g = (regs.groupBy(*group_cols)
+             .agg(F.count("*").cast("int").alias("regs_used"),
+                  F.sum(F.expr("shiftleft(1L, 53 - _mj)"))
+                  .cast("long").alias("_s_used")))
+    zero_regs = (F.lit(_HLL_M) - F.col("regs_used")).cast("int")
+    s_total = (F.col("_s_used")
+               + zero_regs.cast("long") * F.lit(1 << 53).cast("long"))
+    est = F.round(F.lit(_HLL_NUMER) / s_total.cast("double"), 4)
+    exact = (df.groupBy(*group_cols)
+             .agg(F.countDistinct(key).cast("long").alias("n_exact")))
+    return (exact.join(per_g, group_cols)
+            .select(*group_cols, "n_exact", "regs_used",
+                    zero_regs.alias("zero_regs"), est.alias("hll_est")))

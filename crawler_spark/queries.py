@@ -3246,3 +3246,252 @@ def st7_arrival_lag_quantiles(spark, sf_dir):
                    .alias("lag"))
     return exact_quantiles(lag, ["event_type"], F.col("lag"),
                            qs=(0.5, 0.9, 0.99))
+
+
+@q("ks4_hll_distinct", """
+WITH h AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id,
+                  user_id, md5(CAST(user_id AS VARCHAR)) AS hx
+           FROM events),
+b AS (SELECT day_id, user_id,
+             ('0x' || substr(hx, 1, 2))::BIGINT AS reg,
+             ('0x' || substr(hx, 3, 13))::BIGINT AS v
+      FROM h),
+r AS (SELECT day_id, reg,
+             max(CASE WHEN v = 0 THEN 53
+                      ELSE 53 - length(bin(v)) END) AS mj
+      FROM b GROUP BY 1, 2),
+a AS (SELECT day_id, CAST(count(*) AS INT) AS regs_used,
+             CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS s_used
+      FROM r GROUP BY 1),
+x AS (SELECT day_id, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM h GROUP BY 1)
+SELECT x.day_id, x.n_exact, a.regs_used,
+       CAST(256 - a.regs_used AS INT) AS zero_regs,
+       round(4.2399330249068963e+20 /
+             CAST(a.s_used + CAST(256 - a.regs_used AS BIGINT)
+                  * 9007199254740992 AS DOUBLE), 4) AS hll_est
+FROM x JOIN a USING (day_id)
+""")
+def ks4_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct users per day with a cross-engine-exact
+    register algebra — the 10^10-scale companion to ks1's KMV: NO
+    distinct() shuffle anywhere (register table is a plain groupBy max
+    whose map-side partial collapses every partition to <= 256 rows),
+    integerized harmonic sum, one final double division. See
+    operators/sketches.hll_distinct for the full derivation."""
+    from crawler_spark.operators.sketches import hll_distinct
+    e = _t(spark, sf_dir, "events")
+    d = e.select(F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+                 .alias("day_id"), "user_id")
+    return hll_distinct(d, ["day_id"], F.col("user_id"))
+
+
+@q("tx13_ttr_hapax", """
+WITH w AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents),
+c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS hapax_frac
+FROM c GROUP BY doc_id
+""")
+def tx13_ttr_hapax(spark, sf_dir):
+    """Lexical-diversity quality signals: type-token ratio + hapax
+    fraction per document — the vocabulary-collapse detector that
+    catches generated/spun text tx2's surface ratios miss (boilerplate
+    farms repeat a tiny vocabulary; TTR drops; hapax_frac drops harder).
+    Gopher (Rae et al. 2021) gates on exactly this family.
+
+    Scale: explode is map-side; ONE partial-agged shuffle on (doc_id,
+    word) — duplicate words collapse in the map-side combine — then an
+    even-keyed per-doc rollup. Same tokenizer as tx3 (whitespace on
+    trimmed text) so the signals compose with its token counts."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id",
+                 F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    c = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    types = F.count("*")
+    tokens = F.sum("c")
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (c.groupBy("doc_id")
+            .agg(tokens.cast("long").alias("n_tokens"),
+                 types.cast("long").alias("n_types"),
+                 hapax.cast("long").alias("n_hapax"),
+                 F.round(types.cast("double") / tokens.cast("double"), 4)
+                  .alias("ttr"),
+                 F.round(hapax.cast("double") / types.cast("double"), 4)
+                  .alias("hapax_frac")))
+
+
+@q("px8_epoch_shuffle", """
+WITH e AS (SELECT doc_id, epoch
+           FROM documents, (SELECT unnest([0, 1]) AS epoch)),
+k AS (SELECT doc_id, epoch,
+             md5(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(epoch AS VARCHAR)) AS key
+      FROM e),
+s AS (SELECT doc_id, epoch, key,
+             CAST(('0x' || substr(key, 1, 2))::BIGINT % 8 AS INT) AS shard
+      FROM k)
+SELECT doc_id, CAST(epoch AS INT) AS epoch, shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY key, doc_id) AS BIGINT) AS pos
+FROM s
+""")
+def px8_epoch_shuffle(spark, sf_dir):
+    """Deterministic training-epoch shuffle: every document gets a fresh
+    pseudo-random position each epoch from md5(doc_id:epoch) — content-
+    stable (same corpus -> same order, resumable mid-epoch) yet
+    epoch-decorrelated. The order is materialized as (shard, pos): 8
+    reader shards, position within shard.
+
+    Scale: this is how you shuffle 100 TB for training WITHOUT a global
+    sort — the hash key distributes uniformly, so shard = first hash
+    byte mod 8 is balanced, and the within-shard rank is a PARTITIONED
+    window (distribute-by shard + sort-within-partition), never a
+    single-task global order. Readers stream shards independently."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = d.select("doc_id",
+                 F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                         F.col("epoch").cast("string")))
+    k = e.select("doc_id", F.col("epoch").cast("int").alias("epoch"),
+                 key.alias("key"))
+    s = k.withColumn(
+        "shard",
+        (F.conv(F.substring("key", 1, 2), 16, 10).cast("long") % 8)
+        .cast("int"))
+    w = Window.partitionBy("epoch", "shard").orderBy("key", "doc_id")
+    return s.select("doc_id", "epoch", "shard",
+                    F.row_number().over(w).cast("long").alias("pos"))
+
+
+@q("g9_kcore", f"""
+WITH e0 AS ({_G8_EDGES_SQL}),
+u0 AS (SELECT src AS u, dst AS v FROM e0
+       UNION SELECT dst, src FROM e0),
+d1 AS (SELECT u, count(*) AS deg FROM u0 GROUP BY 1),
+k1 AS (SELECT u FROM d1 WHERE deg >= 8),
+u1 AS (SELECT a.u, a.v FROM u0 a JOIN k1 b ON a.u = b.u
+       JOIN k1 c ON a.v = c.u),
+d2 AS (SELECT u, count(*) AS deg FROM u1 GROUP BY 1),
+k2 AS (SELECT u FROM d2 WHERE deg >= 8),
+u2 AS (SELECT a.u, a.v FROM u1 a JOIN k2 b ON a.u = b.u
+       JOIN k2 c ON a.v = c.u),
+d3 AS (SELECT u, count(*) AS deg FROM u2 GROUP BY 1),
+k3 AS (SELECT u FROM d3 WHERE deg >= 8),
+u3 AS (SELECT a.u, a.v FROM u2 a JOIN k3 b ON a.u = b.u
+       JOIN k3 c ON a.v = c.u),
+d4 AS (SELECT u, count(*) AS deg FROM u3 GROUP BY 1),
+k4 AS (SELECT u FROM d4 WHERE deg >= 8),
+u4 AS (SELECT a.u, a.v FROM u3 a JOIN k4 b ON a.u = b.u
+       JOIN k4 c ON a.v = c.u),
+d5 AS (SELECT u, count(*) AS deg FROM u4 GROUP BY 1),
+k5 AS (SELECT u FROM d5 WHERE deg >= 8),
+u5 AS (SELECT a.u, a.v FROM u4 a JOIN k5 b ON a.u = b.u
+       JOIN k5 c ON a.v = c.u)
+SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM u5 GROUP BY 1
+""")
+def g9_kcore(spark, sf_dir):
+    """8-core of the host link graph (Seidman 1983, fixed 5-round peel):
+    the densely-interlinked host nucleus — a crawl scheduler treats core
+    membership as a hub/authority prior (cheap complement to g1/g4) and
+    a spam-farm signal (link farms are dense cores with low g2 anchor
+    diversity). Same edge fixture as g8; see clusters.kcore_peel for the
+    loop and its scale shape; oracle unrolls the identical 5 rounds."""
+    from crawler_spark.operators.clusters import kcore_peel
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e0 = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+          .where(F.col("src") != F.col("dst")).distinct())
+    return kcore_peel(e0, k=8, rounds=5)
+
+
+@q("st8_ewma_rate", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(list_reduce(
+                 list_prepend(0.0, list(value ORDER BY ts, event_id)),
+                 (acc, x) -> (acc + x) * 0.5), 4) AS ewma
+FROM events GROUP BY user_id
+""")
+def st8_ewma_rate(spark, sf_dir):
+    """Per-key exponentially-weighted moving average of the measurement
+    stream (zero-seeded, alpha = 1/2) — the adaptive-politeness estimator:
+    a crawler smooths per-host fetch latency exactly like this and scales
+    its crawl delay off the EWMA (AIMD-style), so one slow probe doesn't
+    throttle a host forever and a degrading host backs off within a few
+    fetches.
+
+    alpha = 1/2 is deliberate: acc' = (acc + x) * 0.5 halves exactly in
+    binary floating point, and both engines run the IDENTICAL operation
+    sequence over the IDENTICAL (ts, event_id) order, so the fold is
+    bit-stable under the hash gate — no libm, no reassociation.
+
+    Scale: one shuffle on the key; the per-key state is a sorted array
+    fold (the batch twin of applyInPandasWithState's running state in
+    streaming/stateful.py — same recurrence a streaming job keeps per
+    host). Key cardinality bounds the array; host-keyed groups are
+    politeness-bounded by construction."""
+    e = _t(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(F.transform(arr, lambda s: s["value"]),
+                       F.lit(0.0),
+                       lambda acc, x: (acc + x) * F.lit(0.5))
+    return (e.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(fold, 4).alias("ewma")))
+
+
+@q("g10_reciprocal_links", f"""
+WITH e0 AS ({_G8_EDGES_SQL}),
+r AS (SELECT a.src, a.dst FROM e0 a
+      WHERE EXISTS (SELECT 1 FROM e0 b
+                    WHERE b.src = a.dst AND b.dst = a.src)),
+o AS (SELECT src AS host, count(*) AS out_deg FROM e0 GROUP BY 1),
+c AS (SELECT src AS host, count(*) AS n_recip FROM r GROUP BY 1)
+SELECT o.host, CAST(o.out_deg AS BIGINT) AS out_deg,
+       CAST(COALESCE(c.n_recip, 0) AS BIGINT) AS n_recip,
+       round(CAST(COALESCE(c.n_recip, 0) AS DOUBLE)
+             / CAST(o.out_deg AS DOUBLE), 4) AS recip_ratio
+FROM o LEFT JOIN c ON o.host = c.host
+""")
+def g10_reciprocal_links(spark, sf_dir):
+    """Per-host link reciprocity: the fraction of a host's outlinks whose
+    target links straight back — the classic nepotistic-linking / link-
+    exchange signal (Davison 2000): organic web reciprocity is low, link
+    farms approach 1.0. A ranking prior that composes with g1/g4 (demote)
+    and g9 (dense-core cross-check).
+
+    Scale: the reciprocal test is a LEFT SEMI self-join on the reversed
+    key — same edge table both sides, co-partitioned by symmetrizing the
+    join key, no row multiplication (semi stops at first match); both
+    rollups are host-cardinality partial aggs."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e0 = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+          .where(F.col("src") != F.col("dst")).distinct()
+          .persist())
+    rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e0.join(rev, ["src", "dst"], "left_semi")
+    o = e0.groupBy(F.col("src").alias("host")) \
+          .agg(F.count("*").alias("out_deg"))
+    c = rec.groupBy(F.col("src").alias("host")) \
+           .agg(F.count("*").alias("n_recip"))
+    nr = F.coalesce(F.col("n_recip"), F.lit(0))
+    return (o.join(c, "host", "left")
+            .select("host", F.col("out_deg").cast("long").alias("out_deg"),
+                    nr.cast("long").alias("n_recip"),
+                    F.round(nr.cast("double")
+                            / F.col("out_deg").cast("double"), 4)
+                     .alias("recip_ratio")))
