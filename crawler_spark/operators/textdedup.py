@@ -539,3 +539,44 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
          .where((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
          .select("doc_a", "doc_b", "c_ab", "c_ba"))
     return j
+
+
+def cdc_chunk_hashes(wh: Column, k: int = 4, mask: int = 16) -> Column:
+    """Content-defined chunking (Rabin-style CDC, the FastCDC/LBFS cut
+    rule at word granularity): scan the k-word rolling hashes and cut a
+    chunk boundary after every window whose hash is 0 mod `mask`; each
+    chunk's id is the Horner fold of its word hashes. Returns the BIGINT
+    chunk-hash array for one document.
+
+    Content-defined means INSERT-STABLE: editing one sentence only
+    re-chunks the window(s) it touches — every downstream chunk boundary
+    re-synchronizes, unlike fixed-size chunking where one insertion
+    shifts every later chunk. That is what makes chunk-level dedup catch
+    quoted/patched near-copies that document-hash dedup (dd1) misses.
+
+    Cut positions derive from `rolling_hashes_col` values (bit-identical
+    in the DuckDB twin), so the chunking — not just the hashing — is
+    cross-engine exact. Expected chunk length ~ mask + k - 1 words.
+    Short docs (< k words) yield one whole-doc chunk."""
+    rolls = rolling_hashes_col(wh, k=k)
+    n = F.size(wh)
+    cuts = F.filter(F.sequence(F.lit(0), F.size(rolls) - 1),
+                    lambda i: F.element_at(rolls, i + 1) % mask == 0)
+    ends0 = F.transform(cuts, lambda i: F.least(i + k, n))
+    ends = F.when(
+        (F.size(ends0) > 0) & (F.element_at(ends0, F.size(ends0)) == n),
+        ends0).otherwise(F.concat(ends0, F.array(n)))
+    # let-bind ends via single-element transform (NOTES fact #1: Catalyst
+    # does no CSE across the per-chunk element_at reads)
+    def chunks_of(e: Column) -> Column:
+        def one(j: Column) -> Column:
+            start = F.when(j == 1, F.lit(0)) \
+                     .otherwise(F.element_at(e, (j - 1).cast("int")))
+            ln = F.element_at(e, j.cast("int")) - start
+            return F.aggregate(F.slice(wh, start + 1, ln),
+                               F.lit(0).cast("long"),
+                               lambda acc, x: (acc * ROLL_B + x) % ROLL_M)
+        return F.transform(F.sequence(F.lit(1), F.size(e)), one)
+
+    return F.element_at(
+        F.transform(F.array(ends), chunks_of), 1)

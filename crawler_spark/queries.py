@@ -3495,3 +3495,124 @@ def g10_reciprocal_links(spark, sf_dir):
                     F.round(nr.cast("double")
                             / F.col("out_deg").cast("double"), 4)
                      .alias("recip_ratio")))
+
+
+@q("dd15_cdc_chunks", f"""
+WITH h AS (SELECT doc_id, {_WH_SQL} AS wh FROM documents),
+r AS (
+  SELECT doc_id, wh, CASE WHEN len(wh) >= 4 THEN
+    list_transform(range(0, len(wh) - 3), i ->
+      list_reduce(list_prepend(0::BIGINT, list_slice(wh, i + 1, i + 4)),
+                  (acc, x) -> (acc * 69069 + x) % 2147483647))
+  ELSE
+    [list_reduce(list_prepend(0::BIGINT, wh),
+                 (acc, x) -> (acc * 69069 + x) % 2147483647)]
+  END AS rolls FROM h),
+e AS (SELECT doc_id, wh,
+             list_transform(
+               list_filter(range(0, len(rolls)), i -> rolls[i+1] % 16 = 0),
+               i -> least(i + 4, len(wh))) AS ends0
+      FROM r),
+e2 AS (SELECT doc_id, wh,
+              CASE WHEN len(ends0) > 0 AND ends0[len(ends0)] = len(wh)
+                   THEN ends0 ELSE list_append(ends0, len(wh)) END AS ends
+       FROM e),
+c AS (SELECT doc_id, list_transform(range(1, len(ends) + 1), j ->
+        list_reduce(list_prepend(0::BIGINT,
+          list_slice(wh,
+            (CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END) + 1, ends[j])),
+          (acc, x) -> (acc * 69069 + x) % 2147483647)) AS chs
+      FROM e2),
+x AS (SELECT doc_id, unnest(chs) AS ch FROM c),
+g AS (SELECT ch, count(*) AS occ FROM x GROUP BY 1),
+p AS (SELECT x.doc_id, count(*) AS n_chunks,
+             sum(CASE WHEN g.occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM x JOIN g USING (ch) GROUP BY 1)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_dup AS BIGINT) AS n_dup_chunks,
+       round(CAST(n_dup AS DOUBLE) / CAST(n_chunks AS DOUBLE), 4)
+         AS dup_frac
+FROM p
+""")
+def dd15_cdc_chunks(spark, sf_dir):
+    """Content-defined-chunk dedup profile (LBFS/FastCDC rule at word
+    granularity): cut chunks where the k=4 rolling hash is 0 mod 16,
+    fingerprint each chunk, and report per document how many of its
+    chunks also occur elsewhere in the corpus — the storage-dedup /
+    near-copy signal that survives insertions (boundaries re-sync after
+    an edit, unlike fixed-size chunking). Complements dd11: dd11 counts
+    repeated fixed-k windows; dd15 counts repeated variable-length
+    chunks, so its dup_frac approximates the DEDUPABLE byte fraction.
+
+    Scale: chunking is pure map-side HOF algebra over the shared word-
+    hash projection (one split per doc); the only shuffle is the
+    partial-agged groupBy on chunk hash + the join back (broadcast here,
+    sort-merge at corpus scale — same shape as dd11, same hot-chunk
+    skew absorption via two-phase agg). Chunk ids are 31-bit Rabin
+    fingerprints: collisions overcount dups by ~n_chunks/2^31 — use
+    md5-of-words chunk ids if exactness matters more than width.
+    See textdedup.cdc_chunk_hashes."""
+    from crawler_spark.operators.textdedup import (
+        cdc_chunk_hashes, word_hashes_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("doc_id", word_hashes_col(F.col("text")).alias("wh"))
+    x = h.select("doc_id",
+                 F.explode(cdc_chunk_hashes(F.col("wh"))).alias("ch"))
+    g = x.groupBy("ch").agg(F.count("*").alias("occ"))
+    p = (x.join(g, "ch")
+         .groupBy("doc_id")
+         .agg(F.count("*").alias("n_chunks"),
+              F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
+               .alias("n_dup")))
+    return p.select(
+        "doc_id", F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dup").cast("long").alias("n_dup_chunks"),
+        F.round(F.col("n_dup").cast("double")
+                / F.col("n_chunks").cast("double"), 4).alias("dup_frac"))
+
+
+@q("rc5_lastmod_priority", """
+WITH s AS (SELECT source AS host,
+                  'https://' || source || '/p/' || CAST(doc_id AS VARCHAR)
+                    AS url,
+                  1700000000 + (doc_id * 7919) % 100000 AS lastmod,
+                  1700000000 + (doc_id * 104729) % 100000 AS last_fetch
+           FROM documents),
+st AS (SELECT host, url, CAST(lastmod - last_fetch AS BIGINT) AS staleness
+       FROM s WHERE lastmod > last_fetch),
+r AS (SELECT host, url, staleness,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY staleness DESC, url) AS rk
+      FROM st)
+SELECT host, url, staleness, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 3
+""")
+def rc5_lastmod_priority(spark, sf_dir):
+    """Sitemap-freshness recrawl targeting: join the sitemap's <lastmod>
+    against the store's last-fetch time, keep URLs the publisher says
+    changed since we fetched them, and take the top-3 stalest per host —
+    the highest-yield recrawl batch under a per-host politeness budget.
+    Complements rc1/rc2: TTL scheduling GUESSES change from history;
+    lastmod is the publisher TELLING us (S4's sitemap source carries it),
+    so these URLs jump the TTL queue.
+
+    Scale: the sitemap side is host-partitioned by origin; the join is
+    on url (both sides bucketable); the per-host top-k is w2's bounded
+    window — politeness caps rows per host upstream."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(1700000000) + (F.col("doc_id") * 7919) % 100000)
+         .alias("lastmod"),
+        (F.lit(1700000000) + (F.col("doc_id") * 104729) % 100000)
+         .alias("last_fetch"))
+    st = (s.where(F.col("lastmod") > F.col("last_fetch"))
+          .select("host", "url",
+                  (F.col("lastmod") - F.col("last_fetch")).cast("long")
+                  .alias("staleness")))
+    w = Window.partitionBy("host").orderBy(F.col("staleness").desc(), "url")
+    return (st.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= 3))
