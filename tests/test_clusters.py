@@ -108,3 +108,45 @@ def test_canonical_docs_keep_contract(spark):
     assert keeps == {1: 4, 7: 7, 9: 9}          # 4 beats 5 on tie (min id)
     assert sum(r["keep"] for r in rows) == 3    # exactly one per cluster
     assert len(rows) == 6                       # every doc still present
+
+
+def test_kcore_known_graph(spark):
+    """K4 plus a pendant path: the 3-core is exactly the K4; the path
+    peels away. Result degrees are the in-core degrees."""
+    from crawler_spark.operators.clusters import kcore_peel
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(k4 + path, ["src", "dst"])
+    got = {(r["node"], r["deg"])
+           for r in kcore_peel(e, k=3, rounds=4).collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+
+def test_kcore_converges_on_fixture(spark):
+    """The g9 fixture's 8-core is a fixpoint well inside 5 rounds: one
+    extra round changes nothing (the oracle-parity guarantee), and every
+    surviving node meets the degree bound."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.clusters import kcore_peel
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    r5 = {(r["node"], r["deg"])
+          for r in kcore_peel(e, k=8, rounds=5).collect()}
+    r6 = {(r["node"], r["deg"])
+          for r in kcore_peel(e, k=8, rounds=6).collect()}
+    assert r5 == r6 and r5
+    assert all(deg >= 8 for _, deg in r5)
+
+
+def test_kcore_fully_peels_sparse_graph(spark):
+    from crawler_spark.operators.clusters import kcore_peel
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert kcore_peel(e, k=2, rounds=3).count() == 0

@@ -227,3 +227,28 @@ def test_global_rank_total_and_blocking_invariant(spark):
     one = {r.doc_id: r._rn
            for r in global_rank(df, order, n_blocks=1).collect()}
     assert one == want
+
+
+def test_epoch_shuffle_permutes_and_decorrelates(spark):
+    """px8 contract: per epoch every doc appears exactly once, positions
+    within each (epoch, shard) are a gapless 1..n permutation, and the
+    two epochs produce genuinely different global orders."""
+    from crawler_spark.queries import px8_epoch_shuffle
+
+    out = px8_epoch_shuffle(spark, "/root/testdata/sf0.001").collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    n_docs = len({r["doc_id"] for r in out})
+    for rows in by_epoch.values():
+        assert len(rows) == n_docs
+        shard_pos = {}
+        for r in rows:
+            shard_pos.setdefault(r["shard"], set()).add(r["pos"])
+        for poss in shard_pos.values():
+            assert poss == set(range(1, len(poss) + 1))
+    order = {e: [r["doc_id"] for r in
+                 sorted(rows, key=lambda r: (r["shard"], r["pos"]))]
+             for e, rows in by_epoch.items()}
+    assert order[0] != order[1]

@@ -88,3 +88,40 @@ def test_exact_quantiles_ceil_boundary_and_partitioning(spark):
     r2 = exact_quantiles(df.repartition(7), ["g"], F.col("v"),
                          qs=(0.5,)).first()
     assert r2.q_50 == r.q_50
+
+
+def test_hll_accuracy_and_dup_invariance(spark):
+    """HLL estimate within 5 sigma (sigma ~= 1.04/sqrt(256) ~= 6.5%) of the
+    exact count, and — the max-register algebra's defining property —
+    bit-unchanged under duplication of the input rows."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.sketches import hll_distinct
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"))
+    out = {r["g"]: r for r in
+           hll_distinct(df, ["g"], F.col("k")).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r["n_exact"] == 1000
+        assert abs(r["hll_est"] - 1000) / 1000 < 5 * 1.04 / 16
+        assert r["regs_used"] + r["zero_regs"] == 256
+
+    dup = df.unionAll(df).unionAll(df)
+    out_dup = {r["g"]: r for r in
+               hll_distinct(dup, ["g"], F.col("k")).collect()}
+    for g in out:
+        assert out_dup[g]["hll_est"] == out[g]["hll_est"]
+        assert out_dup[g]["regs_used"] == out[g]["regs_used"]
+
+
+def test_hll_partition_invariant(spark):
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.sketches import hll_distinct
+
+    df = spark.range(500).select(
+        F.lit(0).alias("g"), F.col("id").cast("string").alias("k"))
+    a = hll_distinct(df.repartition(1), ["g"], F.col("k")).collect()[0]
+    b = hll_distinct(df.repartition(7), ["g"], F.col("k")).collect()[0]
+    assert a["hll_est"] == b["hll_est"] and a["regs_used"] == b["regs_used"]

@@ -196,3 +196,20 @@ def test_late_data_flags_blocking_invariance(spark):
                      for r in late_data_flags(src, delay_sec=100,
                                               n_blocks=n_blocks).collect())
         assert got == ref
+
+
+def test_ewma_fold_matches_sequential_reference(spark):
+    """st8's HOF fold == the sequential zero-seeded alpha=1/2 recurrence."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, i, float(v)) for i, v in
+            enumerate([4.0, 8.0, 2.0, 6.0, 10.0])]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    arr = F.array_sort(F.collect_list(F.struct("i", "v")))
+    fold = F.aggregate(F.transform(arr, lambda s: s["v"]),
+                       F.lit(0.0), lambda a, x: (a + x) * F.lit(0.5))
+    got = df.groupBy("k").agg(fold.alias("e")).collect()[0]["e"]
+    acc = 0.0
+    for _, _, v in rows:
+        acc = (acc + v) * 0.5
+    assert got == acc

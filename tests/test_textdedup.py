@@ -263,3 +263,65 @@ def test_containment_identical_docs_symmetric(spark):
         [(1, t), (2, t)], "doc_id long, text string")
     r = containment_pairs(docs, threshold=0.8).collect()
     assert len(r) == 1 and r[0].c_ab == 1.0 and r[0].c_ba == 1.0
+
+
+def _cdc_reference(wh: list[int], k: int = 4, mask: int = 16) -> list[int]:
+    """Brute-force CDC chunker matching cdc_chunk_hashes' contract."""
+    B, M = 69069, 2147483647
+
+    def fold(xs):
+        acc = 0
+        for x in xs:
+            acc = (acc * B + x) % M
+        return acc
+
+    n = len(wh)
+    rolls = ([fold(wh[i:i + k]) for i in range(n - k + 1)]
+             if n >= k else [fold(wh)])
+    ends = [min(i + k, n) for i, r in enumerate(rolls) if r % mask == 0]
+    if not ends or ends[-1] != n:
+        ends.append(n)
+    out, prev = [], 0
+    for e in ends:
+        out.append(fold(wh[prev:e]))
+        prev = e
+    return out
+
+
+def test_cdc_chunks_match_reference(spark):
+    import random
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.textdedup import cdc_chunk_hashes
+
+    rng = random.Random(7)
+    rows = [(i, [rng.randrange(0, 1 << 32) for _ in
+                 range(rng.choice([1, 2, 3, 4, 5, 30, 120]))])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "wh"]) \
+              .withColumn("wh", F.col("wh").cast("array<long>"))
+    got = {r["doc_id"]: r["chs"] for r in
+           df.select("doc_id", cdc_chunk_hashes(F.col("wh")).alias("chs"))
+             .collect()}
+    for doc_id, wh in rows:
+        assert got[doc_id] == _cdc_reference(wh), doc_id
+
+
+def test_cdc_chunks_are_insert_stable(spark):
+    """Content-defined property: appending a suffix leaves every chunk
+    except the final (re-opened) one unchanged — the reason edit-heavy
+    corpora dedup at chunk level at all."""
+    import random
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.textdedup import cdc_chunk_hashes
+
+    rng = random.Random(11)
+    base = [rng.randrange(0, 1 << 32) for _ in range(300)]
+    suffix = [rng.randrange(0, 1 << 32) for _ in range(50)]
+    df = spark.createDataFrame(
+        [(0, base), (1, base + suffix)], ["doc_id", "wh"]) \
+        .withColumn("wh", F.col("wh").cast("array<long>"))
+    got = {r["doc_id"]: r["chs"] for r in
+           df.select("doc_id", cdc_chunk_hashes(F.col("wh")).alias("chs"))
+             .collect()}
+    shared = got[0][:-1]          # all closed chunks of the original
+    assert got[1][:len(shared)] == shared

@@ -256,6 +256,49 @@ CHECKS = {
     "st7_arrival_lag_quantiles": (["Window", "partial_count"],
                                   ["BatchEvalPython", "ArrowEvalPython",
                                    "CartesianProduct"]),
+    # HLL: register max and integer harmonic sum must both partial-agg
+    # map-side (the whole point: <= 256 rows per partition reach the
+    # shuffle); exact-count join is broadcast
+    "ks4_hll_distinct": (["partial_max", "partial_sum(shiftleft",
+                          "BroadcastHashJoin"],
+                         ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct", "SortMergeJoin"]),
+    # lexical diversity: two-level partial+final agg, zero joins
+    "tx13_ttr_hapax": (["HashAggregate", "partial_count"],
+                       ["BatchEvalPython", "ArrowEvalPython",
+                        "BroadcastHashJoin", "SortMergeJoin",
+                        "CartesianProduct"]),
+    # epoch shuffle: PARTITIONED window (distribute-by shard), never the
+    # single-task global sort
+    "px8_epoch_shuffle": (["Window"],
+                          ["SinglePartition", "BatchEvalPython",
+                           "ArrowEvalPython", "CartesianProduct"]),
+    # EWMA: per-key state built by partial collect into the one key
+    # shuffle; the fold itself is codegen HOF algebra, no Python
+    "st8_ewma_rate": (["ObjectHashAggregate", "partial_collect_list"],
+                      ["BatchEvalPython", "ArrowEvalPython",
+                       "CartesianProduct", "SortMergeJoin"]),
+    # reciprocity: reversed-key LEFT SEMI self-join, host-cardinality aggs
+    "g10_reciprocal_links": (["LeftSemi"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct", "SortMergeJoin"]),
+    # CDC chunking: map-side HOF chunker, one partial-agged chunk-hash
+    # shuffle, broadcast join back (sort-merge at corpus scale)
+    "dd15_cdc_chunks": (["BroadcastHashJoin", "partial_count"],
+                        ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct", "SortMergeJoin"]),
+    # lastmod priority: rank-pushdown (WindowGroupLimit prunes to top-k
+    # BEFORE the shuffle — the map-side politeness pre-prune for free)
+    "rc5_lastmod_priority": (["WindowGroupLimit"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "BroadcastHashJoin", "SortMergeJoin",
+                              "CartesianProduct"]),
+    # k-core: the final plan sits past the per-round localCheckpoint
+    # barriers (same audit shape as dd7's CC) — assert the closing
+    # degree rollup is a hash agg and nothing Python leaked in
+    "g9_kcore": (["HashAggregate"],
+                 ["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct"]),
 }
 
 
