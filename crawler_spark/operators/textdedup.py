@@ -557,26 +557,44 @@ def cdc_chunk_hashes(wh: Column, k: int = 4, mask: int = 16) -> Column:
     Cut positions derive from `rolling_hashes_col` values (bit-identical
     in the DuckDB twin), so the chunking — not just the hashing — is
     cross-engine exact. Expected chunk length ~ mask + k - 1 words.
-    Short docs (< k words) yield one whole-doc chunk."""
-    rolls = rolling_hashes_col(wh, k=k)
-    n = F.size(wh)
-    cuts = F.filter(F.sequence(F.lit(0), F.size(rolls) - 1),
-                    lambda i: F.element_at(rolls, i + 1) % mask == 0)
-    ends0 = F.transform(cuts, lambda i: F.least(i + k, n))
-    ends = F.when(
-        (F.size(ends0) > 0) & (F.element_at(ends0, F.size(ends0)) == n),
-        ends0).otherwise(F.concat(ends0, F.array(n)))
-    # let-bind ends via single-element transform (NOTES fact #1: Catalyst
-    # does no CSE across the per-chunk element_at reads)
-    def chunks_of(e: Column) -> Column:
+    Short docs (< k words) yield one whole-doc chunk.
+
+    Every intermediate (word array, rolls, ends) is LET-BOUND through
+    single-element transform lambdas (NOTES fact #1): the first cut of
+    this function referenced `rolls` inside a filter lambda, which made
+    Catalyst re-evaluate the whole O(n*k) rolling-hash expression PER
+    WINDOW — O(n^2 k) per document, 106s for the sf0.1 suite query vs
+    ~3s let-bound."""
+    B, M = F.lit(ROLL_B), F.lit(ROLL_M)
+
+    def fold_slice(w: Column, start: Column, ln: Column) -> Column:
+        return F.aggregate(F.slice(w, start + 1, ln),
+                           F.lit(0).cast("long"),
+                           lambda acc, x: (acc * B + x) % M)
+
+    def chunks_from(w: Column, e: Column) -> Column:
         def one(j: Column) -> Column:
             start = F.when(j == 1, F.lit(0)) \
                      .otherwise(F.element_at(e, (j - 1).cast("int")))
             ln = F.element_at(e, j.cast("int")) - start
-            return F.aggregate(F.slice(wh, start + 1, ln),
-                               F.lit(0).cast("long"),
-                               lambda acc, x: (acc * ROLL_B + x) % ROLL_M)
+            return fold_slice(w, start, ln)
         return F.transform(F.sequence(F.lit(1), F.size(e)), one)
 
-    return F.element_at(
-        F.transform(F.array(ends), chunks_of), 1)
+    def ends_from(w: Column, rolls: Column) -> Column:
+        n = F.size(w)
+        cuts = F.filter(F.sequence(F.lit(0), F.size(rolls) - 1),
+                        lambda i: F.element_at(rolls, i + 1) % mask == 0)
+        ends0 = F.transform(cuts, lambda i: F.least(i + k, n))
+        return F.when(
+            (F.size(ends0) > 0)
+            & (F.element_at(ends0, F.size(ends0)) == n),
+            ends0).otherwise(F.concat(ends0, F.array(n)))
+
+    def body(w: Column) -> Column:
+        return F.element_at(F.transform(
+            F.array(rolling_hashes_col(w, k=k)),
+            lambda rolls: F.element_at(F.transform(
+                F.array(ends_from(w, rolls)),
+                lambda e: chunks_from(w, e)), 1)), 1)
+
+    return F.element_at(F.transform(F.array(wh), body), 1)

@@ -3616,3 +3616,37 @@ def rc5_lastmod_priority(spark, sf_dir):
     w = Window.partitionBy("host").orderBy(F.col("staleness").desc(), "url")
     return (st.withColumn("rk", F.row_number().over(w).cast("int"))
             .where(F.col("rk") <= 3))
+
+
+@q("p6_json_props", """
+WITH x AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type
+""")
+def p6_json_props(spark, sf_dir):
+    """Semi-structured property extraction: pull a typed field out of the
+    JSON `props` payload and aggregate it per event type — the crawl
+    store's page-metadata pattern (headers, timings, extractor outputs
+    ride along as JSON; analytics project typed columns out on read).
+
+    Scale: get_json_object is a codegen JVM expression — the JSON parse
+    happens map-side inside the scan stage, no Python, and column
+    pruning still reaches the parquet reader (props + event_type only).
+    At petabyte scale you'd materialize hot fields as typed columns
+    (schema evolution); this is the read-path for the long tail."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.count("k").cast("long").alias("n_with_k"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.min("k").cast("long").alias("min_k"),
+                 F.max("k").cast("long").alias("max_k")))

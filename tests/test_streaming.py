@@ -213,3 +213,43 @@ def test_ewma_fold_matches_sequential_reference(spark):
     for _, _, v in rows:
         acc = (acc + v) * 0.5
     assert got == acc
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """The watermarked stream-stream interval join emits exactly the
+    (error, click) pairs the batch time_window_join produces — the §2.9
+    joins row, exact under availableNow because inner-join results never
+    wait on the watermark."""
+    from crawler_spark.operators.joins import time_window_join
+    from crawler_spark.streaming.joins import interval_join_streams
+
+    ev = _events_stream(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    errors = (ev.where(F.col("event_type") == "error")
+              .select("event_id", "user_id",
+                      F.col("ts").cast("timestamp").alias("ets")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("cuser"),
+                      F.col("ts").cast("timestamp").alias("cts")))
+    j = interval_join_streams(
+        errors.withColumnRenamed("user_id", "euser")
+              .withColumn("user_id", F.col("euser")).drop("euser"),
+        clicks.withColumnRenamed("cuser", "user_id"),
+        on="user_id", left_ts="ets", right_ts="cts", lag_max_sec=300)
+    name = _run_to_table(
+        j.select("event_id", F.unix_timestamp("cts").cast("long")
+                 .alias("ct")), "append")
+    got = _rows(spark.table(name), ["event_id", "ct"])
+
+    x = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"))
+    be = x.where(F.col("event_type") == "error") \
+          .select("event_id", "user_id", "t")
+    bc = x.where(F.col("event_type") == "click") \
+          .select("user_id", F.col("t").alias("ct"))
+    want = _rows(time_window_join(be, bc, on="user_id",
+                                  left_ts="t", right_ts="ct",
+                                  lag_max=300).select("event_id", "ct"),
+                 ["event_id", "ct"])
+    assert got == want and got

@@ -293,6 +293,12 @@ CHECKS = {
                              ["BatchEvalPython", "ArrowEvalPython",
                               "BroadcastHashJoin", "SortMergeJoin",
                               "CartesianProduct"]),
+    # JSON property extraction: codegen get_json_object inside the scan
+    # stage; column pruning must reach the reader (props + type only)
+    "p6_json_props": (["ReadSchema: struct<event_type:string,props:string>",
+                       "HashAggregate"],
+                      ["BatchEvalPython", "ArrowEvalPython",
+                       "BroadcastHashJoin", "SortMergeJoin"]),
     # k-core: the final plan sits past the per-round localCheckpoint
     # barriers (same audit shape as dd7's CC) — assert the closing
     # degree rollup is a hash agg and nothing Python leaked in
