@@ -322,3 +322,72 @@ def sq_rerank_topk(emb: DataFrame, query: DataFrame, k: int = 10,
     w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
     return (scored.withColumn("rnk", F.row_number().over(w2))
             .where(F.col("rnk") <= k))
+
+
+def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 3,
+                  scale: int = 64, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """IVF codebook training: fixed-iteration Lloyd's k-means over the
+    embedding corpus, returning (vec_id, cluster, d2). This TRAINS the
+    coarse quantizer that `ivf_topk` consumes as a given (its `label`
+    cell) — the missing first stage of a real IVF index build.
+
+    Cross-engine-exact by INTEGER-LATTICE arithmetic: embeddings are
+    quantized to floor(x * scale) once, distances are integer sums of
+    squares, and the centroid update is floor(sum/count) — the one double
+    division is exact-floor because |sum| <= dim * scale * n stays far
+    below 2^53 and a non-integer rational sum/count (count bounded by the
+    corpus) can never round across an integer boundary. No libm, no
+    float accumulation order anywhere, so 3 iterations stay bit-stable
+    under the driver's hash gate (float k-means never could: per-partition
+    sum order differs run to run).
+
+    Determinism: seeds are the k smallest md5(vec_id) (content-stable,
+    TakeOrderedAndProject — no global sort); assignment ties break on the
+    smallest centroid id; an emptied centroid drops out of the codebook
+    in both engines (inner joins).
+
+    Scale shape: the corpus appears only as the exploded (vec, dim, q)
+    projection; every iteration is one broadcast join against the
+    k x dim centroid table (the codebook is small BY DEFINITION), one
+    partial-agged (vec, c) distance rollup, one rank window keyed by
+    vec_id, and one (c, dim) partial-agged update whose map-side combine
+    collapses each partition to k*dim rows. localCheckpoint cuts the
+    per-iteration lineage exactly as connected_components does."""
+    from pyspark.sql import Window
+
+    q = emb.select(
+        id_col,
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * scale)
+                    .cast("long")).alias("qv"))
+    v = (q.select(id_col, F.posexplode("qv"))
+         .select(id_col, (F.col("pos") + 1).cast("long").alias("d"),
+                 F.col("col").alias("v"))
+         .persist())
+    seed_ids = (q.select(id_col,
+                         F.md5(F.col(id_col).cast("string")).alias("_h"))
+                .orderBy("_h", id_col).limit(k))
+    w_seed = Window.orderBy("_h", id_col)
+    seeds = seed_ids.withColumn("c", F.row_number().over(w_seed)) \
+                    .select(id_col, "c")
+    cent = (v.join(F.broadcast(seeds), id_col)
+            .select("c", "d", F.col("v").alias("cv"))
+            .localCheckpoint(eager=True))
+    asg = None
+    for _ in range(iters):
+        dist = (v.join(F.broadcast(cent), "d")
+                .groupBy(id_col, "c")
+                .agg(F.sum((F.col("v") - F.col("cv"))
+                           * (F.col("v") - F.col("cv"))).alias("d2")))
+        w_rk = Window.partitionBy(id_col).orderBy("d2", "c")
+        asg = (dist.withColumn("rk", F.row_number().over(w_rk))
+               .where(F.col("rk") == 1).drop("rk"))
+        cent = (asg.join(v, id_col)
+                .groupBy("c", "d")
+                .agg(F.floor(F.sum("v").cast("double") / F.count("*"))
+                     .cast("long").alias("cv"))
+                .localCheckpoint(eager=True))
+    v.unpersist()
+    return asg.select(id_col, F.col("c").cast("int").alias("cluster"),
+                      F.col("d2").cast("long").alias("d2"))

@@ -3650,3 +3650,64 @@ def p6_json_props(spark, sf_dir):
                  F.sum("k").cast("long").alias("sum_k"),
                  F.min("k").cast("long").alias("min_k"),
                  F.max("k").cast("long").alias("max_k")))
+
+
+@q("km1_ivf_codebook", """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+           FROM embeddings),
+v AS (SELECT vec_id, s.d AS d, s.v AS v
+      FROM (SELECT vec_id,
+                   unnest(list_transform(range(1, len(qv)+1),
+                          i -> {'d': i, 'v': qv[i]})) AS s
+            FROM q)),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+          FROM q),
+c0 AS (SELECT s.c, v.d, v.v AS cv FROM seeds s JOIN v ON v.vec_id = s.vec_id WHERE s.c <= 4)
+,
+dist1 AS (SELECT v.vec_id, c0.c,
+                   sum((v.v - c0.cv) * (v.v - c0.cv)) AS d2
+            FROM v JOIN c0 ON v.d = c0.d GROUP BY 1, 2),
+a1 AS (SELECT vec_id, c, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+         FROM dist1),
+asg1 AS (SELECT vec_id, c, d2 FROM a1 WHERE rk = 1),
+c1 AS (SELECT a.c, v.d,
+                CAST(floor(CAST(sum(v.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         FROM asg1 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+dist2 AS (SELECT v.vec_id, c1.c,
+                   sum((v.v - c1.cv) * (v.v - c1.cv)) AS d2
+            FROM v JOIN c1 ON v.d = c1.d GROUP BY 1, 2),
+a2 AS (SELECT vec_id, c, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+         FROM dist2),
+asg2 AS (SELECT vec_id, c, d2 FROM a2 WHERE rk = 1),
+c2 AS (SELECT a.c, v.d,
+                CAST(floor(CAST(sum(v.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         FROM asg2 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+dist3 AS (SELECT v.vec_id, c2.c,
+                   sum((v.v - c2.cv) * (v.v - c2.cv)) AS d2
+            FROM v JOIN c2 ON v.d = c2.d GROUP BY 1, 2),
+a3 AS (SELECT vec_id, c, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+         FROM dist3),
+asg3 AS (SELECT vec_id, c, d2 FROM a3 WHERE rk = 1),
+c3 AS (SELECT a.c, v.d,
+                CAST(floor(CAST(sum(v.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         FROM asg3 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2)
+SELECT vec_id, CAST(c AS INT) AS cluster, CAST(d2 AS BIGINT) AS d2
+FROM asg3
+""")
+def km1_ivf_codebook(spark, sf_dir):
+    """IVF codebook training under the hash gate: 3 Lloyd iterations of
+    k=4 k-means over the integer-quantized embedding lattice, emitting
+    each vector's final cell + squared distance. The stage an2's IVF
+    probe presumes already happened (its `label` coarse cells). Integer
+    arithmetic end-to-end makes iterative float clustering — normally
+    impossible to cross-check bit-exactly — oracle-verifiable; the
+    unrolled-CTE oracle runs the identical 3 rounds. See
+    operators/similarity.kmeans_assign for the scale shape."""
+    from crawler_spark.operators.similarity import kmeans_assign
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=4, iters=3, scale=64)

@@ -62,3 +62,39 @@ def test_neardup_subblock_keeps_true_neardups(spark):
         planes=rh_planes(4, DIM), band_size=2).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 100)}
     assert got[0]["cosine"] >= 0.999
+
+
+def test_kmeans_separates_blobs(spark):
+    """Two well-separated lattice blobs: 3 Lloyd iterations recover the
+    partition regardless of which seeds start where."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.similarity import kmeans_assign
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0 + (i % 3) * 0.01] * 8))        # blob A
+        rows.append((100 + i, [-1.0 - (i % 3) * 0.01] * 8))  # blob B
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+              .withColumn("embedding", F.col("embedding")
+                          .cast("array<float>"))
+    out = kmeans_assign(df, k=2, iters=3, scale=64).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert len(out) == 40 and len(by_cluster) == 2
+    a = {i for i in range(20)}
+    b = {100 + i for i in range(20)}
+    assert set(map(frozenset, by_cluster.values())) == {frozenset(a),
+                                                        frozenset(b)}
+
+
+def test_kmeans_partition_invariant(spark):
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.similarity import kmeans_assign
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted((r["vec_id"], r["cluster"], r["d2"]) for r in
+               kmeans_assign(e.repartition(1), k=4, iters=2).collect())
+    b = sorted((r["vec_id"], r["cluster"], r["d2"]) for r in
+               kmeans_assign(e.repartition(13), k=4, iters=2).collect())
+    assert a == b

@@ -293,6 +293,12 @@ CHECKS = {
                              ["BatchEvalPython", "ArrowEvalPython",
                               "BroadcastHashJoin", "SortMergeJoin",
                               "CartesianProduct"]),
+    # k-means: the post-loop plan (past the centroid localCheckpoints)
+    # must show the distance rollup partial-agged and the codebook join
+    # broadcast — the corpus never shuffles against centroids
+    "km1_ivf_codebook": (["BroadcastHashJoin", "partial_sum"],
+                         ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct", "SortMergeJoin"]),
     # JSON property extraction: codegen get_json_object inside the scan
     # stage; column pruning must reach the reader (props + type only)
     "p6_json_props": (["ReadSchema: struct<event_type:string,props:string>",
