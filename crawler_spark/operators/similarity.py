@@ -391,3 +391,67 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 3,
     v.unpersist()
     return asg.select(id_col, F.col("c").cast("int").alias("cluster"),
                       F.col("d2").cast("long").alias("d2"))
+
+
+def pq_encode(emb: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
+              scale: int = 64, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011): split each
+    vector into `m` contiguous subspaces, train a k-centroid codebook per
+    subspace with Lloyd iterations, and emit every vector's m-code word
+    plus its total quantization error — the encode stage an ADC search
+    runs over at 10^10 vectors (m * log2(k) bits per vector instead of
+    dim floats).
+
+    All m codebooks train JOINTLY in the same jobs: the exploded
+    (vec, subspace, dim, q) view keys every k-means step by subspace, so
+    one broadcast join + one distance rollup + one rank window + one
+    update per iteration trains the whole product codebook — m never
+    multiplies the job count. Integer-lattice arithmetic end-to-end
+    (kmeans_assign's argument), so the full iterative training sits
+    under the cross-engine hash gate.
+
+    Returns (vec_id, code_0..code_{m-1} INT, pq_err BIGINT)."""
+    from pyspark.sql import Window
+
+    q = emb.select(
+        id_col,
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * scale)
+                    .cast("long")).alias("qv"))
+    v = (q.select(id_col, F.posexplode("qv"))
+         .select(id_col, (F.col("pos") + 1).cast("long").alias("d"),
+                 F.col("col").alias("v")))
+    # subspace width from the (fixed) vector dimensionality
+    dim = len(emb.select(vec_col).first()[0])
+    sd = dim // m
+    v = v.withColumn("s", F.expr(f"CAST((d - 1) DIV {sd} AS INT)")) \
+         .persist()
+    seed_ids = (q.select(id_col,
+                         F.md5(F.col(id_col).cast("string")).alias("_h"))
+                .orderBy("_h", id_col).limit(k))
+    seeds = seed_ids.withColumn(
+        "c", F.row_number().over(Window.orderBy("_h", id_col))) \
+        .select(id_col, "c")
+    cent = (v.join(F.broadcast(seeds), id_col)
+            .select("s", "c", "d", F.col("v").alias("cv"))
+            .localCheckpoint(eager=True))
+    asg = None
+    for _ in range(iters):
+        dist = (v.join(F.broadcast(cent.drop("s")), "d")
+                .groupBy(id_col, "s", "c")
+                .agg(F.sum((F.col("v") - F.col("cv"))
+                           * (F.col("v") - F.col("cv"))).alias("d2")))
+        w_rk = Window.partitionBy(id_col, "s").orderBy("d2", "c")
+        asg = (dist.withColumn("rk", F.row_number().over(w_rk))
+               .where(F.col("rk") == 1).drop("rk"))
+        cent = (asg.join(v, [id_col, "s"])
+                .groupBy("s", "c", "d")
+                .agg(F.floor(F.sum("v").cast("double") / F.count("*"))
+                     .cast("long").alias("cv"))
+                .localCheckpoint(eager=True))
+    v.unpersist()
+    codes = [F.max(F.when(F.col("s") == i, F.col("c"))).cast("int")
+             .alias(f"code_{i}") for i in range(m)]
+    return (asg.groupBy(id_col)
+            .agg(*codes, F.sum("d2").cast("long").alias("pq_err")))

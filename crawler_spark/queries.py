@@ -3711,3 +3711,66 @@ def km1_ivf_codebook(spark, sf_dir):
     from crawler_spark.operators.similarity import kmeans_assign
     e = _t(spark, sf_dir, "embeddings")
     return kmeans_assign(e, k=4, iters=3, scale=64)
+
+
+@q("an7_pq_encode", """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+           FROM embeddings),
+v AS (SELECT vec_id, d, v, CAST((d - 1) // 16 AS INT) AS s
+      FROM (SELECT vec_id, s.d AS d, s.v AS v
+            FROM (SELECT vec_id,
+                         unnest(list_transform(range(1, len(qv)+1),
+                                i -> {'d': i, 'v': qv[i]})) AS s
+                  FROM q))),
+seeds AS (SELECT vec_id,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS c
+          FROM q),
+c0 AS (SELECT v.s, se.c, v.d, v.v AS cv
+       FROM seeds se JOIN v ON v.vec_id = se.vec_id WHERE se.c <= 4),
+dist1 AS (SELECT v.vec_id, v.s, c0.c,
+                   sum((v.v - c0.cv) * (v.v - c0.cv)) AS d2
+            FROM v JOIN c0 ON v.d = c0.d GROUP BY 1, 2, 3),
+a1 AS (SELECT vec_id, s, c, d2,
+                row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d2, c) AS rk
+         FROM dist1),
+asg1 AS (SELECT vec_id, s, c, d2 FROM a1 WHERE rk = 1),
+c1 AS (SELECT a.s, a.c, v.d,
+                CAST(floor(CAST(sum(v.v) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS cv
+         FROM asg1 a JOIN v ON v.vec_id = a.vec_id AND v.s = a.s
+         GROUP BY 1, 2, 3),
+dist2 AS (SELECT v.vec_id, v.s, c1.c,
+                   sum((v.v - c1.cv) * (v.v - c1.cv)) AS d2
+            FROM v JOIN c1 ON v.d = c1.d GROUP BY 1, 2, 3),
+a2 AS (SELECT vec_id, s, c, d2,
+                row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d2, c) AS rk
+         FROM dist2),
+asg2 AS (SELECT vec_id, s, c, d2 FROM a2 WHERE rk = 1),
+c2 AS (SELECT a.s, a.c, v.d,
+                CAST(floor(CAST(sum(v.v) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS cv
+         FROM asg2 a JOIN v ON v.vec_id = a.vec_id AND v.s = a.s
+         GROUP BY 1, 2, 3)
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN c END) AS INT) AS code_0,
+       CAST(max(CASE WHEN s = 1 THEN c END) AS INT) AS code_1,
+       CAST(max(CASE WHEN s = 2 THEN c END) AS INT) AS code_2,
+       CAST(max(CASE WHEN s = 3 THEN c END) AS INT) AS code_3,
+       CAST(sum(d2) AS BIGINT) AS pq_err
+FROM asg2 GROUP BY vec_id
+""")
+def an7_pq_encode(spark, sf_dir):
+    """Product-quantization encoding under the hash gate: 4 subspace
+    codebooks (k=4, 2 joint Lloyd iterations over the integer lattice)
+    -> each vector's 4-code word + total quantization error. The encode
+    stage of a PQ/ADC index (Jegou et al. 2011) — with km1 this
+    completes codebook TRAINING for both IVF and PQ on the engine.
+    See operators/similarity.pq_encode."""
+    from crawler_spark.operators.similarity import pq_encode
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_encode(e, m=4, k=4, iters=2, scale=64)

@@ -98,3 +98,27 @@ def test_kmeans_partition_invariant(spark):
     b = sorted((r["vec_id"], r["cluster"], r["d2"]) for r in
                kmeans_assign(e.repartition(13), k=4, iters=2).collect())
     assert a == b
+
+
+def test_pq_encode_m1_equals_kmeans(spark):
+    """With one subspace, PQ encoding degenerates to plain k-means: same
+    cells, same distances — the joint-training path is the same algebra."""
+    from crawler_spark.operators.similarity import kmeans_assign, pq_encode
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    km = {r["vec_id"]: (r["cluster"], r["d2"]) for r in
+          kmeans_assign(e, k=4, iters=2).collect()}
+    pq = {r["vec_id"]: (r["code_0"], r["pq_err"]) for r in
+          pq_encode(e, m=1, k=4, iters=2).collect()}
+    assert km == pq
+
+
+def test_pq_encode_code_ranges_and_error(spark):
+    from crawler_spark.operators.similarity import pq_encode
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = pq_encode(e, m=4, k=4, iters=2).collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        assert all(1 <= r[f"code_{i}"] <= 4 for i in range(4))
+        assert r["pq_err"] >= 0

@@ -299,6 +299,11 @@ CHECKS = {
     "km1_ivf_codebook": (["BroadcastHashJoin", "partial_sum"],
                          ["BatchEvalPython", "ArrowEvalPython",
                           "CartesianProduct", "SortMergeJoin"]),
+    # PQ encode: km1's audit shape + the final per-vector code pivot as
+    # one partial+final hash agg
+    "an7_pq_encode": (["BroadcastHashJoin", "partial_sum", "partial_max"],
+                      ["BatchEvalPython", "ArrowEvalPython",
+                       "CartesianProduct", "SortMergeJoin"]),
     # JSON property extraction: codegen get_json_object inside the scan
     # stage; column pruning must reach the reader (props + type only)
     "p6_json_props": (["ReadSchema: struct<event_type:string,props:string>",
