@@ -393,9 +393,9 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 3,
                       F.col("d2").cast("long").alias("d2"))
 
 
-def pq_encode(emb: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
+def _pq_train(emb: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
               scale: int = 64, vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id"):
     """Product-quantization encoding (Jegou et al. 2011): split each
     vector into `m` contiguous subspaces, train a k-centroid codebook per
     subspace with Lloyd iterations, and emit every vector's m-code word
@@ -411,7 +411,8 @@ def pq_encode(emb: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
     (kmeans_assign's argument), so the full iterative training sits
     under the cross-engine hash gate.
 
-    Returns (vec_id, code_0..code_{m-1} INT, pq_err BIGINT)."""
+    Returns (asg, cent): the per-(vec, subspace) assignment frame and
+    the trained (s, c, d, cv) codebook frame."""
     from pyspark.sql import Window
 
     q = emb.select(
@@ -451,7 +452,67 @@ def pq_encode(emb: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
                      .cast("long").alias("cv"))
                 .localCheckpoint(eager=True))
     v.unpersist()
+    return asg, cent
+
+
+def pq_encode(emb: DataFrame, m: int = 4, k: int = 4, iters: int = 2,
+              scale: int = 64, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Per-vector PQ code word + quantization error (flat columns) from
+    `_pq_train` — see its docstring for the algorithm and scale shape."""
+    asg, _ = _pq_train(emb, m=m, k=k, iters=iters, scale=scale,
+                       vec_col=vec_col, id_col=id_col)
     codes = [F.max(F.when(F.col("s") == i, F.col("c"))).cast("int")
              .alias(f"code_{i}") for i in range(m)]
     return (asg.groupBy(id_col)
             .agg(*codes, F.sum("d2").cast("long").alias("pq_err")))
+
+
+def adc_topk(emb: DataFrame, query_ids: list[int], topk: int = 5,
+             m: int = 4, k: int = 4, iters: int = 2, scale: int = 64,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ-encoded corpus
+    (Jegou et al. 2011 §IV): the query stays EXACT on the lattice; each
+    corpus vector is touched only through its m codes. Distance =
+    sum_s LUT[query, s, code_s] where the lookup table holds the exact
+    query-subvector <-> centroid distances — m*k cells per query,
+    computed once and broadcast.
+
+    Scale shape: the corpus-side scan carries only (vec_id, s, c) — the
+    compressed index, m*log2(k) bits/vector — joined against the
+    broadcast LUT (q*m*k rows) and rolled up per (query, vec); the rank
+    is a per-query window over ADC scores. The full-precision corpus is
+    never read at query time; integer arithmetic keeps the whole search
+    under the cross-engine hash gate.
+
+    Returns (qid, vec_id, adc BIGINT, rk INT), rk <= topk, ties broken
+    on vec_id; the query vector itself is excluded."""
+    from pyspark.sql import Window
+
+    asg, cent = _pq_train(emb, m=m, k=k, iters=iters, scale=scale,
+                          vec_col=vec_col, id_col=id_col)
+    dim = len(emb.select(vec_col).first()[0])
+    sd = dim // m
+    qv = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * scale)
+                    .cast("long")).alias("qv"))
+    qdims = (qv.select("qid", F.posexplode("qv"))
+             .select("qid", (F.col("pos") + 1).cast("long").alias("d"),
+                     F.col("col").alias("qval"))
+             .withColumn("s", F.expr(f"CAST((d - 1) DIV {sd} AS INT)")))
+    lut = (qdims.join(F.broadcast(cent), ["s", "d"])
+           .groupBy("qid", "s", "c")
+           .agg(F.sum((F.col("qval") - F.col("cv"))
+                      * (F.col("qval") - F.col("cv"))).alias("ld")))
+    scored = (asg.select(id_col, "s", "c")
+              .join(F.broadcast(lut), ["s", "c"])
+              .groupBy("qid", id_col)
+              .agg(F.sum("ld").alias("adc"))
+              .where(F.col("qid") != F.col(id_col)))
+    w = Window.partitionBy("qid").orderBy("adc", id_col)
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= topk)
+            .select("qid", id_col, F.col("adc").cast("long").alias("adc"),
+                    F.col("rk").cast("int").alias("rk")))

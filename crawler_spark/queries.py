@@ -3774,3 +3774,74 @@ def an7_pq_encode(spark, sf_dir):
     from crawler_spark.operators.similarity import pq_encode
     e = _t(spark, sf_dir, "embeddings")
     return pq_encode(e, m=4, k=4, iters=2, scale=64)
+
+
+@q("an8_adc_search", """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+           FROM embeddings),
+v AS (SELECT vec_id, d, v, CAST((d - 1) // 16 AS INT) AS s
+      FROM (SELECT vec_id, s.d AS d, s.v AS v
+            FROM (SELECT vec_id,
+                         unnest(list_transform(range(1, len(qv)+1),
+                                i -> {'d': i, 'v': qv[i]})) AS s
+                  FROM q))),
+seeds AS (SELECT vec_id,
+                 row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS c
+          FROM q),
+c0 AS (SELECT v.s, se.c, v.d, v.v AS cv
+       FROM seeds se JOIN v ON v.vec_id = se.vec_id WHERE se.c <= 4),
+dist1 AS (SELECT v.vec_id, v.s, c0.c,
+                   sum((v.v - c0.cv) * (v.v - c0.cv)) AS d2
+            FROM v JOIN c0 ON v.d = c0.d GROUP BY 1, 2, 3),
+a1 AS (SELECT vec_id, s, c, d2,
+                row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d2, c) AS rk
+         FROM dist1),
+asg1 AS (SELECT vec_id, s, c, d2 FROM a1 WHERE rk = 1),
+c1 AS (SELECT a.s, a.c, v.d,
+                CAST(floor(CAST(sum(v.v) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS cv
+         FROM asg1 a JOIN v ON v.vec_id = a.vec_id AND v.s = a.s
+         GROUP BY 1, 2, 3),
+dist2 AS (SELECT v.vec_id, v.s, c1.c,
+                   sum((v.v - c1.cv) * (v.v - c1.cv)) AS d2
+            FROM v JOIN c1 ON v.d = c1.d GROUP BY 1, 2, 3),
+a2 AS (SELECT vec_id, s, c, d2,
+                row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d2, c) AS rk
+         FROM dist2),
+asg2 AS (SELECT vec_id, s, c, d2 FROM a2 WHERE rk = 1),
+c2 AS (SELECT a.s, a.c, v.d,
+                CAST(floor(CAST(sum(v.v) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS cv
+         FROM asg2 a JOIN v ON v.vec_id = a.vec_id AND v.s = a.s
+         GROUP BY 1, 2, 3),
+qd AS (SELECT vec_id AS qid, d, v AS qval, s FROM v WHERE vec_id IN (0, 1, 2)),
+lut AS (SELECT qd.qid, c2.s, c2.c,
+               sum((qd.qval - c2.cv) * (qd.qval - c2.cv)) AS ld
+        FROM qd JOIN c2 ON qd.s = c2.s AND qd.d = c2.d
+        GROUP BY 1, 2, 3),
+sc AS (SELECT l.qid, a.vec_id, sum(l.ld) AS adc
+       FROM asg2 a JOIN lut l ON l.s = a.s AND l.c = a.c
+       WHERE l.qid <> a.vec_id
+       GROUP BY 1, 2),
+rk AS (SELECT qid, vec_id, adc,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY adc, vec_id) AS rk
+       FROM sc)
+SELECT qid, vec_id, CAST(adc AS BIGINT) AS adc, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 5
+""")
+def an8_adc_search(spark, sf_dir):
+    """ADC top-5 search over the PQ index (Jegou et al. 2011 §IV): exact
+    query subvectors against the trained codebook build a broadcast m*k
+    lookup table; the corpus is scanned by CODES ONLY (the compressed
+    index — the full-precision vectors are never read at query time).
+    With an7 this is the complete PQ pipeline (train -> encode -> search)
+    bit-exact under the hash gate. See operators/similarity.adc_topk."""
+    from crawler_spark.operators.similarity import adc_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return adc_topk(e, query_ids=[0, 1, 2], topk=5, m=4, k=4, iters=2)

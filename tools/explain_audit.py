@@ -304,6 +304,11 @@ CHECKS = {
     "an7_pq_encode": (["BroadcastHashJoin", "partial_sum", "partial_max"],
                       ["BatchEvalPython", "ArrowEvalPython",
                        "CartesianProduct", "SortMergeJoin"]),
+    # ADC search: corpus scanned by codes only, LUT broadcast; the rank
+    # window rides a per-query partition, never a corpus sort
+    "an8_adc_search": (["BroadcastHashJoin", "Window"],
+                       ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct", "SortMergeJoin"]),
     # JSON property extraction: codegen get_json_object inside the scan
     # stage; column pruning must reach the reader (props + type only)
     "p6_json_props": (["ReadSchema: struct<event_type:string,props:string>",
