@@ -3845,3 +3845,43 @@ def an8_adc_search(spark, sf_dir):
     from crawler_spark.operators.similarity import adc_topk
     e = _t(spark, sf_dir, "embeddings")
     return adc_topk(e, query_ids=[0, 1, 2], topk=5, m=4, k=4, iters=2)
+
+
+@q("tx15_perplexity_buckets", """
+WITH w AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           FROM documents),
+f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM f),
+lp AS (SELECT doc_id, round(avg(ln(t.n_total) - ln(f.c)), 4) AS neg_logprob
+       FROM w JOIN f USING (word) CROSS JOIN t GROUP BY doc_id),
+b AS (SELECT d.doc_id, d.lang, lp.neg_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY lp.neg_logprob, d.doc_id) AS nt
+      FROM lp JOIN documents d USING (doc_id))
+SELECT doc_id, lang, neg_logprob,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM b
+""")
+def tx15_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail curation split: per language, rank
+    documents by their corpus-LM negative logprob (tx10's axis) and cut
+    into equal thirds — 'head' is the fluent slice CCNet trains on,
+    'tail' is the garbled slice it drops, 'middle' is the tunable
+    reservoir. The ntile rides tx10's ROUNDED score (hash-stable), ties
+    broken by doc_id, so the split is deterministic and resumable.
+
+    Scale: tx10's two partial-agg shuffles + one per-language window;
+    language partitions bound the sort; at 10^10 docs replace ntile with
+    the tx8-style bucket-histogram threshold (no per-language sort) —
+    same cut, documented containment property."""
+    from crawler_spark.operators.langmodel import unigram_logprob
+    d = _t(spark, sf_dir, "documents")
+    lp = unigram_logprob(d).select("doc_id", "neg_logprob")
+    j = lp.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("neg_logprob", "doc_id")
+    nt = F.ntile(3).over(w)
+    return j.select("doc_id", "lang", "neg_logprob",
+                    F.when(nt == 1, "head").when(nt == 2, "middle")
+                     .otherwise("tail").alias("bucket"))

@@ -309,6 +309,12 @@ CHECKS = {
     "an8_adc_search": (["BroadcastHashJoin", "Window"],
                        ["BatchEvalPython", "ArrowEvalPython",
                         "CartesianProduct", "SortMergeJoin"]),
+    # perplexity buckets: tx10's partial-agged shuffles + ONE per-language
+    # window; the broadcast scalar total must stay a one-row broadcast NL,
+    # never a data cartesian
+    "tx15_perplexity_buckets": (["Window", "partial_count"],
+                                ["BatchEvalPython", "ArrowEvalPython",
+                                 "SortMergeJoin"]),
     # JSON property extraction: codegen get_json_object inside the scan
     # stage; column pruning must reach the reader (props + type only)
     "p6_json_props": (["ReadSchema: struct<event_type:string,props:string>",
