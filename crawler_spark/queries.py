@@ -3885,3 +3885,55 @@ def tx15_perplexity_buckets(spark, sf_dir):
     return j.select("doc_id", "lang", "neg_logprob",
                     F.when(nt == 1, "head").when(nt == 2, "middle")
                      .otherwise("tail").alias("bucket"))
+
+
+@q("rc6_adaptive_delay", """
+WITH l AS (SELECT source AS host, doc_id,
+                  CAST(100 + (doc_id * 31) % 900 AS DOUBLE) AS latency_ms
+           FROM documents),
+e AS (SELECT host, CAST(count(*) AS BIGINT) AS n_samples,
+             list_reduce(list_prepend(0.0,
+                 list(latency_ms ORDER BY doc_id)),
+                 (acc, x) -> (acc + x) * 0.5) AS ewma_raw,
+             CAST(count(*) AS BIGINT) AS pending
+      FROM l GROUP BY host)
+SELECT host, n_samples, round(ewma_raw, 4) AS ewma_ms,
+       CAST(floor(60000.0 / greatest(ewma_raw, 100.0)) AS BIGINT)
+         AS wave_budget,
+       pending,
+       CAST(least(pending,
+                  CAST(floor(60000.0 / greatest(ewma_raw, 100.0))
+                       AS BIGINT)) AS BIGINT) AS alloc
+FROM e
+""")
+def rc6_adaptive_delay(spark, sf_dir):
+    """Closed-loop adaptive politeness: each host's crawl budget for the
+    next 60s wave derives from the EWMA of its OBSERVED fetch latencies
+    (st8's alpha=1/2 fold) instead of a static delay directive — the
+    AIMD governor that backs off degrading hosts within a few fetches
+    and re-opens them as they recover. Composes st8 (estimator) with
+    rc4's allocation rule (budget floor + pending clamp); a 100ms floor
+    caps any host at 600 fetches/wave.
+
+    Scale: one host-keyed shuffle total — the fold, the sample count and
+    the pending count come out of the same grouped pass; the budget
+    arithmetic is map-side on host-cardinality rows."""
+    e = _t(spark, sf_dir, "documents")
+    lat = (F.lit(100) + (F.col("doc_id") * 31) % 900).cast("double")
+    l = e.select(F.col("source").alias("host"), "doc_id",
+                 lat.alias("latency_ms"))
+    arr = F.array_sort(F.collect_list(F.struct("doc_id", "latency_ms")))
+    fold = F.aggregate(F.transform(arr, lambda s: s["latency_ms"]),
+                       F.lit(0.0), lambda a, x: (a + x) * F.lit(0.5))
+    g = (l.groupBy("host")
+         .agg(F.count("*").cast("long").alias("n_samples"),
+              fold.alias("ewma_raw"),
+              F.count("*").cast("long").alias("pending")))
+    budget = F.floor(F.lit(60000.0)
+                     / F.greatest(F.col("ewma_raw"), F.lit(100.0))) \
+              .cast("long")
+    return g.select("host", "n_samples",
+                    F.round("ewma_raw", 4).alias("ewma_ms"),
+                    budget.alias("wave_budget"), "pending",
+                    F.least(F.col("pending"), budget).cast("long")
+                     .alias("alloc"))

@@ -315,6 +315,12 @@ CHECKS = {
     "tx15_perplexity_buckets": (["Window", "partial_count"],
                                 ["BatchEvalPython", "ArrowEvalPython",
                                  "SortMergeJoin"]),
+    # adaptive delay: ONE host-keyed shuffle (fold + counts in the same
+    # grouped pass), budget arithmetic map-side — no joins at all
+    "rc6_adaptive_delay": (["ObjectHashAggregate", "partial_collect_list"],
+                           ["BatchEvalPython", "ArrowEvalPython",
+                            "BroadcastHashJoin", "SortMergeJoin",
+                            "CartesianProduct"]),
     # JSON property extraction: codegen get_json_object inside the scan
     # stage; column pruning must reach the reader (props + type only)
     "p6_json_props": (["ReadSchema: struct<event_type:string,props:string>",
