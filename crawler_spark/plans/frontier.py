@@ -278,10 +278,10 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         # persist_links, scan.rs:71-74) — the seed hosts' sitemap URLs join
         # the wave-0 frontier at depth 0 through the same admission path ---
         if spec.sitemap and sitemap_src is not None and initial_frontier is None:
-            from crawler_spark.sources.sitemap import parse_sitemaps_df
-            sm = (parse_sitemaps_df(sitemap_src)
-                  .where(F.col("host").isin(seed_hosts))
-                  .select(F.explode("urls").alias("url")))
+            from crawler_spark.sources.sitemap import expand_sitemaps_df
+            sm = (expand_sitemaps_df(
+                      sitemap_src.where(F.col("host").isin(seed_hosts)))
+                  .select("url"))
             sm_canon = (sm.withColumn("url_canon",
                                       canonicalize_udf(F.col("url"), F.lit("")))
                         .where(F.col("url_canon") != "")

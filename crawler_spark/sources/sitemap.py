@@ -52,3 +52,78 @@ def parse_sitemaps_df(sitemap_src: DataFrame) -> DataFrame:
             })
 
     return sitemap_src.mapInPandas(_parse, SITEMAP_URLS_SCHEMA)
+
+
+_SM_BLOCK_RE = re.compile(r"<sitemap\b.*?</sitemap>",
+                          re.IGNORECASE | re.DOTALL)
+
+
+def parse_sitemap_entries(xml: str) -> tuple[list[str], list[str]]:
+    """Split a sitemap body into (page_urls, child_sitemap_urls): locs
+    inside <sitemap> blocks are nested-index children (to be fetched and
+    parsed in turn — the spider crate's sitemap reader recurses these);
+    every other loc is a page URL. Shared by the engine expansion and
+    tests/oracle.py so both sides recurse identically."""
+    if not xml:
+        return [], []
+    children = []
+    for block in _SM_BLOCK_RE.findall(xml):
+        children.extend(_LOC_RE.findall(block))
+    cset = set(children)
+    pages = [u for u in _LOC_RE.findall(xml) if u not in cset]
+    return pages, children
+
+
+ENTRIES_SCHEMA = StructType([
+    StructField("host", StringType(), False),
+    StructField("pages", ArrayType(StringType(), False), False),
+    StructField("children", ArrayType(StringType(), False), False),
+])
+
+
+def _entries_df(cur: DataFrame) -> DataFrame:
+    def _parse(batches):
+        for pdf in batches:
+            pc = [parse_sitemap_entries(x or "") for x in pdf["xml"]]
+            yield pd.DataFrame({
+                "host": pdf["host"],
+                "pages": [p for p, _ in pc],
+                "children": [c for _, c in pc],
+            })
+    return cur.mapInPandas(_parse, ENTRIES_SCHEMA)
+
+
+def expand_sitemaps_df(sitemap_src: DataFrame,
+                       max_depth: int = 3) -> DataFrame:
+    """Recursive sitemap expansion over a (host, path, xml) source table:
+    start from each host's root sitemap.xml, parse, and resolve nested
+    <sitemapindex> children by (host, last path segment) lookup back into
+    the source — up to `max_depth` levels (the sitemaps.org limit is one
+    index level; the cap guards loops). Returns flat (host, url) page
+    rows.
+
+    Scale shape: everything here is sitemap-document cardinality (orders
+    below page cardinality); each level is one vectorized parse pass plus
+    one equi-join against the source table; the driver loop runs at most
+    max_depth host-cardinality take(1) probes."""
+    from pyspark.sql import functions as F
+
+    if "path" not in sitemap_src.columns:   # legacy (host, xml) source:
+        sitemap_src = sitemap_src.withColumn(  # every row is a root
+            "path", F.lit("sitemap.xml"))
+    cur = sitemap_src.where(F.col("path") == "sitemap.xml") \
+                     .select("host", "xml")
+    out = None
+    for _ in range(max_depth):
+        parsed = _entries_df(cur).localCheckpoint(eager=True)
+        pages = parsed.select("host", F.explode("pages").alias("url"))
+        out = pages if out is None else out.unionByName(pages)
+        child = (parsed.select("host", F.explode("children").alias("curl"))
+                 .withColumn("path",
+                             F.element_at(F.split("curl", "/"), -1))
+                 .join(sitemap_src, ["host", "path"])
+                 .select("host", "xml"))
+        if not child.take(1):
+            break
+        cur = child
+    return out

@@ -147,24 +147,68 @@ def total_pages_of(cfg: WebGraphConfig, host: str) -> int:
                                  else 0)
 
 
-def sitemap_body(cfg: WebGraphConfig, host: str) -> str:
-    """sitemap.xml for a host ('' = absent): every 3rd organic page plus the
-    orphan pages (reference: spider's `sitemap` feature fetches and seeds
-    /sitemap.xml URLs, Cargo.lock:2136-2145)."""
-    if not has_sitemap(cfg, host):
-        return ""
+def has_sitemap_index(cfg: WebGraphConfig, host: str) -> bool:
+    """~40% of sitemap hosts publish a <sitemapindex> of two child
+    sitemaps instead of one flat urlset (the large-site layout; the
+    sitemaps.org 50k-URL cap forces it at scale). The spider crate's
+    sitemap reader recurses these (Cargo.lock:2136-2145)."""
+    return has_sitemap(cfg, host) and (_h(cfg.seed, "smidx", host)
+                                       % 1000) < 400
+
+
+def _sitemap_page_urls(cfg: WebGraphConfig, host: str) -> list[str]:
     n = cfg.pages_of(host)
     urls = [page_url(host, pi) for pi in range(0, n, 3)]
     urls += [page_url(host, n + j) for j in range(cfg.sitemap_orphans)]
+    return urls
+
+
+def _urlset(urls: list[str]) -> str:
     entries = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
     return ('<?xml version="1.0" encoding="UTF-8"?>'
             '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
             + entries + "</urlset>")
 
 
+def sitemap_body(cfg: WebGraphConfig, host: str,
+                 path: str = "sitemap.xml") -> str:
+    """Body of http://host/<path> ('' = absent). Flat hosts serve one
+    urlset at sitemap.xml (every 3rd organic page plus orphans); index
+    hosts serve a <sitemapindex> there pointing at sitemap-0.xml /
+    sitemap-1.xml which split the same URL list (even/odd), so the
+    TRANSITIVE page set is identical either way — nesting must be
+    semantics-neutral, which is what the index e2e tests pin."""
+    if not has_sitemap(cfg, host):
+        return ""
+    if has_sitemap_index(cfg, host):
+        if path == "sitemap.xml":
+            entries = "".join(
+                f"<sitemap><loc>http://{host}/sitemap-{i}.xml</loc>"
+                f"</sitemap>" for i in range(2))
+            return ('<?xml version="1.0" encoding="UTF-8"?>'
+                    '<sitemapindex xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    + entries + "</sitemapindex>")
+        if path in ("sitemap-0.xml", "sitemap-1.xml"):
+            i = int(path[8])
+            return _urlset(_sitemap_page_urls(cfg, host)[i::2])
+        return ""
+    if path == "sitemap.xml":
+        return _urlset(_sitemap_page_urls(cfg, host))
+    return ""
+
+
 def gen_sitemaps_src(cfg: WebGraphConfig) -> pd.DataFrame:
-    rows = [(h, sitemap_body(cfg, h)) for h in cfg.hosts()]
-    return pd.DataFrame(rows, columns=["host", "xml"])
+    """(host, path, xml) rows for every sitemap document the fixture
+    serves — roots AND index children (the engine/oracle look children
+    up here by (host, path), standing in for the re-fetch)."""
+    rows = []
+    for h in cfg.hosts():
+        for p in ("sitemap.xml", "sitemap-0.xml", "sitemap-1.xml"):
+            b = sitemap_body(cfg, h, p)
+            if b:
+                rows.append((h, p, b))
+    return pd.DataFrame(rows, columns=["host", "path", "xml"])
 
 
 def to_spark_sitemaps(spark, cfg: WebGraphConfig):

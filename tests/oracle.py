@@ -56,13 +56,25 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
     seed_canon = [c for c in (canonicalize(s, "") for s in spec.seeds) if c]
     seed_hosts = {host_of(c) for c in seed_canon}
     if spec.sitemap and sitemaps is not None:
-        # S4: seed hosts' sitemap URLs join wave 0 (same admission path)
-        from crawler_spark.sources.sitemap import parse_sitemap
-        for r in sitemaps.itertuples():
-            if r.host in seed_hosts:
+        # S4: seed hosts' sitemap URLs join wave 0 (same admission path).
+        # Nested <sitemapindex> children recurse via (host, path) lookup —
+        # the same shared parser + bounded depth as expand_sitemaps_df.
+        from crawler_spark.sources.sitemap import parse_sitemap_entries
+        has_path = "path" in sitemaps.columns
+        bodies = {(r.host, (r.path if has_path else "sitemap.xml")): r.xml
+                  for r in sitemaps.itertuples()}
+        frontier_sm = [(h, "sitemap.xml") for h in sorted(seed_hosts)]
+        for _ in range(3):
+            nxt = []
+            for h, p in frontier_sm:
+                pages_u, children = parse_sitemap_entries(
+                    bodies.get((h, p), ""))
                 seed_canon.extend(
-                    c for c in (canonicalize(u, "") for u in parse_sitemap(r.xml))
-                    if c)
+                    c for c in (canonicalize(u, "") for u in pages_u) if c)
+                nxt.extend((h, cu.rsplit("/", 1)[-1]) for cu in children)
+            if not nxt:
+                break
+            frontier_sm = nxt
     pending: list[tuple[float, int, str]] = []   # (priority, depth, url_canon)
     tokens: dict[str, float] = {}
 

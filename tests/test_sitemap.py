@@ -68,3 +68,63 @@ def test_sitemap_expands_reach(spark, small_cfg):
     assert o_map.seen >= o_plain.seen
     assert o_map.seen != o_plain.seen, \
         "sitemap must add URLs the link graph alone cannot reach"
+
+
+def test_parse_sitemap_entries_split():
+    idx = ('<?xml version="1.0"?><sitemapindex>'
+           "<sitemap><loc>http://a/sitemap-0.xml</loc></sitemap>"
+           "<sitemap><loc> http://a/sitemap-1.xml </loc></sitemap>"
+           "</sitemapindex>")
+    from crawler_spark.sources.sitemap import parse_sitemap_entries
+    pages, children = parse_sitemap_entries(idx)
+    assert pages == []
+    assert children == ["http://a/sitemap-0.xml", "http://a/sitemap-1.xml"]
+    flat = "<urlset><url><loc>http://a/p0</loc></url></urlset>"
+    assert parse_sitemap_entries(flat) == (["http://a/p0"], [])
+    assert parse_sitemap_entries("") == ([], [])
+
+
+def test_index_hosts_exist_and_nesting_is_semantics_neutral(small_cfg):
+    """The fixture must actually exercise the index path, and the
+    TRANSITIVE page set of an index host equals what a flat layout would
+    list — nesting changes the document structure, never the URL set."""
+    from crawler_spark.sources.sitemap import parse_sitemap_entries
+    from crawler_spark.sources.webgraph import (
+        _sitemap_page_urls, has_sitemap_index, sitemap_body,
+    )
+    idx_hosts = [h for h in small_cfg.hosts()
+                 if has_sitemap_index(small_cfg, h)]
+    assert idx_hosts, "fixture must contain at least one index host"
+    for h in idx_hosts:
+        pages, children = parse_sitemap_entries(sitemap_body(small_cfg, h))
+        assert pages == [] and len(children) == 2
+        transitive = []
+        for cu in children:
+            p, c = parse_sitemap_entries(
+                sitemap_body(small_cfg, h, cu.rsplit("/", 1)[-1]))
+            assert c == []
+            transitive.extend(p)
+        assert sorted(transitive) == sorted(_sitemap_page_urls(small_cfg, h))
+
+
+def test_expand_sitemaps_df_recurses_index(spark, small_cfg):
+    """Engine-side expansion yields the identical (host, url) set the
+    pure-python recursion computes — including index children."""
+    from crawler_spark.sources.sitemap import (
+        expand_sitemaps_df, parse_sitemap_entries,
+    )
+    from crawler_spark.sources.webgraph import (
+        gen_sitemaps_src, to_spark_sitemaps,
+    )
+    got = {(r["host"], r["url"]) for r in
+           expand_sitemaps_df(to_spark_sitemaps(spark, small_cfg)).collect()}
+    want = set()
+    bodies = {(r.host, r.path): r.xml
+              for r in gen_sitemaps_src(small_cfg).itertuples()}
+    stack = [(h, "sitemap.xml") for h in small_cfg.hosts()]
+    while stack:
+        h, p = stack.pop()
+        pages, children = parse_sitemap_entries(bodies.get((h, p), ""))
+        want.update((h, u) for u in pages)
+        stack.extend((h, cu.rsplit("/", 1)[-1]) for cu in children)
+    assert got == want and got
