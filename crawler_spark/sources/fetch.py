@@ -38,14 +38,55 @@ _PARSE_COLS = [
 ]
 
 
+def _resolve_redirect_pages(pages: DataFrame) -> DataFrame:
+    """Transparent 3xx following (reqwest parity — the reference's fetch
+    returns the chain target's body and the crawl never sees the hop):
+    rewrite every redirect row to its FINAL target's (status, bytes,
+    html), resolved by pointer doubling (hostrank.resolve_redirects —
+    the g6 analytics operator is load-bearing here), with loops and
+    chains past 16 hops mapped to status 0 (the redirect-limit error a
+    real fetcher raises, surfaced as the dead-link convention). One-time
+    table-cardinality cost at fetcher construction, zero per-wave cost."""
+    from crawler_spark.operators.hostrank import resolve_redirects
+
+    is_red = (F.col("status") >= 300) & (F.col("status") < 400) \
+        & (F.col("location") != "")
+    direct = pages.where(~is_red).select("url_canon", "status",
+                                         "bytes", "html")
+    red = pages.where(is_red).select(F.col("url_canon").alias("src"),
+                                     F.col("location").alias("dst"))
+    if not red.take(1):
+        return direct
+    r = resolve_redirects(red)
+    tgt = direct.select(F.col("url_canon").alias("final"),
+                        F.col("status").alias("_ts"),
+                        F.col("bytes").alias("_tb"),
+                        F.col("html").alias("_th"))
+    landed = (r.join(tgt, "final", "left")
+              .select(F.col("src").alias("url_canon"),
+                      F.when(F.col("resolved") == 1,
+                             F.coalesce(F.col("_ts"), F.lit(0)))
+                       .otherwise(F.lit(0)).cast("long").alias("status"),
+                      F.when(F.col("resolved") == 1,
+                             F.coalesce(F.col("_tb"), F.lit(0)))
+                       .otherwise(F.lit(0)).cast("long").alias("bytes"),
+                      F.when(F.col("resolved") == 1,
+                             F.coalesce(F.col("_th"), F.lit("")))
+                       .otherwise(F.lit("")).alias("html")))
+    return direct.unionByName(landed)
+
+
 class SimulatedFetcher:
     """Deterministic fetch over the fixture web: left join on url_canon.
-    Missing URL -> status 0 (dead link), empty body."""
+    Missing URL -> status 0 (dead link), empty body. Pages tables that
+    carry a `location` column get transparent 3xx following (above)."""
 
     def __init__(self, pages: DataFrame, cache: bool = True):
         # (url_canon, status, bytes, html); host is re-derivable, drop to
         # keep the join payload minimal (column pruning by construction).
         # Cached: probed once per wave (MEMORY_AND_DISK, spill-safe).
+        if "location" in pages.columns:
+            pages = _resolve_redirect_pages(pages)
         self.pages = pages.select("url_canon", "status", "bytes", "html")
         if cache:
             self.pages = self.pages.persist()

@@ -52,6 +52,7 @@ class WebGraphConfig:
     robots_delay_prob: float = 0.2    # fraction of hosts with Crawl-delay
     error_rate: float = 0.08          # 404/429/500 pages
     sitemap_prob: float = 0.7         # fraction of primaries with sitemap.xml
+    redirect_rate: float = 0.06       # fraction of pages that 301 (same host)
     sitemap_orphans: int = 2          # sitemap-only pages (no inbound links)
 
     def primary(self, i: int) -> str:
@@ -77,7 +78,11 @@ def page_url(host: str, pi: int) -> str:
 
 def _page_html(cfg: WebGraphConfig, host: str, pi: int) -> str:
     """Single-line HTML for (host, page): text, anchors, media — offsets are
-    byte-stable because the string is assembled deterministically."""
+    byte-stable because the string is assembled deterministically.
+    Redirect pages serve an empty body (the fetcher substitutes the
+    chain target's body, as reqwest's transparent following does)."""
+    if page_status(cfg, host, pi) == 301:
+        return ""
     rng = _h(cfg.seed, "page", host, pi)
     n_pages = cfg.pages_of(host)
     is_primary = not (host.startswith("sub.") or host.endswith(".org"))
@@ -114,7 +119,22 @@ def page_status(cfg: WebGraphConfig, host: str, pi: int) -> int:
     r = _h(cfg.seed, "status", host, pi) % 1000
     if pi > 0 and r < cfg.error_rate * 1000:   # page 0 always fetchable
         return (404, 429, 500)[r % 3]
+    if pi > 0 and r < (cfg.error_rate + cfg.redirect_rate) * 1000:
+        return 301                              # followed inside the fetcher
     return 200
+
+
+def page_location(cfg: WebGraphConfig, host: str, pi: int) -> str:
+    """Location target of a 301 page ('' otherwise): deterministic
+    same-host pointer. Targets may themselves redirect (chains) or point
+    back (loops) — both arise naturally and exercise the hop cap."""
+    if page_status(cfg, host, pi) != 301:
+        return ""
+    n = max(1, cfg.pages_of(host))
+    t = (pi * 7 + 3) % n
+    if t == pi:
+        t = (pi + 1) % n
+    return page_url(host, t)
 
 
 def robots_body(cfg: WebGraphConfig, host: str) -> str:
@@ -222,8 +242,10 @@ def _pages_cached(cfg: WebGraphConfig) -> pd.DataFrame:
         for pi in range(total_pages_of(cfg, host)):
             html = _page_html(cfg, host, pi)
             rows.append((page_url(host, pi), host,
-                         page_status(cfg, host, pi), len(html), html))
-    return pd.DataFrame(rows, columns=["url_canon", "host", "status", "bytes", "html"])
+                         page_status(cfg, host, pi), len(html), html,
+                         page_location(cfg, host, pi)))
+    return pd.DataFrame(rows, columns=["url_canon", "host", "status",
+                                       "bytes", "html", "location"])
 
 
 def gen_pages(cfg: WebGraphConfig) -> pd.DataFrame:
@@ -290,19 +312,22 @@ def to_spark_distributed(spark, cfg: WebGraphConfig, parts: int | None = None):
 
     def _render(batches):
         for pdf in batches:
-            urls, statuses, nbytes, htmls = [], [], [], []
+            urls, statuses, nbytes, htmls, locs = [], [], [], [], []
             for host, pi in zip(pdf["host"], pdf["pi"]):
                 html = _page_html(cfg, host, int(pi))
                 urls.append(page_url(host, int(pi)))
                 statuses.append(page_status(cfg, host, int(pi)))
                 nbytes.append(len(html))
                 htmls.append(html)
+                locs.append(page_location(cfg, host, int(pi)))
             out = pd.DataFrame({
                 "url_canon": urls, "host": pdf["host"].values,
-                "status": statuses, "bytes": nbytes, "html": htmls})
+                "status": statuses, "bytes": nbytes, "html": htmls,
+                "location": locs})
             yield out
 
     pages = pairs.mapInPandas(
         _render,
-        "url_canon string, host string, status long, bytes long, html string")
+        "url_canon string, host string, status long, bytes long, "
+        "html string, location string")
     return pages, spark.createDataFrame(gen_robots_src(cfg))

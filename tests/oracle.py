@@ -44,8 +44,26 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
                host_boosts: dict[str, float] | None = None) -> OracleResult:
     """BFS wave loop over the fixture web. Mirrors crawler_spark.plans.frontier
     step for step; any divergence is a bug in one of the two."""
-    web = {r.url_canon: (int(r.status), r.html, int(r.bytes))
+    raw = {r.url_canon: (int(r.status), r.html, int(r.bytes),
+                         getattr(r, "location", "") or "")
            for r in pages.itertuples()}
+    # Transparent 3xx following (mirrors fetch._resolve_redirect_pages):
+    # a redirect row lands on its chain target's (status, html, bytes);
+    # loops / chains past 16 hops become the dead-link (0, "", 0).
+    web = {}
+    for url, (st, html, nb, loc) in raw.items():
+        cur, hops = url, 0
+        while 300 <= raw.get(cur, (0, "", 0, ""))[0] < 400 \
+                and raw[cur][3]:
+            hops += 1
+            if hops > 16:
+                break
+            cur = raw[cur][3]
+        if hops > 16 or cur not in raw:
+            web[url] = (0, "", 0)
+        else:
+            fst, fhtml, fnb, _ = raw[cur]
+            web[url] = (fst, fhtml, fnb)
     robots = {}
     for r in robots_src.itertuples():
         allow, deny, delay = parse_robots(r.body)
