@@ -32,6 +32,24 @@ ROBOTS_SCHEMA = StructType([
 ])
 
 
+_SITEMAP_LINE_RE = None  # compiled lazily below
+
+
+def parse_robots_sitemaps(body: str) -> list[str]:
+    """`Sitemap:` declarations from a robots.txt body, in file order.
+    A NON-GROUP field per the robots spec: valid anywhere in the file,
+    independent of User-agent groups — which is why it is parsed
+    separately from the group-scoped allow/deny/delay parser below."""
+    import re
+    out = []
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        m = re.match(r"(?i)^sitemap\s*:\s*(\S+)", line)
+        if m:
+            out.append(m.group(1))
+    return out
+
+
 def parse_robots(body: str) -> tuple[list[str], list[str], int]:
     """Parse a robots.txt body -> (allow_prefixes, deny_prefixes, crawl_delay_ms).
 

@@ -278,10 +278,19 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         # persist_links, scan.rs:71-74) — the seed hosts' sitemap URLs join
         # the wave-0 frontier at depth 0 through the same admission path ---
         if spec.sitemap and sitemap_src is not None and initial_frontier is None:
-            from crawler_spark.sources.sitemap import expand_sitemaps_df
-            sm = (expand_sitemaps_df(
-                      sitemap_src.where(F.col("host").isin(seed_hosts)))
-                  .select("url"))
+            from crawler_spark.sources.sitemap import (
+                expand_sitemaps_df, robots_declared_roots,
+            )
+            sm_src = sitemap_src.where(F.col("host").isin(seed_hosts))
+            # roots: the well-known path PLUS robots.txt `Sitemap:`
+            # declarations (the only pointer to non-well-known roots)
+            roots = sm_src.select("host").distinct() \
+                          .withColumn("path", F.lit("sitemap.xml"))
+            if robots_src is not None:
+                roots = roots.unionByName(
+                    robots_declared_roots(
+                        robots_src.where(F.col("host").isin(seed_hosts))))
+            sm = expand_sitemaps_df(sm_src, roots=roots).select("url")
             sm_canon = (sm.withColumn("url_canon",
                                       canonicalize_udf(F.col("url"), F.lit("")))
                         .where(F.col("url_canon") != "")

@@ -94,9 +94,12 @@ def _entries_df(cur: DataFrame) -> DataFrame:
 
 
 def expand_sitemaps_df(sitemap_src: DataFrame,
-                       max_depth: int = 3) -> DataFrame:
+                       max_depth: int = 3,
+                       roots: DataFrame | None = None) -> DataFrame:
     """Recursive sitemap expansion over a (host, path, xml) source table:
-    start from each host's root sitemap.xml, parse, and resolve nested
+    start from each host's roots — the well-known sitemap.xml or, when a
+    (host, path) `roots` frame is given (e.g. robots.txt `Sitemap:`
+    declarations), exactly those — parse, and resolve nested
     <sitemapindex> children by (host, last path segment) lookup back into
     the source — up to `max_depth` levels (the sitemaps.org limit is one
     index level; the cap guards loops). Returns flat (host, url) page
@@ -111,8 +114,13 @@ def expand_sitemaps_df(sitemap_src: DataFrame,
     if "path" not in sitemap_src.columns:   # legacy (host, xml) source:
         sitemap_src = sitemap_src.withColumn(  # every row is a root
             "path", F.lit("sitemap.xml"))
-    cur = sitemap_src.where(F.col("path") == "sitemap.xml") \
-                     .select("host", "xml")
+    if roots is None:
+        cur = sitemap_src.where(F.col("path") == "sitemap.xml") \
+                         .select("host", "xml")
+    else:
+        cur = (roots.select("host", "path").distinct()
+               .join(sitemap_src, ["host", "path"])
+               .select("host", "xml"))
     out = None
     for _ in range(max_depth):
         parsed = _entries_df(cur).localCheckpoint(eager=True)
@@ -127,3 +135,29 @@ def expand_sitemaps_df(sitemap_src: DataFrame,
             break
         cur = child
     return out
+
+
+ROOTS_SCHEMA = StructType([
+    StructField("host", StringType(), False),
+    StructField("path", StringType(), False),
+])
+
+
+def robots_declared_roots(robots_src: DataFrame) -> DataFrame:
+    """(host, body) robots source -> (host, path) sitemap roots declared
+    via `Sitemap:` directives (last URL path segment keys the lookup
+    into the sitemap source table). Host-cardinality, one vectorized
+    pass."""
+    from crawler_spark.operators.robots import parse_robots_sitemaps
+
+    def _parse(batches):
+        for pdf in batches:
+            hosts, paths = [], []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                for u in parse_robots_sitemaps(body or ""):
+                    hosts.append(host)
+                    paths.append(u.rsplit("/", 1)[-1])
+            yield pd.DataFrame({"host": hosts, "path": paths})
+
+    return robots_src.select("host", "body").mapInPandas(
+        _parse, ROOTS_SCHEMA)

@@ -150,7 +150,23 @@ def robots_body(cfg: WebGraphConfig, host: str) -> str:
     if ((r >> 32) % 1000) < cfg.robots_delay_prob * 1000:
         lines.append(f"Crawl-delay: {1 + (r >> 40) % 3}")
         has_rule = True
+    if has_sitemap(cfg, host):
+        # Non-group field (valid anywhere per the robots spec); the only
+        # pointer to sitemap-alt.xml roots
+        lines.append(
+            f"Sitemap: http://{host}/{sitemap_root_path(cfg, host)}")
+        has_rule = True
     return "\n".join(lines) if has_rule else ""
+
+
+def sitemap_root_path(cfg: WebGraphConfig, host: str) -> str:
+    """Where a host serves its root sitemap: ~25% of sitemap hosts use a
+    non-well-known name (sitemap-alt.xml) DISCOVERABLE ONLY via the
+    robots.txt `Sitemap:` directive — the discovery path real crawlers
+    (and the sitemap crate) implement alongside the well-known probe."""
+    if (_h(cfg.seed, "smalt", host) % 1000) < 250:
+        return "sitemap-alt.xml"
+    return "sitemap.xml"
 
 
 def has_sitemap(cfg: WebGraphConfig, host: str) -> bool:
@@ -200,8 +216,9 @@ def sitemap_body(cfg: WebGraphConfig, host: str,
     semantics-neutral, which is what the index e2e tests pin."""
     if not has_sitemap(cfg, host):
         return ""
+    root = sitemap_root_path(cfg, host)
     if has_sitemap_index(cfg, host):
-        if path == "sitemap.xml":
+        if path == root:
             entries = "".join(
                 f"<sitemap><loc>http://{host}/sitemap-{i}.xml</loc>"
                 f"</sitemap>" for i in range(2))
@@ -213,7 +230,7 @@ def sitemap_body(cfg: WebGraphConfig, host: str,
             i = int(path[8])
             return _urlset(_sitemap_page_urls(cfg, host)[i::2])
         return ""
-    if path == "sitemap.xml":
+    if path == root:
         return _urlset(_sitemap_page_urls(cfg, host))
     return ""
 
@@ -224,7 +241,8 @@ def gen_sitemaps_src(cfg: WebGraphConfig) -> pd.DataFrame:
     up here by (host, path), standing in for the re-fetch)."""
     rows = []
     for h in cfg.hosts():
-        for p in ("sitemap.xml", "sitemap-0.xml", "sitemap-1.xml"):
+        for p in ("sitemap.xml", "sitemap-alt.xml",
+                  "sitemap-0.xml", "sitemap-1.xml"):
             b = sitemap_body(cfg, h, p)
             if b:
                 rows.append((h, p, b))

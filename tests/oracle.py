@@ -77,11 +77,18 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
         # S4: seed hosts' sitemap URLs join wave 0 (same admission path).
         # Nested <sitemapindex> children recurse via (host, path) lookup —
         # the same shared parser + bounded depth as expand_sitemaps_df.
+        from crawler_spark.operators.robots import parse_robots_sitemaps
         from crawler_spark.sources.sitemap import parse_sitemap_entries
         has_path = "path" in sitemaps.columns
         bodies = {(r.host, (r.path if has_path else "sitemap.xml")): r.xml
                   for r in sitemaps.itertuples()}
-        frontier_sm = [(h, "sitemap.xml") for h in sorted(seed_hosts)]
+        # roots: well-known path + robots-declared (engine parity)
+        roots = {(h, "sitemap.xml") for h in seed_hosts}
+        for r in robots_src.itertuples():
+            if r.host in seed_hosts:
+                roots.update((r.host, u.rsplit("/", 1)[-1])
+                             for u in parse_robots_sitemaps(r.body or ""))
+        frontier_sm = sorted(roots)
         for _ in range(3):
             nxt = []
             for h, p in frontier_sm:

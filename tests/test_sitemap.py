@@ -91,12 +91,14 @@ def test_index_hosts_exist_and_nesting_is_semantics_neutral(small_cfg):
     from crawler_spark.sources.sitemap import parse_sitemap_entries
     from crawler_spark.sources.webgraph import (
         _sitemap_page_urls, has_sitemap_index, sitemap_body,
+        sitemap_root_path,
     )
     idx_hosts = [h for h in small_cfg.hosts()
                  if has_sitemap_index(small_cfg, h)]
     assert idx_hosts, "fixture must contain at least one index host"
     for h in idx_hosts:
-        pages, children = parse_sitemap_entries(sitemap_body(small_cfg, h))
+        pages, children = parse_sitemap_entries(
+            sitemap_body(small_cfg, h, sitemap_root_path(small_cfg, h)))
         assert pages == [] and len(children) == 2
         transitive = []
         for cu in children:
@@ -128,3 +130,32 @@ def test_expand_sitemaps_df_recurses_index(spark, small_cfg):
         want.update((h, u) for u in pages)
         stack.extend((h, cu.rsplit("/", 1)[-1]) for cu in children)
     assert got == want and got
+
+
+def test_alt_roots_discovered_only_via_robots(spark, small_cfg):
+    """Alt-rooted hosts publish no well-known sitemap.xml; their sitemap
+    pages (incl. link-orphans) must still reach the crawl because the
+    robots.txt Sitemap: directive names the root — pinned by checking an
+    orphan lands in seen with sitemap=True and the fixture's robots on."""
+    from crawler_spark.sources.webgraph import (
+        has_sitemap, page_url, sitemap_body, sitemap_root_path,
+        total_pages_of,
+    )
+    alt = [h for h in small_cfg.hosts()
+           if has_sitemap(small_cfg, h)
+           and sitemap_root_path(small_cfg, h) == "sitemap-alt.xml"]
+    assert alt, "fixture must contain an alt-rooted sitemap host"
+    for h in alt:
+        assert sitemap_body(small_cfg, h, "sitemap.xml") == ""
+        assert sitemap_body(small_cfg, h, "sitemap-alt.xml") != ""
+
+    h = alt[0]
+    spec = CrawlJobSpec(seeds=(page_url(h, 0),), max_waves=20,
+                        sitemap=True)
+    oracle, run = _run_both(spark, small_cfg, spec)
+    got_seen = {r["url_canon"] for r in
+                run.seen.select("url_canon").collect()}
+    assert got_seen == oracle.seen
+    orphan = page_url(h, total_pages_of(small_cfg, h) - 1)
+    from crawler_spark.functions.canon import canonicalize
+    assert canonicalize(orphan, "") in got_seen
