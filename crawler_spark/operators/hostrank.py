@@ -360,3 +360,88 @@ part AS (SELECT a AS host FROM tri UNION ALL
 SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
 FROM part GROUP BY host
 """
+
+
+def opic_hosts(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Fixed-iteration OPIC (On-line Page Importance Computation,
+    Abiteboul/Preda/Cobena, WWW 2003) over distinct (src, dst) host edges
+    — the frontier-prioritization algorithm designed FOR crawlers: unlike
+    PageRank (g1) it needs no convergence sweep over the whole graph
+    before it is useful; importance accumulates while the crawl runs.
+
+    Semantics (the unrolled-oracle contract):
+      cash_0(v) = 1.0, hist_0(v) = 0.0 for every host (src ∪ dst);
+      each iteration, every host banks its cash into history and
+      distributes it equally over its out-edges; hosts with no out-edges
+      (dangling) pay their cash into a pot split uniformly over ALL
+      hosts next iteration (the paper's virtual node, inlined):
+        hist_{t+1}(v) = hist_t(v) + cash_t(v)
+        cash_{t+1}(v) = Σ_{u→v} cash_t(u)/outdeg(u) + dangling_t/n
+      importance after K iterations = hist_K (cash_K returned too — the
+      'current wave attention' the admission window can boost on).
+
+    Scale shape: identical to pagerank_hosts — per iteration one join on
+    src + one groupBy dst at HOST cardinality (2-3 orders below URL
+    cardinality), plus a host-anti-join scalar for the dangling pot
+    (broadcast, one row); localCheckpoint cuts lineage per iteration.
+    Reference: spider prioritizes implicitly by discovery order
+    (Website::crawl_concurrent drain loop); OPIC is the principled
+    replacement feeding run_crawl(host_priorities=) via hostrank_boosts.
+    """
+    e = edges.select("src", "dst").distinct()
+    hosts = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n = float(hosts.count())
+    out = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_w = e.join(out, "src").localCheckpoint(eager=True)
+    srcs = out.select(F.col("src").alias("host")).localCheckpoint(eager=True)
+    state = hosts.select("host", F.lit(1.0).alias("cash"),
+                         F.lit(0.0).alias("hist"))
+    for _ in range(iters):
+        dang = (state.join(srcs, "host", "left_anti")
+                .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dang")))
+        inflow = (e_w.join(state.select(F.col("host").alias("src"), "cash"),
+                           "src")
+                  .groupBy(F.col("dst").alias("host"))
+                  .agg(F.sum(F.col("cash") / F.col("outdeg"))
+                       .alias("inflow")))
+        state = (state.join(inflow, "host", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("host",
+                         (F.coalesce(F.col("inflow"), F.lit(0.0))
+                          + F.col("dang") / F.lit(n)).alias("cash"),
+                         (F.col("hist") + F.col("cash")).alias("hist"))
+                 .localCheckpoint(eager=True))
+    return state.select("host", F.round("hist", 4).alias("importance"),
+                        F.round("cash", 4).alias("cash"))
+
+
+def opic_oracle_sql(edges_cte: str, iters: int = 4) -> str:
+    """DuckDB twin of `opic_hosts`: the K iterations unrolled as chained
+    CTEs (dangling pot as a one-row scalar CTE per iteration)."""
+    ctes = [f"e AS ({edges_cte})",
+            "hosts AS (SELECT src AS host FROM e UNION "
+            "SELECT dst AS host FROM e)",
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts)",
+            "outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+            "s0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS cash, "
+            "CAST(0.0 AS DOUBLE) AS hist FROM hosts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"d{k} AS (SELECT COALESCE(sum(cash), 0) AS dang FROM s{k-1} "
+            f"WHERE host NOT IN (SELECT src FROM outd))")
+        ctes.append(
+            f"i{k} AS (SELECT e.dst AS host, sum(s.cash / o.outdeg) AS infl "
+            f"FROM e JOIN s{k-1} s ON s.host = e.src "
+            f"JOIN outd o ON o.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"s{k} AS (SELECT s.host, "
+            f"COALESCE(i.infl, 0) + d.dang / nn.n AS cash, "
+            f"s.hist + s.cash AS hist "
+            f"FROM s{k-1} s LEFT JOIN i{k} i USING (host) "
+            f"CROSS JOIN d{k} d CROSS JOIN nn)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT host, ROUND(hist, 4) AS importance, "
+              f"ROUND(cash, 4) AS cash FROM s{iters}")

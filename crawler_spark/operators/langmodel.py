@@ -73,3 +73,50 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_words"),
                  F.round(F.avg(F.log("n_total") - F.log("c")), 4)
                   .alias("neg_logprob")))
+
+
+def dsir_logweights(docs: DataFrame, is_target, id_col: str = "doc_id",
+                    text_col: str = "text", buckets: int = 64) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data Selection
+    via Importance Resampling): score every raw document by how much more
+    likely its hashed-unigram bag is under the TARGET domain's word
+    distribution than under the raw corpus's own:
+
+        logweight(d) = Σ_{word w ∈ d} ln p_tgt(b(w)) - ln p_raw(b(w))
+
+    with b(w) = md5-derived bucket (hashed n-gram features, the paper's
+    trick to keep the feature space fixed at `buckets` regardless of
+    vocabulary), Laplace +1 smoothing, p = (c+1)/(N+B). `is_target` is a
+    boolean Column marking the in-domain exemplar slice (e.g. wiki-like
+    pages); the raw distribution is the whole input. Positive = more
+    target-like. Feed the weights to px4's Gumbel top-k
+    (operators/sampling.weighted_sample) for the actual resample —
+    this operator is the weight model.
+
+    Scale shape (100 TB): word explode is map-side; bucket counts for BOTH
+    distributions come out of ONE partial-agged shuffle (conditional agg,
+    B rows out); the B-row log-ratio dim broadcasts back onto the exploded
+    words; per-doc sum is one even-keyed doc shuffle. Two shuffles total,
+    no driver materialization.
+    """
+    b = float(buckets)
+    w = docs.select(id_col, is_target.alias("_tgt"),
+                    F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                     .alias("word"))
+    bkt = F.pmod(F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+                  .cast("long"), F.lit(buckets))
+    wb = w.select(id_col, "_tgt", bkt.alias("bkt"))
+    cnt = (wb.groupBy("bkt")
+           .agg(F.count("*").alias("c_raw"),
+                F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt")))
+    tot = cnt.agg(F.sum("c_raw").cast("double").alias("n_raw"),
+                  F.sum("c_tgt").cast("double").alias("n_tgt"))
+    lr = (cnt.crossJoin(F.broadcast(tot))
+          .select("bkt",
+                  (F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + b))
+                   - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + b)))
+                  .alias("lr")))
+    return (wb.join(F.broadcast(lr), "bkt")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.round(F.sum("lr"), 4).alias("logweight")))

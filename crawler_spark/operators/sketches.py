@@ -180,3 +180,71 @@ def hll_distinct(df: DataFrame, group_cols: list[str],
     return (exact.join(per_g, group_cols)
             .select(*group_cols, "n_exact", "regs_used",
                     zero_regs.alias("zero_regs"), est.alias("hll_est")))
+
+
+def theta_set_ops(a: DataFrame, b: DataFrame, key: Column,
+                  k: int = 64) -> DataFrame:
+    """Theta-sketch set operations (Dasgupta et al. 2016, the KMV/ks1
+    extension): estimate |A∪B|, |A∩B|, |A\\B| between two key sets from
+    their k-minimum-hash samples WITHOUT joining the raw sets — the
+    10^10-scale answer to 'how many users overlap between these two
+    slices'. theta = min(theta_A, theta_B) where theta_S is the k-th
+    smallest 32-bit hash of S (2^32 when |S| < k, i.e. exact); every
+    retained hash < theta is a uniform sample of its set, so
+    |X| ≈ |{h ∈ X : h < theta}| * 2^32 / theta — and because BOTH sides
+    are filtered by the SAME theta, intersection/difference are plain
+    set algebra over the two ≤k-element samples.
+
+    Exact distinct counts and exact intersection ride along (cheap at
+    fixture scale) so the estimation error is visible next to the truth;
+    at the design point you drop them — they are the join the sketch
+    exists to avoid.
+
+    Scale shape: each side is one partial-agged distinct + the k-th order
+    statistic (window over DISTINCT hashes here — the reference
+    semantics; per-partition partial k-minima folded by a second tiny agg
+    at 10^10 keys, same algebra); the retained samples are ≤k rows each,
+    so the set algebra is two broadcast-joined tiny tables. The raw sets
+    are never joined."""
+    hb = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+          .cast("long")
+    two32 = 4294967296.0
+
+    def side(df, name):
+        d = df.select(hb.alias("h")).distinct()
+        w = Window.orderBy("h")
+        r = d.withColumn("rk", F.row_number().over(w))
+        th = r.agg(
+            F.coalesce(F.max(F.when(F.col("rk") == k, F.col("h"))),
+                       F.lit(int(two32))).alias(f"theta_{name}"),
+            F.count("*").cast("long").alias(f"n_{name}_exact"))
+        return r.select("h"), th
+
+    ra, tha = side(a, "a")
+    rb, thb = side(b, "b")
+    th = (tha.crossJoin(thb)
+          .select("n_a_exact", "n_b_exact",
+                  F.least("theta_a", "theta_b").alias("theta")))
+    sa = ra.crossJoin(F.broadcast(th.select("theta"))) \
+           .where(F.col("h") < F.col("theta")).select("h")
+    sb = rb.crossJoin(F.broadcast(th.select("theta"))) \
+           .where(F.col("h") < F.col("theta")).select("h")
+    flags = (sa.withColumn("in_a", F.lit(1))
+             .join(sb.withColumn("in_b", F.lit(1)), "h", "full_outer")
+             .select(F.coalesce("in_a", F.lit(0)).alias("in_a"),
+                     F.coalesce("in_b", F.lit(0)).alias("in_b")))
+    counts = flags.agg(
+        F.sum(F.greatest("in_a", "in_b")).cast("long").alias("s_union"),
+        F.sum(F.least("in_a", "in_b")).cast("long").alias("s_inter"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long")
+         .alias("s_diff"))
+    inter_exact = (a.select(hb.alias("h")).distinct()
+                   .join(b.select(hb.alias("h")).distinct(), "h", "left_semi")
+                   .agg(F.count("*").cast("long").alias("inter_exact")))
+    scale = F.lit(two32) / F.col("theta")
+    return (th.crossJoin(F.broadcast(counts))
+            .crossJoin(F.broadcast(inter_exact))
+            .select("n_a_exact", "n_b_exact", "inter_exact",
+                    F.round(F.col("s_union") * scale, 4).alias("union_est"),
+                    F.round(F.col("s_inter") * scale, 4).alias("inter_est"),
+                    F.round(F.col("s_diff") * scale, 4).alias("diff_est")))

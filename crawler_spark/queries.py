@@ -3937,3 +3937,315 @@ def rc6_adaptive_delay(spark, sf_dir):
                     budget.alias("wave_budget"), "pending",
                     F.least(F.col("pending"), budget).cast("long")
                      .alias("alloc"))
+
+
+from crawler_spark.operators.hostrank import (  # noqa: E402
+    opic_hosts, opic_oracle_sql,
+)
+
+
+@q("g11_opic", opic_oracle_sql(_G1_EDGES_SQL, iters=4))
+def g11_opic(spark, sf_dir):
+    """OPIC host importance (Abiteboul et al., WWW 2003) over the g1 host
+    graph: the crawl-native prioritization algorithm — importance is
+    banked cash history, accumulated ONLINE while the crawl proceeds, so
+    the priority signal is useful from wave 1 (PageRank needs the whole
+    graph first). Dangling hosts pay into a uniform pot (the paper's
+    virtual node). 4 fixed iterations; the oracle unrolls them with a
+    one-row dangling-pot CTE per iteration. Per iteration: one src join +
+    one dst groupBy at host cardinality — see operators/hostrank.opic_hosts."""
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    return opic_hosts(edges, iters=4)
+
+
+@q("tx16_dsir", """
+WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+                  unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           FROM documents),
+wb AS (SELECT doc_id, tgt,
+              ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS bkt
+       FROM w),
+c AS (SELECT bkt, count(*) AS c_raw,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+      FROM wb GROUP BY bkt),
+t AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+             CAST(sum(c_tgt) AS DOUBLE) AS n_tgt FROM c),
+lr AS (SELECT bkt, ln((c_tgt + 1) / (t.n_tgt + 64))
+                 - ln((c_raw + 1) / (t.n_raw + 64)) AS lr
+       FROM c CROSS JOIN t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       round(sum(lr.lr), 4) AS logweight
+FROM wb JOIN lr USING (bkt) GROUP BY doc_id
+""")
+def tx16_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al., NeurIPS 2023): hashed-unigram
+    bag log-likelihood ratio of each document under the target domain
+    (here: the 'en' slice as the in-domain exemplar) vs the raw corpus —
+    the data-selection weight model behind DoReMi-style pretraining
+    mixes. Positive = more target-like. The actual resample rides px4's
+    Gumbel top-k over these weights; this query is the weight model
+    under the hash gate. Two shuffles + one 64-row broadcast — see
+    operators/langmodel.dsir_logweights."""
+    from crawler_spark.operators.langmodel import dsir_logweights
+    d = _t(spark, sf_dir, "documents")
+    return dsir_logweights(d, is_target=(F.col("lang") == "en"))
+
+
+@q("ks5_theta_setops", """
+WITH ha AS (SELECT DISTINCT
+              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM events WHERE event_type = 'view'),
+hb AS (SELECT DISTINCT
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       FROM events WHERE event_type = 'purchase'),
+ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ha),
+rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM hb),
+ta AS (SELECT COALESCE(max(CASE WHEN rk = 64 THEN h END), 4294967296)
+                AS theta_a,
+              CAST(count(*) AS BIGINT) AS n_a_exact FROM ra),
+tb AS (SELECT COALESCE(max(CASE WHEN rk = 64 THEN h END), 4294967296)
+                AS theta_b,
+              CAST(count(*) AS BIGINT) AS n_b_exact FROM rb),
+th AS (SELECT n_a_exact, n_b_exact, least(theta_a, theta_b) AS theta
+       FROM ta CROSS JOIN tb),
+sa AS (SELECT h FROM ra CROSS JOIN th WHERE h < theta),
+sb AS (SELECT h FROM rb CROSS JOIN th WHERE h < theta),
+fl AS (SELECT CAST(a.h IS NOT NULL AS INT) AS in_a,
+              CAST(b.h IS NOT NULL AS INT) AS in_b
+       FROM sa a FULL OUTER JOIN sb b ON a.h = b.h),
+cnt AS (SELECT CAST(sum(greatest(in_a, in_b)) AS BIGINT) AS s_union,
+               CAST(sum(least(in_a, in_b)) AS BIGINT) AS s_inter,
+               CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS s_diff FROM fl),
+ie AS (SELECT CAST(count(*) AS BIGINT) AS inter_exact
+       FROM (SELECT h FROM ha INTERSECT SELECT h FROM hb))
+SELECT n_a_exact, n_b_exact, inter_exact,
+       round(s_union * 4294967296.0 / theta, 4) AS union_est,
+       round(s_inter * 4294967296.0 / theta, 4) AS inter_est,
+       round(s_diff * 4294967296.0 / theta, 4) AS diff_est
+FROM th CROSS JOIN cnt CROSS JOIN ie
+""")
+def ks5_theta_setops(spark, sf_dir):
+    """Theta-sketch set operations: estimated union/intersection/difference
+    cardinality between viewers and purchasers WITHOUT joining the raw
+    sets — both sides filtered to the SAME theta = min of the two k-th
+    minimum hashes, so the ≤k-element samples compose under plain set
+    algebra (the ks1 KMV sketch cannot intersect; this is why Theta
+    exists). Exact counts ride along to make the error visible. See
+    operators/sketches.theta_set_ops."""
+    from crawler_spark.operators.sketches import theta_set_ops
+    e = _t(spark, sf_dir, "events")
+    return theta_set_ops(e.where(F.col("event_type") == "view"),
+                         e.where(F.col("event_type") == "purchase"),
+                         key=F.col("user_id"), k=64)
+
+
+@q("st9_funnel", """
+WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id),
+n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM u1) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM u2) AS n2,
+             (SELECT CAST(count(*) AS BIGINT) FROM u3) AS n3)
+SELECT 1 AS stage_no, 'view' AS stage, n1 AS n_users,
+       CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
+UNION ALL
+SELECT 2, 'view>click', n2, round(CAST(n2 AS DOUBLE) / n1, 4) FROM n
+UNION ALL
+SELECT 3, 'view>click>purchase', n3, round(CAST(n3 AS DOUBLE) / n2, 4) FROM n
+""")
+def st9_funnel(spark, sf_dir):
+    """Ordered funnel analysis over the event stream: users who viewed,
+    then clicked strictly AFTER their first view, then purchased strictly
+    after that click — the sequential-conversion query every product
+    analytics stack ships (the windowFunnel shape). Each stage anchors on
+    the first qualifying timestamp of the previous stage, so a purchase
+    before the first view does not count.
+
+    Scale: conditional min-aggs + joins at USER cardinality (events
+    shuffle once per stage on user_id; stage tables are orders smaller
+    than the stream). No window over raw events, no per-user sort."""
+    e = _t(spark, sf_dir, "events")
+    u1 = (e.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    u2 = (e.where(F.col("event_type") == "click")
+          .join(u1, "user_id").where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    u3 = (e.where(F.col("event_type") == "purchase")
+          .join(u2, "user_id").where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    n = (u1.agg(F.count("*").cast("long").alias("n1"))
+         .crossJoin(u2.agg(F.count("*").cast("long").alias("n2")))
+         .crossJoin(u3.agg(F.count("*").cast("long").alias("n3"))))
+    rows = F.array(
+        F.struct(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
+                 F.col("n1").alias("n_users"),
+                 F.lit(1.0).alias("conv_from_prev")),
+        F.struct(F.lit(2).alias("stage_no"),
+                 F.lit("view>click").alias("stage"),
+                 F.col("n2").alias("n_users"),
+                 F.round(F.col("n2") / F.col("n1"), 4)
+                  .alias("conv_from_prev")),
+        F.struct(F.lit(3).alias("stage_no"),
+                 F.lit("view>click>purchase").alias("stage"),
+                 F.col("n3").alias("n_users"),
+                 F.round(F.col("n3") / F.col("n2"), 4)
+                  .alias("conv_from_prev")))
+    return (n.select(F.explode(rows).alias("r"))
+            .select("r.stage_no", "r.stage", "r.n_users", "r.conv_from_prev"))
+
+
+@q("a8_cohort_retention", """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events),
+r AS (SELECT f.cw,
+             CAST(date_diff('day', CAST(f.cw AS DATE), CAST(a.aw AS DATE))
+                  / 7 AS INT) AS offset_w,
+             a.user_id
+      FROM act a JOIN f USING (user_id))
+SELECT CAST(cw AS DATE) AS cohort_week, offset_w,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM r GROUP BY 1, 2
+""")
+def a8_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix over the event stream: users grouped by
+    their first-activity ISO week, counted distinct in every later week
+    they reappear — the (cohort_week, offset) retention triangle that
+    backs every growth dashboard. Week offsets are exact multiples of 7
+    days (both truncations are Monday-aligned) so the integer division
+    is lossless cross-engine.
+
+    Scale: one user-keyed agg for first-activity, one map-side truncation
+    + distinct at (user, week) granularity, one join at user cardinality,
+    and a keys-only count-distinct rollup — the stream is never sorted."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    act = (e.select("user_id", F.date_trunc("week", F.col("ts")).alias("aw"))
+           .distinct())
+    r = act.join(f, "user_id").select(
+        "cw",
+        (F.datediff(F.to_date("aw"), F.to_date("cw")) / 7).cast("int")
+         .alias("offset_w"),
+        "user_id")
+    return (r.groupBy(F.to_date("cw").alias("cohort_week"), "offset_w")
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users")))
+
+
+@q("f10_url_alias_rules", """
+WITH u AS (
+  SELECT doc_id, source || '.com' AS host,
+         'http://' || source || '.com/item/' || CAST(doc_id AS VARCHAR) AS u1,
+         CASE doc_id % 4
+           WHEN 0 THEN 'http://' || source || '.com/item/'
+                       || CAST(doc_id AS VARCHAR) || '/index.html'
+           WHEN 1 THEN 'http://' || source || '.com/item/'
+                       || CAST(doc_id AS VARCHAR) || '?session=42'
+           WHEN 2 THEN 'http://www.' || source || '.com/item/'
+                       || CAST(doc_id AS VARCHAR)
+           ELSE 'http://' || source || '.com/item/' || CAST(doc_id AS VARCHAR)
+         END AS u2
+  FROM documents),
+tok AS (SELECT doc_id, host,
+               string_split(replace(u1, '?', '/?'), '/') AS a,
+               string_split(replace(u2, '?', '/?'), '/') AS b
+        FROM u),
+m AS (SELECT doc_id, host, a, b, len(a) AS n1, len(b) AS n2,
+             list_reduce(list_prepend(0, range(1, least(len(a), len(b)) + 1)),
+               (acc, i) -> CASE WHEN acc = i - 1 AND a[i] = b[i]
+                                THEN i ELSE acc END) AS lcp
+      FROM tok),
+s AS (SELECT *, list_reverse(a) AS ra, list_reverse(b) AS rb FROM m),
+x AS (SELECT doc_id, host, a, b, n1, n2, lcp,
+             least(list_reduce(
+                     list_prepend(0, range(1, least(n1, n2) + 1)),
+                     (acc, i) -> CASE WHEN acc = i - 1 AND ra[i] = rb[i]
+                                      THEN i ELSE acc END),
+                   least(n1, n2) - lcp) AS lcs
+      FROM s),
+r AS (SELECT host,
+             COALESCE(array_to_string(
+               list_slice(a, lcp + 1, n1 - lcs), '/'), '') AS mid1,
+             COALESCE(array_to_string(
+               list_slice(b, lcp + 1, n2 - lcs), '/'), '') AS mid2
+      FROM x)
+SELECT '"' || mid1 || '" -> "' || mid2 || '"' AS rule,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM r WHERE mid1 <> mid2
+GROUP BY 1 HAVING count(*) >= 5
+""")
+def f10_url_alias_rules(spark, sf_dir):
+    """DUST rule mining (Bar-Yossef et al., WWW 2007 — 'Do Not Crawl in
+    the DUST: Different URLs with Similar Text'): learn URL rewrite rules
+    from content-duplicate URL pairs so the frontier can canonicalize
+    aliases BEFORE fetching them (P1's canonicalizer handles syntax;
+    DUST learns site conventions like '/index.html' suffixes, session
+    query params, and www. host variants). Alias pairs are injected
+    deterministically (3 site conventions over the corpus); each pair is
+    tokenized on '/' (query split to its own token), the longest common
+    token prefix/suffix is folded out, and the differing middles become
+    a substitution rule; rules are ranked by pair support. Suffix length
+    is clamped to the token overlap so pure-addition aliases yield the
+    constant rule '"" -> "index.html"'.
+
+    Scale shape: rule extraction is map-side column algebra (one
+    let-bound fold per pair — URLs are ~6 tokens); the only shuffle is
+    the keys-only rule rollup, at rule cardinality (orders below URL
+    cardinality). The support threshold is the paper's significance
+    filter."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".com"))
+    base = F.concat(F.lit("http://"), host, F.lit("/item/"),
+                    F.col("doc_id").cast("string"))
+    u2 = (F.when(F.col("doc_id") % 4 == 0,
+                 F.concat(base, F.lit("/index.html")))
+          .when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("?session=42")))
+          .when(F.col("doc_id") % 4 == 2,
+                F.concat(F.lit("http://www."), host, F.lit("/item/"),
+                         F.col("doc_id").cast("string")))
+          .otherwise(base))
+    tok = lambda c: F.split(F.regexp_replace(c, r"\?", "/?"), "/")  # noqa: E731
+    pair = F.array(F.struct(tok(base).alias("a"), tok(u2).alias("b")))
+
+    def _rule(p):
+        a, b = p["a"], p["b"]
+        n1, n2 = F.size(a), F.size(b)
+        nmin = F.least(n1, n2)
+        lcp = F.aggregate(
+            F.sequence(F.lit(1), nmin), F.lit(0),
+            lambda acc, i: F.when(
+                (acc == i - 1) & (F.element_at(a, i) == F.element_at(b, i)),
+                i).otherwise(acc))
+        ra, rb = F.reverse(a), F.reverse(b)
+        lcs_raw = F.aggregate(
+            F.sequence(F.lit(1), nmin), F.lit(0),
+            lambda acc, i: F.when(
+                (acc == i - 1) & (F.element_at(ra, i) == F.element_at(rb, i)),
+                i).otherwise(acc))
+        lcs = F.least(lcs_raw, nmin - lcp)
+        mid1 = F.array_join(F.slice(a, lcp + 1, n1 - lcs - lcp), "/")
+        mid2 = F.array_join(F.slice(b, lcp + 1, n2 - lcs - lcp), "/")
+        return F.struct(mid1.alias("mid1"), mid2.alias("mid2"))
+
+    # let-bind: the folds re-reference the token arrays per element
+    # (NOTES fact #1) — behind the struct they are field accesses of an
+    # already-evaluated pair, not re-splits.
+    mids = F.element_at(F.transform(pair, _rule), 1)
+    r = d.select(host.alias("host"), mids.alias("m")).select(
+        "host", F.col("m.mid1").alias("mid1"), F.col("m.mid2").alias("mid2"))
+    rule = F.concat(F.lit('"'), F.col("mid1"), F.lit('" -> "'),
+                    F.col("mid2"), F.lit('"'))
+    return (r.where(F.col("mid1") != F.col("mid2"))
+            .select(rule.alias("rule"), "host")
+            .groupBy("rule")
+            .agg(F.count("*").cast("long").alias("support"),
+                 F.count_distinct("host").cast("long").alias("n_hosts"))
+            .where(F.col("support") >= 5))

@@ -216,3 +216,55 @@ def test_triangle_counts_orientation_invariance(spark):
            triangle_counts(spark.createDataFrame(
                flipped, "src string, dst string")).collect()}
     assert got == {ren[k]: v for k, v in base.items()}
+
+
+# ----------------------------------------------------------------- OPIC g11
+
+
+def _opic_reference(edges, iters):
+    """Pure-python OPIC simulation (cash/history with uniform dangling pot)."""
+    hosts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+    n = len(hosts)
+    cash = {h: 1.0 for h in hosts}
+    hist = {h: 0.0 for h in hosts}
+    for _ in range(iters):
+        nxt = {h: 0.0 for h in hosts}
+        dang = 0.0
+        for u in hosts:
+            hist[u] += cash[u]
+            if u in out:
+                share = cash[u] / len(out[u])
+                for v in out[u]:
+                    nxt[v] += share
+            else:
+                dang += cash[u]
+        for h in hosts:
+            nxt[h] += dang / n
+        cash = nxt
+    return {h: (round(hist[h], 4), round(cash[h], 4)) for h in hosts}
+
+
+def test_opic_matches_reference_with_dangling(spark):
+    from crawler_spark.operators.hostrank import opic_hosts
+    # c and e are dangling (no out-edges); b is a hub
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "b"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    want = _opic_reference(edges, iters=4)
+    got = {r.host: (r.importance, r.cash)
+           for r in opic_hosts(df, iters=4).collect()}
+    assert got == want
+
+
+def test_opic_banks_total_cash_each_iteration(spark):
+    from crawler_spark.operators.hostrank import opic_hosts
+    edges = [(f"h{i}", f"h{(i * 3 + 1) % 7}") for i in range(7)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (1, 3):
+        rows = opic_hosts(df, iters=iters).collect()
+        n = len(rows)
+        # every iteration banks exactly the total cash (n) into history
+        assert abs(sum(r.importance for r in rows) - iters * n) < 1e-6
+        assert abs(sum(r.cash for r in rows) - n) < 1e-6

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from crawler_spark.operators.langmodel import bigram_logprob, unigram_logprob
 
 
@@ -51,3 +53,58 @@ def test_bigram_sees_word_order_unigram_cannot(spark):
     big = {r.doc_id: r.neg_logprob for r in bigram_logprob(df).collect()}
     assert abs(uni[1] - uni[2]) < 5e-4          # same bag of words
     assert big[2] > big[1]                       # order damage visible
+
+
+# ----------------------------------------------------------------- DSIR tx16
+
+
+def test_dsir_separates_target_like_documents(spark):
+    from crawler_spark.operators.langmodel import dsir_logweights
+    # target slice speaks 'alpha beta gamma'; raw background speaks
+    # 'foo bar baz'; held-out docs mix the two vocabularies
+    rows = ([(i, "alpha beta gamma alpha beta", True) for i in range(20)]
+            + [(100 + i, "foo bar baz foo bar", False) for i in range(20)]
+            + [(200, "alpha beta alpha beta", False),
+               (201, "foo baz foo baz", False)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = {r.doc_id: r.logweight
+         for r in dsir_logweights(df, is_target=F.col("tgt")).collect()}
+    # target-vocabulary held-out doc scores above background-vocabulary one
+    assert w[200] > 0 > w[201]
+    # exemplar docs themselves rank above background docs
+    assert min(w[i] for i in range(20)) > max(w[100 + i] for i in range(20))
+
+
+def test_dsir_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from crawler_spark.operators.langmodel import dsir_logweights
+    rows = [(i, f"w{i % 7} w{(i * 3) % 11} w{i % 5}", i % 3 == 0)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    B = 64
+
+    def bkt(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+    c_raw, c_tgt = {}, {}
+    for _, text, tgt in rows:
+        for w in text.split():
+            b = bkt(w)
+            c_raw[b] = c_raw.get(b, 0) + 1
+            if tgt:
+                c_tgt[b] = c_tgt.get(b, 0) + 1
+    n_raw, n_tgt = sum(c_raw.values()), sum(c_tgt.values())
+    want = {}
+    for doc_id, text, _ in rows:
+        s = 0.0
+        for w in text.split():
+            b = bkt(w)
+            s += (math.log((c_tgt.get(b, 0) + 1) / (n_tgt + B))
+                  - math.log((c_raw.get(b, 0) + 1) / (n_raw + B)))
+        want[doc_id] = round(s, 4)
+    got = {r.doc_id: r.logweight
+           for r in dsir_logweights(df, is_target=F.col("tgt"),
+                                    buckets=B).collect()}
+    assert got == want

@@ -125,3 +125,58 @@ def test_hll_partition_invariant(spark):
     a = hll_distinct(df.repartition(1), ["g"], F.col("k")).collect()[0]
     b = hll_distinct(df.repartition(7), ["g"], F.col("k")).collect()[0]
     assert a["hll_est"] == b["hll_est"] and a["regs_used"] == b["regs_used"]
+
+
+# ---------------------------------------------------------------- theta ks5
+
+
+def _theta_reference(keys_a, keys_b, k=64):
+    """Pure-python theta set-op reference (same md5-32 hash family)."""
+    import hashlib
+
+    def h(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+    two32 = 4294967296.0
+    ha, hb = sorted({h(x) for x in keys_a}), sorted({h(x) for x in keys_b})
+    th_a = ha[k - 1] if len(ha) >= k else int(two32)
+    th_b = hb[k - 1] if len(hb) >= k else int(two32)
+    theta = min(th_a, th_b)
+    sa = {x for x in ha if x < theta}
+    sb = {x for x in hb if x < theta}
+    sc = two32 / theta
+    return (len(ha), len(hb), len(set(ha) & set(hb)),
+            round(len(sa | sb) * sc, 4), round(len(sa & sb) * sc, 4),
+            round(len(sa - sb) * sc, 4))
+
+
+def test_theta_exact_when_both_below_k(spark):
+    from crawler_spark.operators.sketches import theta_set_ops
+    a = spark.createDataFrame([(i,) for i in range(30)], "key long")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "key long")
+    r = theta_set_ops(a, b, F.col("key"), k=64).first()
+    # theta = 2^32 on both sides -> the samples ARE the sets: exact
+    assert (r.n_a_exact, r.n_b_exact, r.inter_exact) == (30, 30, 10)
+    assert (r.union_est, r.inter_est, r.diff_est) == (50.0, 10.0, 20.0)
+
+
+def test_theta_matches_reference_and_partition_invariant(spark):
+    from crawler_spark.operators.sketches import theta_set_ops
+    keys_a = [i * 13 % 4001 for i in range(9000)]
+    keys_b = [i * 7 % 2003 + 3000 for i in range(6000)]
+    a = spark.createDataFrame([(x,) for x in keys_a], "key long")
+    b = spark.createDataFrame([(x,) for x in keys_b], "key long")
+    want = _theta_reference(keys_a, keys_b)
+    r1 = theta_set_ops(a, b, F.col("key"), k=64).first()
+    got1 = (r1.n_a_exact, r1.n_b_exact, r1.inter_exact,
+            r1.union_est, r1.inter_est, r1.diff_est)
+    assert got1 == want
+    r2 = theta_set_ops(a.repartition(13), b.repartition(7),
+                       F.col("key"), k=64).first()
+    got2 = (r2.n_a_exact, r2.n_b_exact, r2.inter_exact,
+            r2.union_est, r2.inter_est, r2.diff_est)
+    assert got2 == want
+    # the estimates bracket the truth within 4 sigma of 1/sqrt(k-2)
+    assert abs(r1.union_est - (r1.n_a_exact + r1.n_b_exact
+                               - r1.inter_exact)) \
+        / (r1.n_a_exact + r1.n_b_exact - r1.inter_exact) < 0.52

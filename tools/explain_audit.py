@@ -333,8 +333,41 @@ CHECKS = {
     "g9_kcore": (["HashAggregate"],
                  ["BatchEvalPython", "ArrowEvalPython",
                   "CartesianProduct"]),
+    # OPIC: host-cardinality joins per iteration; the dangling pot is a
+    # one-row broadcast. The final plan sits past the per-iteration
+    # localCheckpoint barriers (g9's audit shape) — the returned frame is
+    # a projection over the checkpointed state, so assert only that
+    # nothing Python/cartesian leaked into the closing stage.
+    "g11_opic": ([],
+                 ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]),
+    # DSIR: ONE conditional-agg shuffle builds both distributions; the
+    # 64-row log-ratio dim broadcasts back; per-doc rollup partial-aggs
+    "tx16_dsir": (["BroadcastHashJoin", "partial_count"],
+                  ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"]),
+    # theta set ops: raw sets are never joined — the only joins are over
+    # the <=k retained samples (broadcast) and the exact-intersection
+    # rider (LeftSemi); distinct is partial-agged
+    "ks5_theta_setops": (["LeftSemi", "partial_count"],
+                         ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct"]),
+    # funnel: conditional min-aggs + joins at user cardinality; no window
+    # over raw events, no per-user sort
+    "st9_funnel": (["partial_min"],
+                   ["Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # cohort retention: single count-distinct -> two-phase HashAggregate
+    # (no Expand — that is the multi-distinct shape); one user-cardinality
+    # broadcast join; the event stream is never sorted; column pruning
+    # must reach the reader (ts + user_id only)
+    "a8_cohort_retention": (["HashAggregate", "partial_min",
+                             "ReadSchema: struct<ts:timestamp_ntz,"
+                             "user_id:bigint>"],
+                            ["Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # DUST rules: rule extraction is map-side let-bound folds; the only
+    # exchange is the keys-only rule rollup — no joins at all
+    "f10_url_alias_rules": (["HashAggregate", "partial_count"],
+                            ["BroadcastHashJoin", "SortMergeJoin",
+                             "BatchEvalPython", "ArrowEvalPython"]),
 }
-
 
 def plan_text(df) -> str:
     buf = io.StringIO()
