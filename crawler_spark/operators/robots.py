@@ -5,8 +5,11 @@ The reference honors robots unless `norobots` is set (inverted to
 spider::packages::robotparser). Semantics implemented here are the
 Google/RFC 9309 subset relevant to allow/deny gating:
 
-  * only the `User-agent: *` group is considered (the reference spoofs a
-    random UA per crawl — README.md:13 — so named groups never match),
+  * RFC 9309 user-agent group selection: when the job sets an explicit
+    agent (ScanRequest.agent, proto/crawler.proto:21) the most specific
+    named group applies (longest product-token prefix match, same-token
+    groups merged); with no agent — the reference's default spoofs a
+    random UA per crawl (README.md:13) — only `User-agent: *` matches,
   * longest-match wins between Allow and Disallow prefixes; tie -> Allow,
   * empty Disallow value = allow all; `Crawl-delay` captured in ms.
 
@@ -50,16 +53,37 @@ def parse_robots_sitemaps(body: str) -> list[str]:
     return out
 
 
-def parse_robots(body: str) -> tuple[list[str], list[str], int]:
+def _product_token(s: str) -> str:
+    """Crawler product token per RFC 9309 §2.2.1: the leading run of
+    [a-zA-Z0-9_-], lowercased ('MyBot/1.2 (+http://…)' -> 'mybot')."""
+    import re
+    m = re.match(r"[a-zA-Z0-9_-]+", (s or "").strip())
+    return m.group(0).lower() if m else ""
+
+
+def parse_robots(body: str, agent: str = "") \
+        -> tuple[list[str], list[str], int]:
     """Parse a robots.txt body -> (allow_prefixes, deny_prefixes, crawl_delay_ms).
 
-    Only the `User-agent: *` group applies (see module docstring).
+    Group selection per RFC 9309 §2.2.1 (the semantics spider's
+    robotparser inherits from Google's reference matcher, which the
+    `texting_robots` test corpus pins):
+
+      * with `agent` set (ScanRequest.agent, proto/crawler.proto:21 ->
+        scan.rs:34-36): a named group applies when its product token is a
+        prefix of the crawler's product token (exact match and
+        'googlebot' covering 'googlebot-news' both fall out of this);
+        the MOST SPECIFIC match wins = longest matching token; every
+        group at that specificity merges (RFC: same-agent groups MUST be
+        combined); `User-agent: *` applies only when no named group
+        matches.
+      * with `agent` empty (the reference's default spoofs a random UA
+        per crawl — README.md:13 — so named groups never match): only
+        the `*` groups apply, exactly the pre-agent behavior.
     """
-    allow: list[str] = []
-    deny: list[str] = []
-    delay_ms = 0
-    active = False       # inside a UA group that includes '*'
-    in_ua_block = False  # consecutive User-agent lines open a group
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    cur: tuple[list[str], list[tuple[str, str]]] | None = None
+    in_ua_block = False  # consecutive User-agent lines open one group
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -69,25 +93,46 @@ def parse_robots(body: str) -> tuple[list[str], list[str], int]:
         val = val.strip()
         if key == "user-agent":
             if not in_ua_block:
-                active = False
+                cur = ([], [])
+                groups.append(cur)
                 in_ua_block = True
-            if val == "*":
-                active = True
+            cur[0].append("*" if val == "*" else _product_token(val))
             continue
         in_ua_block = False
-        if not active:
-            continue
-        if key == "disallow":
-            if val:
-                deny.append(val)
-        elif key == "allow":
-            if val:
-                allow.append(val)
-        elif key == "crawl-delay":
-            try:
-                delay_ms = int(float(val) * 1000)
-            except ValueError:
-                pass
+        if cur is not None and key in ("disallow", "allow", "crawl-delay"):
+            cur[1].append((key, val))
+
+    tok = _product_token(agent)
+    chosen: list[list[tuple[str, str]]] = []
+    if tok:
+        best = 0
+        for uas, rules in groups:
+            named = [u for u in uas if u and u != "*" and tok.startswith(u)]
+            if named:
+                length = max(len(u) for u in named)
+                if length > best:
+                    best, chosen = length, [rules]
+                elif length == best:
+                    chosen.append(rules)
+    if not chosen:
+        chosen = [rules for uas, rules in groups if "*" in uas]
+
+    allow: list[str] = []
+    deny: list[str] = []
+    delay_ms = 0
+    for rules in chosen:
+        for key, val in rules:
+            if key == "disallow":
+                if val:
+                    deny.append(val)
+            elif key == "allow":
+                if val:
+                    allow.append(val)
+            else:
+                try:
+                    delay_ms = int(float(val) * 1000)
+                except ValueError:
+                    pass
     return allow, deny, delay_ms
 
 
@@ -128,11 +173,17 @@ def robots_allowed_udf(path: pd.Series, allow: pd.Series, deny: pd.Series) -> pd
         if a is None and d is None:
             out.append(True)
         else:
-            out.append(robots_allowed(p or "/", list(a or []), list(d or [])))
+            # no `x or []`: Arrow hands rule lists over as numpy arrays,
+            # whose truth value is ambiguous past one element
+            out.append(robots_allowed(
+                p or "/",
+                [] if a is None else list(a),
+                [] if d is None else list(d)))
     return pd.Series(out, dtype="bool")
 
 
-def build_robots_table(robots_src: DataFrame, fetched_wave: int = 0) -> DataFrame:
+def build_robots_table(robots_src: DataFrame, fetched_wave: int = 0,
+                       agent: str = "") -> DataFrame:
     """Compile raw robots bodies -> rule table (host, allow, deny, delay).
 
     One mapInPandas pass (vectorized rule compilation — §2.10). In production
@@ -146,7 +197,7 @@ def build_robots_table(robots_src: DataFrame, fetched_wave: int = 0) -> DataFram
         for pdf in batches:
             allows, denies, delays = [], [], []
             for body in pdf["body"]:
-                a, d, ms = parse_robots(body or "")
+                a, d, ms = parse_robots(body or "", agent)
                 allows.append(a)
                 denies.append(d)
                 delays.append(ms)
@@ -179,7 +230,7 @@ def fetch_robots_rules(fetcher, hosts_df: DataFrame, wave: int,
         "host",
         F.when(F.col("status") == 200, F.col("html")).otherwise(F.lit(""))
         .alias("body"))
-    return build_robots_table(bodies, fetched_wave=wave)
+    return build_robots_table(bodies, fetched_wave=wave, agent=agent)
 
 
 def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:

@@ -172,7 +172,8 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                       if spec.checkpoint_dir else MemoryStore())
     robots = None
     if robots_src is not None:
-        robots = build_robots_table(robots_src).localCheckpoint(eager=True)
+        robots = build_robots_table(robots_src, agent=spec.agent) \
+            .localCheckpoint(eager=True)
     # lazy robots cache (production shape): no pre-warmed rules — hosts get
     # their robots.txt fetched through the fetcher interface the first wave
     # they appear as candidates; the cache table grows monotonically.

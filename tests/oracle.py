@@ -66,7 +66,7 @@ def run_oracle(spec: CrawlJobSpec, pages: pd.DataFrame,
             web[url] = (fst, fhtml, fnb)
     robots = {}
     for r in robots_src.itertuples():
-        allow, deny, delay = parse_robots(r.body)
+        allow, deny, delay = parse_robots(r.body, spec.agent)
         robots[r.host] = (allow, deny, delay)
 
     res = OracleResult()

@@ -60,3 +60,87 @@ def test_path_of():
 def test_absent_body():
     allow, deny, delay = parse_robots("")
     assert allow == [] and deny == [] and delay == 0
+
+
+# --------------------------------------------- RFC 9309 UA group selection
+
+
+def test_named_group_overrides_star():
+    allow, deny, delay = parse_robots(BODY, agent="Googlebot/2.1")
+    assert deny == ["/only-google"]          # named group, not the * rules
+    assert allow == [] and delay == 0        # delay lives in the * group
+
+
+def test_unknown_agent_falls_back_to_star():
+    allow, deny, delay = parse_robots(BODY, agent="SomeBot/1.0")
+    assert deny == ["/private", "/tmp/*"]
+    assert allow == ["/private/ok"] and delay == 2500
+
+
+def test_most_specific_token_wins():
+    body = ("User-agent: googlebot\nDisallow: /general\n\n"
+            "User-agent: googlebot-news\nDisallow: /news-only\n\n"
+            "User-agent: *\nDisallow: /all")
+    # exact-specific beats shorter prefix beats *
+    assert parse_robots(body, "googlebot-news")[1] == ["/news-only"]
+    # 'googlebot-images' has no own group -> longest prefix 'googlebot'
+    assert parse_robots(body, "googlebot-images")[1] == ["/general"]
+    assert parse_robots(body, "bingbot")[1] == ["/all"]
+
+
+def test_same_token_groups_merge():
+    body = ("User-agent: foobot\nDisallow: /a\n\n"
+            "User-agent: FooBot\nDisallow: /b\nCrawl-delay: 1\n\n"
+            "User-agent: *\nDisallow: /star")
+    allow, deny, delay = parse_robots(body, "foobot/3.0 (+http://foo)")
+    assert deny == ["/a", "/b"]              # RFC: same-agent groups combine
+    assert delay == 1000
+
+
+def test_product_token_extraction_case_insensitive():
+    body = "User-agent: MyBot\nDisallow: /m"
+    assert parse_robots(body, "mybot/1.2 (contact@x)")[1] == ["/m"]
+    assert parse_robots(body, "MYBOT")[1] == ["/m"]
+    # agent token shorter than the group token -> no prefix match -> star
+    assert parse_robots(body + "\n\nUser-agent: *\nDisallow: /s",
+                        "my")[1] == ["/s"]
+
+
+def test_e2e_crawl_with_named_agent_matches_oracle(spark, small_cfg):
+    """Engine == oracle when a named agent selects per-host named groups
+    that DIFFER from the * group (some hosts deny the named bot harder,
+    some carve it an allow-back)."""
+    from crawler_spark.plans.frontier import run_crawl
+    from crawler_spark.sources.fetch import SimulatedFetcher
+    from crawler_spark.sources.webgraph import (
+        gen_pages, gen_robots_src, gen_seeds, to_spark,
+    )
+    from crawler_spark.spec import CrawlJobSpec
+    from tests.oracle import run_oracle
+
+    robots_src = gen_robots_src(small_cfg)
+
+    def _augment(i, body):
+        if i % 3 == 0:
+            return (body + "\nUser-agent: testbot\nDisallow: /p1\n"
+                    "Disallow: /p2\n")
+        if i % 3 == 1:
+            return body + "\nUser-agent: testbot\nDisallow:\n"
+        return body  # * group only -> named agent falls back
+
+    robots_src["body"] = [_augment(i, b)
+                          for i, b in enumerate(robots_src["body"])]
+    spec = CrawlJobSpec(seeds=gen_seeds(small_cfg), max_depth=3,
+                        agent="TestBot/1.0", respect_robots_txt=True)
+    want = run_oracle(spec, gen_pages(small_cfg), robots_src)
+    pages_df, _ = to_spark(spark, small_cfg)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=spark.createDataFrame(robots_src))
+    got = {r.url_canon for r in run.seen.select("url_canon").collect()}
+    assert got == want.seen
+    # the named group actually bit: rerun with no agent differs on the
+    # hosts whose testbot group denies more than their * group
+    spec2 = CrawlJobSpec(seeds=gen_seeds(small_cfg), max_depth=3,
+                         respect_robots_txt=True)
+    want2 = run_oracle(spec2, gen_pages(small_cfg), robots_src)
+    assert want.seen != want2.seen
