@@ -54,30 +54,45 @@ def host_edges(docs: DataFrame) -> DataFrame:
 
 
 def pagerank_hosts(edges: DataFrame, iters: int = 5,
-                   damping: float = 0.85) -> DataFrame:
+                   damping: float = 0.85,
+                   teleport: DataFrame | None = None) -> DataFrame:
     """Fixed-iteration PageRank over distinct (src, dst) host edges.
 
     Returns (host, rank:double) for every host appearing as src or dst.
-    rank_0 = 1.0; rank_{t+1}(v) = (1-d) + d * sum_{u->v} rank_t(u)/outdeg(u).
+    rank_0 = tele(v); rank_{t+1}(v) = (1-d)·tele(v) + d · sum_{u→v}
+    rank_t(u)/outdeg(u), where tele(v) = 1.0 everywhere by default
+    (classic PageRank, the g1 contract unchanged) or the indicator of the
+    `teleport` host set (PERSONALIZED PageRank — Haveliwala, WWW 2002:
+    the damped random surfer restarts only at the seed hosts, so rank
+    measures proximity to the topic seeds; the focused-crawl prior).
     Deterministic given the edge set — `iters` is fixed, not
     convergence-tested, so the result is reproducible across engines
     (the DuckDB oracle unrolls the same K iterations as chained CTEs).
+    The teleport set is seed-list-sized: a broadcast flag join, no extra
+    shuffle.
     """
     e = edges.select("src", "dst").distinct()
     hosts = (e.select(F.col("src").alias("host"))
              .unionByName(e.select(F.col("dst").alias("host")))
-             .distinct()
-             .localCheckpoint(eager=True))
+             .distinct())
+    if teleport is None:
+        hosts = hosts.withColumn("tele", F.lit(1.0))
+    else:
+        t = (teleport.select("host").distinct()
+             .withColumn("_t", F.lit(1.0)))
+        hosts = (hosts.join(F.broadcast(t), "host", "left")
+                 .select("host", F.coalesce("_t", F.lit(0.0)).alias("tele")))
+    hosts = hosts.localCheckpoint(eager=True)
     out = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     e_w = e.join(out, "src").localCheckpoint(eager=True)  # (src, dst, outdeg)
-    ranks = hosts.withColumn("rank", F.lit(1.0))
+    ranks = hosts.select("host", F.col("tele").alias("rank"))
     for _ in range(iters):
         contrib = (e_w.join(ranks.withColumnRenamed("host", "src"), "src")
                    .groupBy(F.col("dst").alias("host"))
                    .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass")))
         ranks = (hosts.join(contrib, "host", "left")
                  .select("host",
-                         (F.lit(1.0 - damping)
+                         (F.lit(1.0 - damping) * F.col("tele")
                           + F.lit(damping) * F.coalesce(F.col("mass"),
                                                         F.lit(0.0)))
                          .alias("rank"))
@@ -105,23 +120,35 @@ def hostrank_boosts(ranks: DataFrame) -> DataFrame:
 
 
 def pagerank_oracle_sql(edges_cte: str, iters: int = 5,
-                        damping: float = 0.85) -> str:
+                        damping: float = 0.85,
+                        teleport_cte: str | None = None) -> str:
     """DuckDB twin of `pagerank_hosts`: the K iterations unrolled as
     chained CTEs (no recursive aggregate needed).  `edges_cte` must be a
-    complete CTE body yielding DISTINCT (src, dst)."""
+    complete CTE body yielding DISTINCT (src, dst); `teleport_cte` (if
+    given) one yielding the personalization hosts (host)."""
     d = damping
     ctes = [f"e AS ({edges_cte})",
-            "hosts AS (SELECT src AS host FROM e UNION "
-            "SELECT dst AS host FROM e)",
-            "outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
-            "r0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS rank FROM hosts)"]
+            "h0 AS (SELECT src AS host FROM e UNION "
+            "SELECT dst AS host FROM e)"]
+    if teleport_cte is None:
+        ctes.append("hosts AS (SELECT host, CAST(1.0 AS DOUBLE) AS tele "
+                    "FROM h0)")
+    else:
+        ctes.append(f"tp AS ({teleport_cte})")
+        ctes.append("hosts AS (SELECT h0.host, CASE WHEN tp.host IS NOT NULL "
+                    "THEN 1.0 ELSE 0.0 END AS tele "
+                    "FROM h0 LEFT JOIN (SELECT DISTINCT host FROM tp) tp "
+                    "USING (host))")
+    ctes += ["outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+             "r0 AS (SELECT host, CAST(tele AS DOUBLE) AS rank FROM hosts)"]
     for k in range(1, iters + 1):
         ctes.append(
             f"c{k} AS (SELECT e.dst AS host, SUM(r.rank / o.outdeg) AS mass "
             f"FROM e JOIN r{k-1} r ON r.host = e.src "
             f"JOIN outd o ON o.src = e.src GROUP BY e.dst)")
         ctes.append(
-            f"r{k} AS (SELECT h.host, {1.0 - d} + {d} * COALESCE(c.mass, 0) "
+            f"r{k} AS (SELECT h.host, {1.0 - d} * h.tele "
+            f"+ {d} * COALESCE(c.mass, 0) "
             f"AS rank FROM hosts h LEFT JOIN c{k} c USING (host))")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT host, ROUND(rank, 4) AS rank FROM r{iters}")

@@ -4249,3 +4249,141 @@ def f10_url_alias_rules(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("support"),
                  F.count_distinct("host").cast("long").alias("n_hosts"))
             .where(F.col("support") >= 5))
+
+
+@q("g12_personalized_pagerank", pagerank_oracle_sql(
+    _G1_EDGES_SQL, iters=5, damping=0.85,
+    teleport_cte="SELECT 'src0' AS host UNION ALL SELECT 'src1' "
+                 "UNION ALL SELECT 'src2'"))
+def g12_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (Haveliwala, WWW 2002) over the g1 host
+    graph: the damped surfer restarts ONLY at the topic-seed hosts
+    (src0/src1/src2), so rank measures graph proximity to the seeds —
+    the focused-crawl prior (feed through hostrank_boosts to bias
+    admission toward on-topic hosts, exactly like g1/g11). Same unrolled
+    fixed-iteration contract as g1; the teleport set rides a broadcast
+    flag join, no extra shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    tp = spark.createDataFrame([("src0",), ("src1",), ("src2",)],
+                               "host string")
+    ranks = pagerank_hosts(edges, iters=5, damping=0.85, teleport=tp)
+    return ranks.select("host", F.round("rank", 4).alias("rank"))
+
+
+_DD16_TRUE_J = ("len(list_intersect(sa.sh, sb.sh)) * 1.0 "
+                "/ len(list_distinct(sa.sh || sb.sh))")
+
+
+@q("dd16_lsh_band_planner", "WITH " + _LSH_CTES + """,
+pairs AS (""" + _LSH_PAIRS_SQL + """),
+tj AS (SELECT least(CAST(floor((""" + _DD16_TRUE_J + """) * 16) AS INT), 15)
+         AS bin
+       FROM pairs p
+       JOIN sh sa ON sa.doc_id = p.doc_a
+       JOIN sh sb ON sb.doc_id = p.doc_b),
+hist AS (SELECT bin, CAST(2 * bin + 1 AS DOUBLE) / 32 AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM tj GROUP BY bin),
+cfg AS (SELECT b, r FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+          AS t(b, r)),
+pw AS (SELECT c.b, c.r, h.s, h.n,
+              h.s * h.s AS s2, (h.s * h.s) * (h.s * h.s) AS s4
+       FROM hist h CROSS JOIN cfg c),
+sr AS (SELECT b, r, s, n,
+              CASE r WHEN 1 THEN s WHEN 2 THEN s2 WHEN 4 THEN s4
+                     WHEN 8 THEN s4 * s4 ELSE (s4 * s4) * (s4 * s4)
+              END AS srv
+       FROM pw),
+qq AS (SELECT b, r, s, n, 1.0 - srv AS q1,
+              (1.0 - srv) * (1.0 - srv) AS q2,
+              ((1.0 - srv) * (1.0 - srv)) * ((1.0 - srv) * (1.0 - srv)) AS q4
+       FROM sr),
+pc AS (SELECT b, r, s, n,
+              1.0 - (CASE b WHEN 1 THEN q1 WHEN 2 THEN q2 WHEN 4 THEN q4
+                            WHEN 8 THEN q4 * q4 ELSE (q4 * q4) * (q4 * q4)
+                     END) AS p
+       FROM qq),
+agg AS (SELECT b, r,
+               sum(CASE WHEN s >= 0.5 THEN n ELSE 0 END) AS n_pos,
+               sum(CASE WHEN s < 0.5 THEN n ELSE 0 END) AS n_neg,
+               sum(CASE WHEN s >= 0.5 THEN n * p ELSE 0 END) AS tp,
+               sum(CASE WHEN s < 0.5 THEN n * p ELSE 0 END) AS fp
+        FROM pc GROUP BY b, r)
+SELECT CAST(b AS INT) AS n_bands, CAST(r AS INT) AS band_size,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round(tp / greatest(n_pos, 1), 4) AS exp_recall,
+       round(fp / greatest(n_neg, 1), 4) AS exp_fp_rate
+FROM agg
+""")
+def dd16_lsh_band_planner(spark, sf_dir):
+    """LSH band planning against THIS corpus's similarity profile (the
+    Mining of Massive Datasets S-curve, evaluated empirically): bucket
+    dd3's candidate pairs by TRUE shingle Jaccard into 16 bins, then for
+    every (bands b, rows r) factorization of a 16-perm signature compute
+    the expected recall above the 0.5 dup threshold and expected
+    false-candidate rate below it under the collision curve
+    P(s) = 1 - (1 - s^r)^b. Bin midpoints are dyadic ((2k+1)/32) and all
+    powers are IEEE squaring chains, so both engines compute the curve
+    bit-identically — no libm pow anywhere. The output is the table you
+    read before committing a (b, r) to a 10^10-doc run; dd13 then
+    validates the chosen config's realized recall.
+
+    Scale: the histogram is 16 rows out of dd3's candidate-bounded pair
+    set; the config sweep is a 5x16 broadcast cross of literals."""
+    from crawler_spark.operators.textdedup import (
+        _shingle_projection, lsh_band_pairs,
+    )
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingle_projection(d, "doc_id", "text", 3)
+    pairs = lsh_band_pairs(d, n_perm=8, band_size=2, shingle_n=3,
+                           max_bucket=64, sh=sh).select("doc_a", "doc_b")
+    j = (pairs
+         .join(sh.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("sha")), "doc_a")
+         .join(sh.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("shb")), "doc_b"))
+    tj = (F.size(F.array_intersect("sha", "shb"))
+          / F.size(F.array_union("sha", "shb")))
+    bin_ = F.least(F.floor(tj * 16).cast("int"), F.lit(15))
+    hist = (j.select(bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("s", (2 * F.col("bin") + 1).cast("double") / 32))
+    cfg = spark.createDataFrame([(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)],
+                                "b int, r int")
+    e = hist.crossJoin(F.broadcast(cfg))
+    s = F.col("s")
+    s2, s4 = s * s, (s * s) * (s * s)
+    sr = (F.when(F.col("r") == 1, s).when(F.col("r") == 2, s2)
+          .when(F.col("r") == 4, s4).when(F.col("r") == 8, s4 * s4)
+          .otherwise((s4 * s4) * (s4 * s4)))
+    e = e.withColumn("srv", sr)
+    q1 = F.lit(1.0) - F.col("srv")
+    q2 = q1 * q1
+    q4 = (q1 * q1) * (q1 * q1)
+    p = F.lit(1.0) - (F.when(F.col("b") == 1, q1).when(F.col("b") == 2, q2)
+                      .when(F.col("b") == 4, q4)
+                      .when(F.col("b") == 8, q4 * q4)
+                      .otherwise((q4 * q4) * (q4 * q4)))
+    e = e.withColumn("p", p)
+    pos = F.col("s") >= 0.5
+    agg = (e.groupBy("b", "r")
+           .agg(F.sum(F.when(pos, F.col("n")).otherwise(0)).alias("n_pos"),
+                F.sum(F.when(~pos, F.col("n")).otherwise(0)).alias("n_neg"),
+                F.sum(F.when(pos, F.col("n") * F.col("p")).otherwise(0.0))
+                 .alias("tp"),
+                F.sum(F.when(~pos, F.col("n") * F.col("p")).otherwise(0.0))
+                 .alias("fp")))
+    return agg.select(
+        F.col("b").alias("n_bands"), F.col("r").alias("band_size"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(F.col("tp") / F.greatest(F.col("n_pos"), F.lit(1)), 4)
+         .alias("exp_recall"),
+        F.round(F.col("fp") / F.greatest(F.col("n_neg"), F.lit(1)), 4)
+         .alias("exp_fp_rate"))

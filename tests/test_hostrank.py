@@ -268,3 +268,50 @@ def test_opic_banks_total_cash_each_iteration(spark):
         # every iteration banks exactly the total cash (n) into history
         assert abs(sum(r.importance for r in rows) - iters * n) < 1e-6
         assert abs(sum(r.cash for r in rows) - n) < 1e-6
+
+
+# -------------------------------------------- personalized PageRank (g12)
+
+
+def test_personalized_pagerank_localizes_to_teleport_set(spark):
+    # two disconnected components; teleport only into the first
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    tp = spark.createDataFrame([("a",)], "host string")
+    # even iters: on the a<->b 2-cycle the rank oscillates, and after an
+    # even number of steps the teleport seed holds the larger share
+    got = {r.host: r.rank
+           for r in pagerank_hosts(df, iters=4, teleport=tp).collect()}
+    # no restart mass ever reaches the (x, y) component
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > got["b"] > 0.0     # seed holds the restart mass
+
+
+def test_personalized_with_full_teleport_equals_classic(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    hosts = (e.select(F.col("src").alias("host"))
+             .union(e.select("dst")).distinct())
+    classic = {r.host: round(r.rank, 10)
+               for r in pagerank_hosts(e, iters=4).collect()}
+    full = {r.host: round(r.rank, 10)
+            for r in pagerank_hosts(e, iters=4, teleport=hosts).collect()}
+    assert classic == full
+
+
+def test_opic_boosts_compose_with_crawl(spark, small_cfg):
+    """g11 made load-bearing: crawl -> host_edges -> OPIC importance ->
+    hostrank_boosts -> recrawl. Same admissible web => same seen set."""
+    from crawler_spark.operators.hostrank import opic_hosts
+    spec = CrawlJobSpec(seeds=tuple(gen_seeds(small_cfg)), max_waves=4)
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    run = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                    robots_src=robots_df)
+    imp = opic_hosts(host_edges(run.documents.select("doc_id", "spans")),
+                     iters=4)
+    hp = hostrank_boosts(imp.select("host",
+                                    F.col("importance").alias("rank")))
+    assert all(-1.0 < r.host_boost < 0.0 for r in hp.collect())
+    run2 = run_crawl(spark, spec, SimulatedFetcher(pages_df),
+                     robots_src=robots_df, host_priorities=hp)
+    assert {r["url_canon"] for r in run2.seen.collect()} == \
+           {r["url_canon"] for r in run.seen.collect()}
