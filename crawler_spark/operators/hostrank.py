@@ -472,3 +472,104 @@ def opic_oracle_sql(edges_cte: str, iters: int = 4) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT host, ROUND(hist, 4) AS importance, "
               f"ROUND(cash, 4) AS cash FROM s{iters}")
+
+
+def bowtie_classes(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Bow-tie decomposition of the host graph (Broder et al., "Graph
+    structure in the Web", WWW 2000): classify every host relative to the
+    strongly connected component of a deterministic pivot (the
+    max-degree host, ties to the lexicographically smallest) —
+
+      CORE          pivot's SCC: forward- AND backward-reachable
+      IN            reaches the core but is not reached by it
+      OUT           reached by the core but cannot reach back
+      TENDRIL       weakly connected to the core but in none of the
+                    above (Broder's TENDRILS + TUBES, merged — the
+                    classic split needs two more BFS runs; this is the
+                    crawl-planning signal: seed coverage misses these
+                    unless a seed lands inside)
+      DISCONNECTED  a different weak component entirely
+
+    The crawl-strategy readout: seeds inside IN+CORE cover CORE+OUT by
+    frontier expansion alone; OUT/TENDRIL/DISCONNECTED mass measures how
+    much of the web a pure link-following crawl abandons (why sitemap +
+    robots discovery seeding exists, S4).
+
+    Membership is bounded-BFS within `max_hops` (three `hop_distance`
+    legs: forward, reversed, undirected), so the result is deterministic
+    given the edge set — the DuckDB oracle runs the same three capped
+    walks. At web diameters (Broder measured ~16-21 directed) raise the
+    cap; classification error from a too-small cap moves distant CORE/
+    IN/OUT hosts into TENDRIL, identically in both engines.
+
+    Scale shape: pivot is one aggregate + global top-1
+    (TakeOrderedAndProject); each BFS hop is a frontier⋈edges join +
+    distinct + anti-join at host cardinality with per-hop lineage cuts;
+    the final classification is three host-cardinality left joins (reach
+    sets are O(hosts) — no broadcast assumption). Everything shuffles on
+    the host key; no step is quadratic in edges.
+    """
+    e = (edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint(eager=True))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = e.unionByName(rev).distinct()
+    ends = e.select(F.col("src").alias("host")) \
+            .unionAll(e.select(F.col("dst").alias("host")))
+    hosts = ends.distinct()
+    pv = (ends.groupBy("host").agg(F.count("*").alias("c"))
+          .orderBy(F.desc("c"), F.asc("host")).limit(1).select("host"))
+    legs = []
+    for name, g in (("_f", e), ("_b", rev), ("_u", und)):
+        legs.append(hop_distance(g, pv, max_hops=max_hops)
+                    .select("host").withColumn(name, F.lit(1)))
+    fwd, bwd, u = legs
+    cls = (F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(),
+                  F.lit("CORE"))
+           .when(F.col("_b").isNotNull(), F.lit("IN"))
+           .when(F.col("_f").isNotNull(), F.lit("OUT"))
+           .when(F.col("_u").isNotNull(), F.lit("TENDRIL"))
+           .otherwise(F.lit("DISCONNECTED")))
+    return (hosts.join(fwd, "host", "left").join(bwd, "host", "left")
+            .join(u, "host", "left")
+            .select("host", cls.alias("bowtie")))
+
+
+def bowtie_oracle_sql(edges_cte: str, max_hops: int = 8) -> str:
+    """DuckDB twin of `bowtie_classes`: the same pivot rule and three
+    capped recursive walks. NOTE the engine quirk this builder works
+    around: under `WITH RECURSIVE`, DuckDB 1.0 does NOT de-duplicate a
+    plain `UNION` inside a non-self-referencing CTE — every derived set
+    here spells `SELECT DISTINCT ... UNION ALL ...` explicitly."""
+    k = max_hops
+    return f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_cte})
+                     WHERE src <> dst),
+re AS (SELECT dst AS src, src AS dst FROM e),
+ue AS (SELECT DISTINCT src, dst FROM
+       (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM re)),
+hosts AS (SELECT DISTINCT host FROM
+          (SELECT src AS host FROM e UNION ALL SELECT dst AS host FROM e)),
+deg AS (SELECT host, count(*) AS c FROM
+        (SELECT src AS host FROM e UNION ALL SELECT dst AS host FROM e)
+        GROUP BY host),
+pv AS (SELECT host FROM deg ORDER BY c DESC, host LIMIT 1),
+fwd AS (SELECT host, 0 AS hops FROM pv
+        UNION SELECT e.dst, fwd.hops + 1 FROM fwd
+        JOIN e ON e.src = fwd.host WHERE fwd.hops < {k}),
+bwd AS (SELECT host, 0 AS hops FROM pv
+        UNION SELECT re.dst, bwd.hops + 1 FROM bwd
+        JOIN re ON re.src = bwd.host WHERE bwd.hops < {k}),
+und AS (SELECT host, 0 AS hops FROM pv
+        UNION SELECT ue.dst, und.hops + 1 FROM und
+        JOIN ue ON ue.src = und.host WHERE und.hops < {k})
+SELECT h.host,
+       CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'CORE'
+            WHEN b.host IS NOT NULL THEN 'IN'
+            WHEN f.host IS NOT NULL THEN 'OUT'
+            WHEN u.host IS NOT NULL THEN 'TENDRIL'
+            ELSE 'DISCONNECTED' END AS bowtie
+FROM hosts h
+LEFT JOIN (SELECT DISTINCT host FROM fwd) f USING (host)
+LEFT JOIN (SELECT DISTINCT host FROM bwd) b USING (host)
+LEFT JOIN (SELECT DISTINCT host FROM und) u USING (host)
+"""

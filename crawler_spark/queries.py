@@ -4387,3 +4387,40 @@ def dd16_lsh_band_planner(spark, sf_dir):
          .alias("exp_recall"),
         F.round(F.col("fp") / F.greatest(F.col("n_neg"), F.lit(1)), 4)
          .alias("exp_fp_rate"))
+
+
+from crawler_spark.operators.hostrank import (  # noqa: E402
+    bowtie_classes, bowtie_oracle_sql,
+)
+
+_G13_EDGES_SQL = (
+    "SELECT 'h' || CAST(doc_id % 211 AS VARCHAR) AS src, "
+    "'h' || CAST((doc_id*13+5) % 211 AS VARCHAR) AS dst FROM documents "
+    "WHERE doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT 'h' || CAST((doc_id*17+3) % 211 AS VARCHAR), "
+    "'h' || CAST((doc_id*29+11) % 211 AS VARCHAR) FROM documents "
+    "WHERE doc_id % 5 = 0")
+
+
+@q("g13_bowtie", bowtie_oracle_sql(_G13_EDGES_SQL, max_hops=8))
+def g13_bowtie(spark, sf_dir):
+    """Web bow-tie decomposition (Broder et al., WWW 2000) over a sparse
+    deterministic host graph: every host classified as CORE / IN / OUT /
+    TENDRIL / DISCONNECTED relative to the max-degree pivot's SCC — the
+    crawl-strategy readout of how much of a web pure link-following
+    covers from the current seeds (all five classes are populated at
+    this fixture: 28/58/27/93/5 at sf0.01). Membership by three capped
+    hop_distance BFS legs (forward/reverse/undirected) so both engines
+    compute identical sets; see operators/hostrank.bowtie_classes for
+    the scale shape (host-cardinality joins, per-hop lineage cuts, no
+    quadratic step)."""
+    d = _t(spark, sf_dir, "documents")
+    h = lambda c: F.concat(F.lit("h"), (c % 211).cast("string"))  # noqa: E731
+    e1 = (d.where(F.col("doc_id") % 2 == 0)
+          .select(h(F.col("doc_id")).alias("src"),
+                  h(F.col("doc_id") * 13 + 5).alias("dst")))
+    e2 = (d.where(F.col("doc_id") % 5 == 0)
+          .select(h(F.col("doc_id") * 17 + 3).alias("src"),
+                  h(F.col("doc_id") * 29 + 11).alias("dst")))
+    return bowtie_classes(e1.unionByName(e2), max_hops=8)

@@ -315,3 +315,57 @@ def test_opic_boosts_compose_with_crawl(spark, small_cfg):
                      robots_src=robots_df, host_priorities=hp)
     assert {r["url_canon"] for r in run2.seen.collect()} == \
            {r["url_canon"] for r in run.seen.collect()}
+
+
+# ------------------------------------------------- bow-tie classes (g13)
+
+
+def test_bowtie_hand_graph_all_classes(spark):
+    from crawler_spark.operators.hostrank import bowtie_classes
+    # pivot is 'a' (max degree 3, tie with b -> lexicographic min);
+    # u sits on an i->u->o tube: merged into TENDRIL by design
+    edges = [("a", "b"), ("b", "a"), ("i", "a"), ("b", "o"),
+             ("i", "t"), ("i", "u"), ("u", "o"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r.bowtie for r in bowtie_classes(df, max_hops=8).collect()}
+    assert got == {"a": "CORE", "b": "CORE", "i": "IN", "o": "OUT",
+                   "t": "TENDRIL", "u": "TENDRIL",
+                   "x": "DISCONNECTED", "y": "DISCONNECTED"}
+
+
+def test_bowtie_matches_python_bfs_oracle(spark):
+    """Deterministic pseudo-random digraph vs a from-scratch Python BFS
+    classifier (independent re-derivation of the Broder classes)."""
+    from crawler_spark.operators.hostrank import bowtie_classes
+    edges = sorted({(f"n{(i * 7 + 1) % 37}", f"n{(i * 11 + 5) % 37}")
+                    for i in range(60)
+                    if (i * 7 + 1) % 37 != (i * 11 + 5) % 37})
+    # python oracle
+    fwd_adj, bwd_adj, und_adj = {}, {}, {}
+    deg = {}
+    for s, d in edges:
+        fwd_adj.setdefault(s, set()).add(d)
+        bwd_adj.setdefault(d, set()).add(s)
+        und_adj.setdefault(s, set()).add(d)
+        und_adj.setdefault(d, set()).add(s)
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    pivot = min(deg, key=lambda h: (-deg[h], h))
+
+    def bfs(adj, k=8):
+        seen, frontier = {pivot}, {pivot}
+        for _ in range(k):
+            frontier = {v for u in frontier
+                        for v in adj.get(u, ())} - seen
+            if not frontier:
+                break
+            seen |= frontier
+        return seen
+
+    f, b, u = bfs(fwd_adj), bfs(bwd_adj), bfs(und_adj)
+    want = {h: ("CORE" if h in f and h in b else
+                "IN" if h in b else "OUT" if h in f else
+                "TENDRIL" if h in u else "DISCONNECTED") for h in deg}
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r.bowtie for r in bowtie_classes(df, max_hops=8).collect()}
+    assert got == want
