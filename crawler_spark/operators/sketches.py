@@ -248,3 +248,85 @@ def theta_set_ops(a: DataFrame, b: DataFrame, key: Column,
                     F.round(F.col("s_union") * scale, 4).alias("union_est"),
                     F.round(F.col("s_inter") * scale, 4).alias("inter_est"),
                     F.round(F.col("s_diff") * scale, 4).alias("diff_est")))
+
+
+def bloom_membership(keys: DataFrame, candidates: DataFrame,
+                     key_col: str = "key", m: int = 1024,
+                     k: int = 4) -> DataFrame:
+    """Bloom-filter membership semantics under the cross-engine gate: the
+    exact maybe-in-set answer (false positives and all) a k-hash, m-bit
+    Bloom filter built from `keys` gives for every candidate.
+
+    This is the oracle-checkable twin of the engine's URL-seen prefilter
+    (operators/dedup.build_bloom_parts / bloom_maybe_col — reference:
+    scan.rs delegates the seen set to the spider crate; SURVEY.md A5):
+    the production path packs bits into per-partition numpy bitsets with
+    splitmix64, which no other engine reproduces bit-for-bit. Here the
+    bit positions come from the repo's content-stable md5 family —
+    pos_j(key) = int(md5(j || ':' || key)[:8], 16) mod m, j < k — so
+    DuckDB computes the identical filter, and the FALSE POSITIVES
+    THEMSELVES (the defining Bloom behavior) sit under the hash gate,
+    not just happy-path membership.
+
+    Output: candidates + (maybe_seen INT, false_positive INT) where
+    maybe_seen = all k positions set by the key set, false_positive =
+    maybe_seen on a candidate whose key is truly absent.
+
+    Scale shape: the built filter is exactly `bits` (<= m distinct
+    positions, a few KB) — broadcast to the probe side like the
+    production bitset broadcast; probing explodes each candidate to k
+    (candidate, pos) rows, broadcast-joins, and map-side-combines the
+    per-candidate match count. One shuffle on the candidate key; the
+    key-set side is one distinct at key cardinality. m/k here are demo-
+    sized; the 10^10 design point uses the partitioned-bitset engine
+    path (A5) — same algebra, denser encoding."""
+    def positions(col):
+        return [
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8), 16, 10)
+             .cast("long") % m).alias("pos")
+            for j in range(k)]
+    bits = (keys.select(F.explode(F.array(*positions(F.col(key_col))))
+                        .alias("pos"))
+            .distinct())
+    truly = keys.select(F.col(key_col).alias("_k")).distinct() \
+                .withColumn("_in", F.lit(1))
+    probe = (candidates
+             .withColumn("_pos", F.explode(F.array(*positions(
+                 F.col(key_col)))))
+             .join(F.broadcast(bits.withColumnRenamed("pos", "_pos")
+                               .withColumn("_hit", F.lit(1))),
+                   "_pos", "left")
+             .groupBy(candidates.columns)
+             .agg((F.sum(F.coalesce("_hit", F.lit(0))) == k).cast("int")
+                  .alias("maybe_seen")))
+    return (probe.join(F.broadcast(truly),
+                       probe[key_col] == truly["_k"], "left")
+            .select(*candidates.columns, "maybe_seen",
+                    (F.col("maybe_seen").cast("boolean")
+                     & F.col("_in").isNull()).cast("int")
+                    .alias("false_positive")))
+
+
+def bloom_membership_oracle_sql(keys_sql: str, candidates_sql: str,
+                                m: int = 1024, k: int = 4) -> str:
+    """DuckDB twin of `bloom_membership`. `keys_sql` / `candidates_sql`
+    must yield a `key` column (candidates may carry extra columns, which
+    pass through)."""
+    pos = " UNION ALL ".join(
+        f"SELECT ('0x' || substr(md5('{j}:' || key), 1, 8))::BIGINT % {m} "
+        f"AS pos, key FROM src" for j in range(k))
+    return f"""
+WITH ks AS ({keys_sql}),
+cand AS ({candidates_sql}),
+bits AS (SELECT DISTINCT pos FROM
+         (WITH src AS (SELECT key FROM ks) {pos})),
+probe AS (WITH src AS (SELECT key FROM cand) {pos}),
+hits AS (SELECT p.key,
+                CAST(count(b.pos) = {k} AS INT) AS maybe_seen
+         FROM probe p LEFT JOIN bits b USING (pos) GROUP BY p.key)
+SELECT cand.*, h.maybe_seen,
+       CAST(h.maybe_seen = 1 AND t.key IS NULL AS INT) AS false_positive
+FROM cand JOIN hits h USING (key)
+LEFT JOIN (SELECT DISTINCT key FROM ks) t USING (key)
+"""

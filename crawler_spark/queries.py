@@ -4424,3 +4424,34 @@ def g13_bowtie(spark, sf_dir):
           .select(h(F.col("doc_id") * 17 + 3).alias("src"),
                   h(F.col("doc_id") * 29 + 11).alias("dst")))
     return bowtie_classes(e1.unionByName(e2), max_hops=8)
+
+
+from crawler_spark.operators.sketches import (  # noqa: E402
+    bloom_membership, bloom_membership_oracle_sql,
+)
+
+_KS6_KEYS_SQL = ("SELECT source || '/' || CAST(doc_id AS VARCHAR) AS key "
+                 "FROM documents WHERE doc_id % 2 = 0")
+_KS6_CAND_SQL = ("SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) "
+                 "AS key FROM documents")
+
+
+@q("ks6_bloom_membership",
+   bloom_membership_oracle_sql(_KS6_KEYS_SQL, _KS6_CAND_SQL, m=1024, k=4))
+def ks6_bloom_membership(spark, sf_dir):
+    """The URL-seen Bloom prefilter's semantics under the hash gate: build
+    a k=4/m=1024 filter from the even-doc key set, probe every doc key,
+    and emit per-candidate maybe_seen + false_positive — the false
+    positives themselves (the defining Bloom behavior, ~15 percent at
+    this fill factor) must match DuckDB exactly, which they do because
+    bit positions derive from the repo's content-stable md5 family
+    instead of the production splitmix64 bitsets (those are
+    engine-internal; soundness pytest-gated in test_bloom). See
+    operators/sketches.bloom_membership for the A5 linkage and the scale
+    shape (broadcast bits table == the engine's bitset broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("/"),
+                   F.col("doc_id").cast("string"))
+    keys = d.where(F.col("doc_id") % 2 == 0).select(key.alias("key"))
+    cands = d.select("doc_id", key.alias("key"))
+    return bloom_membership(keys, cands, key_col="key", m=1024, k=4)

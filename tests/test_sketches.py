@@ -180,3 +180,39 @@ def test_theta_matches_reference_and_partition_invariant(spark):
     assert abs(r1.union_est - (r1.n_a_exact + r1.n_b_exact
                                - r1.inter_exact)) \
         / (r1.n_a_exact + r1.n_b_exact - r1.inter_exact) < 0.52
+
+
+def test_bloom_membership_sound_and_fp_flagged(spark):
+    """ks6: NO false negatives ever (every built key answers maybe), and at
+    a deliberately high fill factor false positives exist and are exactly
+    the maybe-answers on absent keys."""
+    from crawler_spark.operators.sketches import bloom_membership
+    keys = spark.range(0, 200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    cands = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    rows = bloom_membership(keys, cands, m=512, k=4).collect()
+    present = {r.doc_id: r for r in rows}
+    assert len(rows) == 400
+    for i in range(200):                      # soundness: no false negatives
+        assert present[i].maybe_seen == 1 and present[i].false_positive == 0
+    fps = [r for r in rows if r.doc_id >= 200 and r.maybe_seen == 1]
+    assert fps, "fill factor chosen to force false positives"
+    assert all(r.false_positive == 1 for r in fps)
+    assert all(r.false_positive == 0 for r in rows
+               if r.doc_id >= 200 and r.maybe_seen == 0)
+
+
+def test_bloom_membership_partition_invariant(spark):
+    from crawler_spark.operators.sketches import bloom_membership
+    keys = spark.range(0, 100).select(
+        F.concat(F.lit("p"), F.col("id")).alias("key"))
+    cands = spark.range(0, 150).select(
+        F.concat(F.lit("p"), F.col("id")).alias("key"))
+    a = sorted((r.key, r.maybe_seen, r.false_positive) for r in
+               bloom_membership(keys.coalesce(1), cands.coalesce(1)).collect())
+    b = sorted((r.key, r.maybe_seen, r.false_positive) for r in
+               bloom_membership(keys.repartition(13),
+                                cands.repartition(7)).collect())
+    assert a == b
