@@ -31,7 +31,7 @@ Scale notes (10^10-URL design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from crawler_spark.functions.canon import host_col
 
@@ -573,3 +573,67 @@ LEFT JOIN (SELECT DISTINCT host FROM fwd) f USING (host)
 LEFT JOIN (SELECT DISTINCT host FROM bwd) b USING (host)
 LEFT JOIN (SELECT DISTINCT host FROM und) u USING (host)
 """
+
+
+def lpa_communities(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the undirected host graph: every host
+    starts as its own label; each iteration every host adopts the most
+    frequent label among its neighbors, ties broken by the
+    lexicographically smallest label. The host-graph view of mirror
+    farms / site networks: a community that spans many hosts with dense
+    interlinking is one "site" for crawl-budget purposes (cf. the DUST
+    and alias rules, f10), where CC (g3) would also merge hosts joined
+    by a single stray link.
+
+    Classic LPA is randomized and order-dependent; this variant is the
+    deterministic synchronous form — fixed `iters`, min-label
+    tie-breaks — so both engines produce identical labels (the oracle
+    unrolls the same K votes). Labels after K rounds are a K-hop local
+    vote, not a fixpoint; raise `iters` for bigger diameters,
+    identically in both engines.
+
+    Scale shape per iteration: one join labels⋈edges at edge
+    cardinality (shuffle on host), one partial-agged groupBy
+    (host, label), one per-host window (rank over label counts —
+    bounded by degree, so Zipf hubs cost their degree, never degree²);
+    lineage cut per round like pagerank/CC."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (und.select(F.col("src").alias("host")).distinct()
+              .withColumn("label", F.col("host"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("host").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        votes = (und.join(labels.withColumnRenamed("host", "dst"), "dst")
+                 .groupBy(F.col("src").alias("host"), F.col("label"))
+                 .agg(F.count("*").alias("c")))
+        labels = (votes.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1)
+                  .select("host", "label")
+                  .localCheckpoint(eager=True))
+    return labels.select("host", F.col("label").alias("community"))
+
+
+def lpa_oracle_sql(edges_cte: str, iters: int = 4) -> str:
+    """DuckDB twin of `lpa_communities`: K unrolled synchronous votes.
+    Explicit SELECT DISTINCT everywhere (the WITH RECURSIVE UNION
+    dedup quirk does not bite here — no recursion — but the house rule
+    from g13 keeps derived sets explicit)."""
+    ctes = [f"e0 AS (SELECT DISTINCT src, dst FROM ({edges_cte}) "
+            "WHERE src <> dst)",
+            "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e0 "
+            "UNION ALL SELECT dst, src FROM e0))",
+            "l0 AS (SELECT DISTINCT src AS host, src AS label FROM ue)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"l{k} AS (SELECT host, label FROM ("
+            f"SELECT u.src AS host, l.label, "
+            f"row_number() OVER (PARTITION BY u.src "
+            f"ORDER BY count(*) DESC, l.label) AS rn "
+            f"FROM ue u JOIN l{k-1} l ON l.host = u.dst "
+            f"GROUP BY u.src, l.label) WHERE rn = 1)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT host, label AS community FROM l{iters}")

@@ -4455,3 +4455,29 @@ def ks6_bloom_membership(spark, sf_dir):
     keys = d.where(F.col("doc_id") % 2 == 0).select(key.alias("key"))
     cands = d.select("doc_id", key.alias("key"))
     return bloom_membership(keys, cands, key_col="key", m=1024, k=4)
+
+
+from crawler_spark.operators.hostrank import (  # noqa: E402
+    lpa_communities, lpa_oracle_sql,
+)
+
+
+@q("g14_lpa_communities", lpa_oracle_sql(_G13_EDGES_SQL, iters=4))
+def g14_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    deterministic min-label variant) over the g13 sparse host graph —
+    the site-network / mirror-farm grouping signal, finer than CC (g3)
+    because membership needs a neighborhood VOTE, not one stray edge.
+    Fixed 4 rounds, unrolled identically in the DuckDB oracle. See
+    operators/hostrank.lpa_communities for the per-round scale shape
+    (edge-cardinality join + partial agg + degree-bounded window,
+    lineage cut per round)."""
+    d = _t(spark, sf_dir, "documents")
+    h = lambda c: F.concat(F.lit("h"), (c % 211).cast("string"))  # noqa: E731
+    e1 = (d.where(F.col("doc_id") % 2 == 0)
+          .select(h(F.col("doc_id")).alias("src"),
+                  h(F.col("doc_id") * 13 + 5).alias("dst")))
+    e2 = (d.where(F.col("doc_id") % 5 == 0)
+          .select(h(F.col("doc_id") * 17 + 3).alias("src"),
+                  h(F.col("doc_id") * 29 + 11).alias("dst")))
+    return lpa_communities(e1.unionByName(e2), iters=4)

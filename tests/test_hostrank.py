@@ -369,3 +369,32 @@ def test_bowtie_matches_python_bfs_oracle(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r.host: r.bowtie for r in bowtie_classes(df, max_hops=8).collect()}
     assert got == want
+
+
+# ---------------------------------------------- LPA communities (g14)
+
+
+def test_lpa_splits_bridged_cliques(spark):
+    """Two triangles joined by a single bridge: one weak component (CC
+    would merge), but the neighborhood vote keeps them separate
+    communities."""
+    from crawler_spark.operators.hostrank import lpa_communities
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("c", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r.community
+           for r in lpa_communities(df, iters=4).collect()}
+    assert {got["a"], got["b"], got["c"]} == {"a"}
+    assert {got["x"], got["y"], got["z"]} == {"c"}
+    assert got["a"] != got["x"]
+
+
+def test_lpa_clique_converges_to_min_label(spark):
+    from crawler_spark.operators.hostrank import lpa_communities
+    nodes = [f"n{i}" for i in range(5)]
+    edges = [(u, v) for u in nodes for v in nodes if u < v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r.community
+           for r in lpa_communities(df, iters=3).collect()}
+    assert set(got.values()) == {"n0"}
