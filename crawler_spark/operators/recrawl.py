@@ -107,7 +107,8 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
                 ttl_waves: int, robots_src: DataFrame | None = None,
                 sink=None, robots_fetcher=None,
                 ttl_by_host: DataFrame | None = None,
-                allow_pending: bool = False):
+                allow_pending: bool = False,
+                revalidate: bool = False):
     """Recrawl a COMPLETED checkpointed crawl: re-fetch every URL whose last
     fetch is >= ttl_waves older than the job's final wave.
 
@@ -125,6 +126,12 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
     legacy stores whose crawl hit its budget cap before job-end lifecycle
     metrics existed (such a store has pending frontier rows that resuming
     can never drain), the refresh then covers the fetched set only.
+
+    `revalidate=True` wraps the fetcher in `ConditionalFetcher` with the
+    store's recorded validators (latest fetch_log.content_sig per URL):
+    unchanged pages come back 304 with no body — the incremental-crawl
+    bandwidth saving — and `merge_revalidated` overlays their stored
+    documents to produce the full refreshed corpus.
     """
     from crawler_spark.plans.frontier import run_crawl
 
@@ -163,10 +170,55 @@ def run_recrawl(spark: SparkSession, spec: CrawlJobSpec, fetcher, store,
     else:
         due = due_for_recrawl(log, last + 1, ttl_waves)
     due = due.localCheckpoint(eager=True)
+    if revalidate:
+        if "content_sig" not in log.columns:
+            raise ValueError(
+                "revalidate=True needs fetch_log.content_sig — this store "
+                "was crawled before validator recording; recrawl it once "
+                "unconditionally to establish validators")
+        from crawler_spark.sources.fetch import ConditionalFetcher
+        fetcher = ConditionalFetcher(fetcher, validators_from_log(log))
     run = run_crawl(spark, spec, fetcher, robots_src=robots_src, sink=sink,
                     robots_fetcher=robots_fetcher,
                     initial_frontier=recrawl_frontier(due))
     return due, run
+
+
+def validators_from_log(fetch_log: DataFrame) -> DataFrame:
+    """(url_canon, etag): the strong validator of each URL's LATEST
+    successful fetch — the If-None-Match header set a conditional recrawl
+    sends. One partial-agged shuffle on url_canon (max_by over the wave
+    number); rows without a recorded signature contribute nothing."""
+    return (fetch_log
+            .where((F.col("status") == 200) & (F.col("content_sig") != ""))
+            .groupBy("url_canon")
+            .agg(F.max_by("content_sig", "wave").alias("etag")))
+
+
+def merge_revalidated(run, store, last: int) -> DataFrame:
+    """The refreshed corpus after a `revalidate=True` recrawl: the newly
+    fetched documents plus, for every URL the conditional fetch confirmed
+    unchanged (status 304), its stored document — latest wave wins, and
+    the stored row keeps its original wave (the content genuinely dates
+    from that crawl; 304 re-certified it, RFC 9110 §15.4.5).
+
+    Scale shape: the 304 set is a filtered projection of the recrawl's
+    fetch_log; one left-semi join against the stored document history and
+    one per-doc window (latest wave) — both shuffle on doc_id only."""
+    from pyspark.sql import Window
+    nm = (run.fetch_log.where(F.col("status") == 304)
+          .select(F.col("url_canon").alias("doc_id")).distinct())
+    stored = store.read_delta_union("documents", last)
+    if stored is None:
+        return run.documents
+    keep = (stored.join(nm, "doc_id", "left_semi")
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("wave"))))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    if run.documents is None:
+        return keep
+    return run.documents.select("doc_id", "spans", "wave").unionByName(
+        keep.select("doc_id", "spans", "wave"))
 
 
 # --- Adaptive TTL from observed change rates ------------------------------

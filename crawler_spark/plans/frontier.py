@@ -56,7 +56,7 @@ METRICS_SCHEMA = ("wave int, part int, fetched long, errors long, "
 class CrawlRun:
     spec: CrawlJobSpec
     documents: DataFrame | None = None     # (doc_id, spans, wave)
-    fetch_log: DataFrame | None = None     # (url_canon, host, depth, wave, status, bytes, agent)
+    fetch_log: DataFrame | None = None     # (url_canon, host, depth, wave, status, bytes, agent, content_sig)
     seen: DataFrame | None = None          # (url_hash, url_canon, host, wave)
     frontier: DataFrame | None = None      # pending rows at exit
     metrics: list[dict] = field(default_factory=list)   # wave-level counters
@@ -272,6 +272,10 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         if docs0 is not None:
             docs_parts.append(docs0)
         if log0 is not None:
+            if "content_sig" not in log0.columns:
+                # store predates the revalidation column: align so the
+                # resumed job's new waves union cleanly ('' = no validator)
+                log0 = log0.withColumn("content_sig", F.lit(""))
             log_parts.append(log0)
         wave = last + 1
     else:
@@ -394,13 +398,23 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
         agent = (F.lit(spec.agent) if spec.agent
                  else ua_col(F.col("host"), spec.ua_pool))
         batch = selected.withColumn("agent", agent)
-        parsed = parse_spans(fetcher.fetch(batch)).localCheckpoint(eager=True)
+        # Strong validator for incremental recrawl (ConditionalFetcher
+        # emits its own on the 304 path; every other fetcher gets the
+        # md5-of-body default here) — recorded in fetch_log.content_sig.
+        fetched = fetcher.fetch(batch)
+        if "content_sig" not in fetched.columns:
+            fetched = fetched.withColumn(
+                "content_sig",
+                F.when(F.col("status") == 200, F.md5("html"))
+                 .otherwise(F.lit("")))
+        parsed = parse_spans(fetched).localCheckpoint(eager=True)
         _mark("fetch_parse")
         ok = parsed.where(F.col("status") == 200)
         docs = ok.select(F.col("url_canon").alias("doc_id"), "spans",
                          F.lit(wave).alias("wave"))
         flog = parsed.select("url_canon", "host", "depth",
-                             F.lit(wave).alias("wave"), "status", "bytes", "agent")
+                             F.lit(wave).alias("wave"), "status", "bytes",
+                             "agent", "content_sig")
         if sink is not None:
             sink(wave, docs)
             _mark("sink")

@@ -4481,3 +4481,49 @@ def g14_lpa_communities(spark, sf_dir):
           .select(h(F.col("doc_id") * 17 + 3).alias("src"),
                   h(F.col("doc_id") * 29 + 11).alias("dst")))
     return lpa_communities(e1.unionByName(e2), iters=4)
+
+
+@q("rc7_revalidation", """
+WITH v AS (SELECT doc_id, md5(text) AS etag FROM documents),
+n AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || '<p>changed</p>'
+                  ELSE text END AS html
+      FROM documents)
+SELECT n.doc_id,
+       CAST(CASE WHEN md5(n.html) = v.etag THEN 304 ELSE 200 END AS BIGINT)
+         AS status,
+       CAST(CASE WHEN md5(n.html) = v.etag THEN 0 ELSE length(n.html) END
+            AS BIGINT) AS wire_bytes,
+       md5(n.html) AS content_sig
+FROM n JOIN v USING (doc_id)
+""")
+def rc7_revalidation(spark, sf_dir):
+    """RFC 9110 conditional revalidation under the hash gate, through the
+    PRODUCTION path (sources/fetch.ConditionalFetcher wrapping
+    SimulatedFetcher — not a re-derivation): validators are the md5 of
+    each doc's stored text; 1-in-7 docs "changed" on the live site. The
+    oracle recomputes the If-None-Match outcome — 304 + zero wire bytes
+    + validator carried as content_sig for unchanged docs, 200 + full
+    body + fresh signature for changed ones. The engine feature this
+    gates: run_recrawl(revalidate=True) + merge_revalidated (e2e-tested
+    in test_recrawl with a mutated web fixture)."""
+    from crawler_spark.sources.fetch import ConditionalFetcher, SimulatedFetcher
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit("/doc/"),
+                   F.col("doc_id").cast("string"))
+    new_html = F.when(F.col("doc_id") % 7 == 0,
+                      F.concat(F.col("text"), F.lit("<p>changed</p>"))) \
+                .otherwise(F.col("text"))
+    pages = d.select(url.alias("url_canon"), F.lit(200).alias("status"),
+                     F.length(new_html).cast("long").alias("bytes"),
+                     new_html.alias("html"))
+    validators = d.select(url.alias("url_canon"),
+                          F.md5("text").alias("etag"))
+    fetcher = ConditionalFetcher(SimulatedFetcher(pages, cache=False),
+                                 validators)
+    batch = d.select("doc_id", url.alias("url_canon"))
+    res = fetcher.fetch(batch)
+    return res.select("doc_id",
+                      F.col("status").cast("long").alias("status"),
+                      F.col("bytes").cast("long").alias("wire_bytes"),
+                      "content_sig")

@@ -309,3 +309,65 @@ def test_snapshot_diff_statuses(spark):
            for r in snapshot_diff(old, new).collect()}
     assert got == {"u1": "unchanged", "u2": "changed",
                    "u3": "gone", "u4": "new"}
+
+
+def test_conditional_recrawl_304_saves_bytes_and_merges(finished_crawl):
+    """RFC 9110 revalidation e2e: recrawl a completed store against a web
+    where a deterministic subset of pages changed. Unchanged due URLs must
+    come back 304 with zero body bytes and their validator as content_sig;
+    changed URLs re-fetch as 200; merge_revalidated reproduces exactly the
+    corpus an unconditional recrawl fetches, with 304 docs keeping their
+    original wave."""
+    import pyspark.sql.functions as F
+    from crawler_spark.operators.recrawl import merge_revalidated
+
+    spark, spec, fetcher, robots_df, store, run = finished_crawl
+    pages = fetcher.pages   # already redirect-resolved (url_canon,...)
+    changed_cond = F.substring(F.md5("url_canon"), 1, 1).isin("0", "1", "2",
+                                                              "3", "4", "5")
+    mutated = pages.withColumn(
+        "html", F.when(changed_cond & (F.col("status") == 200),
+                       F.concat(F.col("html"), F.lit("<p>changed</p>")))
+                 .otherwise(F.col("html")))
+    mfetcher = SimulatedFetcher(mutated)
+
+    ttl, cur = 3, store.latest_wave() + 1
+    expected_due = set(_expected_due(run, cur, ttl))
+    changed = {r["url_canon"] for r in
+               pages.where(changed_cond & (F.col("status") == 200))
+               .select("url_canon").collect()}
+    assert expected_due & changed and expected_due - changed, \
+        "fixture must mix changed and unchanged due URLs"
+
+    rspec = dataclasses.replace(spec, checkpoint_dir="", max_depth=0,
+                                per_host_tokens=1e9, token_cap=1e9)
+    _, full = run_recrawl(spark, rspec, mfetcher, store, ttl,
+                          robots_src=robots_df)
+    _, cond = run_recrawl(spark, rspec, mfetcher, store, ttl,
+                          robots_src=robots_df, revalidate=True)
+
+    stat = {r["url_canon"]: r for r in cond.fetch_log.collect()}
+    assert set(stat) == expected_due
+    for url, r in stat.items():
+        if url in changed:
+            assert r["status"] == 200 and r["bytes"] > 0
+        else:
+            assert r["status"] == 304 and r["bytes"] == 0
+            assert r["content_sig"] != ""      # validator carried forward
+    # the transfer the 304s avoided
+    full_bytes = sum(r["bytes"] for r in full.fetch_log.collect())
+    cond_bytes = sum(r["bytes"] for r in cond.fetch_log.collect())
+    assert cond_bytes < full_bytes
+
+    last = store.latest_wave()
+    merged = merge_revalidated(cond, store, last)
+    got = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+           for r in merged.collect()}
+    want = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+            for r in full.documents.collect()}
+    assert got == want
+    # 304 docs keep the wave their content dates from (the stored wave)
+    orig_wave = {r["doc_id"]: r["wave"] for r in run.documents.collect()}
+    merged_wave = {r["doc_id"]: r["wave"] for r in merged.collect()}
+    for url in expected_due - changed:
+        assert merged_wave[url] == orig_wave[url]
