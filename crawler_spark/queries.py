@@ -4527,3 +4527,58 @@ def rc7_revalidation(spark, sf_dir):
                       F.col("status").cast("long").alias("status"),
                       F.col("bytes").cast("long").alias("wire_bytes"),
                       "content_sig")
+
+
+@q("wc2_cdx_index", r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 20 AS BIGINT) AS file_id,
+         'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         text AS payload
+  FROM documents),
+rec AS (
+  SELECT *,
+         CAST(octet_length(encode(
+           'WARC/1.0' || e'\r\n' ||
+           'WARC-Type: response' || e'\r\n' ||
+           'WARC-Record-ID: <urn:md5:' || md5(uri) || '>' || e'\r\n' ||
+           'WARC-Date: 2026-01-01T00:00:00Z' || e'\r\n' ||
+           'WARC-Target-URI: ' || uri || e'\r\n' ||
+           'Content-Type: text/plain' || e'\r\n' ||
+           'Content-Length: ' ||
+           CAST(octet_length(encode(payload)) AS VARCHAR) ||
+           e'\r\n' || e'\r\n' || payload || e'\r\n' || e'\r\n')) AS BIGINT)
+           AS length,
+         regexp_replace(lower(uri), '^https?://', '') AS rest
+  FROM base),
+keyed AS (
+  SELECT *,
+         array_to_string(list_reverse(string_split(
+           split_part(split_part(rest, '/', 1), ':', 1), '.')), ',')
+         || ')' || substr(rest, length(split_part(rest, '/', 1)) + 1)
+           AS urlkey
+  FROM rec)
+SELECT urlkey, file_id,
+       CAST(COALESCE(sum(length) OVER (PARTITION BY file_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS "offset",
+       length, md5(payload) AS digest
+FROM keyed
+""")
+def wc2_cdx_index(spark, sf_dir):
+    """CDX capture index over the wc1 WARC layout (20 rotation files,
+    records ordered by doc_id): SURT urlkey + byte offset + record length
+    + payload digest per capture — offsets derived by pure prefix-sum
+    algebra over the render, never by re-parsing (sources/warc.cdx_index;
+    test_warc byte-slices the real blobs at these offsets to pin the
+    algebra). The oracle re-renders the identical record string in SQL
+    and windows the same sum."""
+    from crawler_spark.sources.warc import cdx_index
+    d = _t(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("http://"), F.col("source"), F.lit("/doc/"),
+                   F.col("doc_id").cast("string"))
+    base = d.select("doc_id", (F.col("doc_id") % 20).cast("long")
+                    .alias("file_id"), "text", "source")
+    return cdx_index(base, "file_id", "doc_id",
+                     F.concat(F.lit("http://"), F.col("source"),
+                              F.lit("/doc/"), F.col("doc_id").cast("string")),
+                     F.col("text"))

@@ -141,3 +141,55 @@ def parse_warc(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             })
 
     return df.mapInPandas(_parse, PARSED_SCHEMA)
+
+
+def surt_col(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) urlkey — the CDX
+    sort key web archives use (Internet Archive / pywb convention):
+    lowercase, scheme dropped, port dropped, host segments reversed and
+    comma-joined, then ')' + path — so one host's captures sort
+    contiguously and a domain prefix-scan covers all its subdomains
+    ("com,example)/a", "com,example,www)/b"...). Simplified vs pywb: no
+    query-param sorting and no www-stripping (both are lossy
+    normalizations an index consumer opts into; documented, determinism
+    is what the gate needs). Pure column algebra, map-side."""
+    rest = F.regexp_replace(F.lower(url), r"^https?://", "")
+    host = F.substring_index(rest, "/", 1)
+    path = F.substr(rest, F.length(host) + F.lit(1))  # '' when no slash
+    hostp = F.substring_index(host, ":", 1)
+    rev = F.array_join(F.reverse(F.split(hostp, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), path)
+
+
+def cdx_index(df: DataFrame, file_col: str, order_col: str,
+              uri: Column, payload: Column) -> DataFrame:
+    """CDX capture index over the WARC render — (urlkey, filename,
+    offset, length, digest) per record, the random-access layer that
+    makes a WARC corpus queryable (CDX is how Common Crawl / wayback
+    locate a capture without scanning archives).
+
+    The offsets come from ALGEBRA, not from re-parsing: within a file
+    (records concatenated in ascending `order_col`, exactly
+    `warc_file_blobs`' sort), a record's byte offset is the prefix sum
+    of the rendered record lengths before it — one per-file window over
+    `octet_length(record)`. test_warc pins the algebra to reality by
+    byte-slicing the rendered blobs at (offset, length) and re-parsing
+    the slices.
+
+    Scale shape: rendering + length are map-side; the only exchange is
+    the per-file window (files are bounded rotation units — the same
+    partitioning the blob writer needs anyway, so the exchange is
+    shared). digest is md5 of the PAYLOAD (CDX convention), length of
+    the full record."""
+    from pyspark.sql import Window
+    rec_len = F.octet_length(warc_record_col(uri, payload))
+    w = (Window.partitionBy(file_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    rows = df.select(surt_col(uri).alias("urlkey"),
+                     F.col(file_col), F.col(order_col),
+                     rec_len.cast("long").alias("length"),
+                     F.md5(payload).alias("digest"))
+    return (rows.withColumn("offset",
+                            F.coalesce(F.sum("length").over(w), F.lit(0))
+                            .cast("long"))
+            .drop(order_col))

@@ -83,3 +83,38 @@ def test_render_is_order_deterministic(spark):
             warc_record_col(uri, F.col("text"))).collect()
         out.append(hashlib.md5(blobs[0].blob.encode()).hexdigest())
     assert out[0] == out[1]
+
+
+def test_cdx_offsets_slice_real_blobs(spark):
+    """wc2's algebra pinned to bytes: slicing the rendered file blob at
+    every (offset, length) must yield exactly one well-formed record whose
+    payload digest and SURT urlkey match the index row."""
+    import hashlib
+
+    from crawler_spark.sources.warc import (
+        cdx_index, parse_warc_bytes, warc_file_blobs, warc_record_col,
+    )
+    rows = [(i, i % 3, f"http://h{i % 5}.example.com:80/p/{i}?x={i}",
+             f"payload {i} " + "y" * (i % 7))
+            for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, file_id long, uri string, payload string")
+    blobs = {r.file_id: r.blob for r in warc_file_blobs(
+        df, "file_id", "doc_id",
+        warc_record_col(F.col("uri"), F.col("payload"))).collect()}
+    idx = cdx_index(df, "file_id", "doc_id",
+                    F.col("uri"), F.col("payload")).collect()
+    assert len(idx) == 24
+    for r in idx:
+        raw = blobs[r.file_id].encode("utf-8")
+        sl = raw[r.offset:r.offset + r.length]
+        assert sl.startswith(b"WARC/1.0\r\n")
+        recs = parse_warc_bytes(sl)
+        assert len(recs) == 1
+        uri, _, payload = recs[0]
+        assert hashlib.md5(payload).hexdigest() == r.digest
+        host = uri.split("://", 1)[1].split("/", 1)[0].split(":")[0]
+        rest = uri.split("://", 1)[1]
+        want_key = (",".join(reversed(host.split("."))) + ")"
+                    + rest[len(uri.split("://", 1)[1].split("/", 1)[0]):])
+        assert r.urlkey == want_key.lower()
