@@ -86,7 +86,17 @@ class SimulatedFetcher:
         # keep the join payload minimal (column pruning by construction).
         # Cached: probed once per wave (MEMORY_AND_DISK, spill-safe).
         if "location" in pages.columns:
-            pages = _resolve_redirect_pages(pages)
+            # Eagerly materialize the redirect-resolved table NOW: the
+            # resolution plan is a union of two full fixture scans plus the
+            # landing-target join, and leaving it lazy re-derives all of it
+            # inside the first wave's fetch join — a serial-ish planning +
+            # recompute cost that scaling studies 25-26 measured as a ~40s
+            # parallelism-independent component (BENCH/BASELINE.md). A real
+            # fetcher pays redirects per response; construction-time
+            # resolution is fixture preparation and must behave like it.
+            pages = _resolve_redirect_pages(pages).select(
+                "url_canon", "status", "bytes", "html")
+            pages = pages.localCheckpoint(eager=True)
         self.pages = pages.select("url_canon", "status", "bytes", "html")
         if cache:
             self.pages = self.pages.persist()
