@@ -367,6 +367,42 @@ CHECKS = {
     "f10_url_alias_rules": (["HashAggregate", "partial_count"],
                             ["BroadcastHashJoin", "SortMergeJoin",
                              "BatchEvalPython", "ArrowEvalPython"]),
+    # personalized pagerank: g1/g11's audit shape — the returned frame
+    # projects over per-iteration checkpointed state, so assert only
+    # that the closing stage is Python-free and never cartesian
+    "g12_personalized_pagerank": ([],
+                                  ["BatchEvalPython", "ArrowEvalPython",
+                                   "CartesianProduct"]),
+    # LSH band planner: 16-row-histogram partial agg; the 5-row literal
+    # config rides a broadcast cross (BroadcastNestedLoop over literals
+    # is the design at this cardinality — a CartesianProduct or any
+    # Python is not)
+    "dd16_lsh_band_planner": (["HashAggregate", "partial_count"],
+                              ["CartesianProduct", "BatchEvalPython",
+                               "ArrowEvalPython"]),
+    # bow-tie: three capped BFS legs behind per-hop lineage cuts;
+    # closing classification joins at host cardinality
+    "g13_bowtie": ([], ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct"]),
+    # bloom membership: the <=m-position bits table broadcasts to the
+    # exploded probe side (the production bitset-broadcast analog);
+    # per-candidate match count partial-aggs map-side
+    "ks6_bloom_membership": (["BroadcastHashJoin", "partial_count"],
+                             ["SortMergeJoin", "BatchEvalPython",
+                              "ArrowEvalPython"]),
+    # LPA: per-round edge join + partial agg + degree-bounded window sit
+    # behind lineage cuts; closing stage Python-free, never cartesian
+    "g14_lpa_communities": ([], ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct"]),
+    # conditional revalidation through the production ConditionalFetcher:
+    # validator lookup + simulated-page join, all column algebra
+    "rc7_revalidation": ([], ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"]),
+    # CDX index: offsets via the per-file prefix-sum window — the only
+    # exchange is the per-file hash partition; forbid the single-task
+    # global-window shape and any Python
+    "wc2_cdx_index": (["Window"], ["Exchange SinglePartition",
+                                   "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:

@@ -2,7 +2,7 @@
 on Spark AND its oracle_sql() twin on DuckDB at sf0.01; compare row count,
 column names, and order-insensitive canonical values.
 
-Usage: python tools/verify_contract.py [--sf /root/testdata/sf0.01] [--only name]
+Usage: python tools/verify_contract.py [--sf /root/testdata/sf0.01] [--only name[,name2,...]]
                                        [--json out.json]
 
 --json writes a driver-format snapshot ({name: {rows_match, schema_match,
@@ -67,7 +67,7 @@ def main():
     report = {}
     n_ran = 0
     for name, fn in qs.items():
-        if args.only and args.only not in name:
+        if args.only and not any(tok in name for tok in args.only.split(",")):
             continue
         n_ran += 1
         t0 = time.time()
