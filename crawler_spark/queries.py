@@ -4582,3 +4582,153 @@ def wc2_cdx_index(spark, sf_dir):
                      F.concat(F.lit("http://"), F.col("source"),
                               F.lit("/doc/"), F.col("doc_id").cast("string")),
                      F.col("text"))
+
+
+@q("wc3_warc_revisit", r"""
+WITH base AS (
+  SELECT doc_id,
+         'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         text AS payload,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              WHEN doc_id % 7 = 0 THEN md5('old:' || text)
+              ELSE md5(text) END AS prior_digest
+  FROM documents),
+rend AS (
+  SELECT *,
+         'WARC/1.0' || e'\r\n' ||
+         'WARC-Type: response' || e'\r\n' ||
+         'WARC-Record-ID: <urn:md5:' || md5(uri) || '>' || e'\r\n' ||
+         'WARC-Date: 2026-01-01T00:00:00Z' || e'\r\n' ||
+         'WARC-Target-URI: ' || uri || e'\r\n' ||
+         'Content-Type: text/plain' || e'\r\n' ||
+         'Content-Length: ' ||
+         CAST(octet_length(encode(payload)) AS VARCHAR) ||
+         e'\r\n' || e'\r\n' || payload || e'\r\n' || e'\r\n' AS full_rec,
+         prior_digest IS NOT NULL AND md5(payload) = prior_digest
+           AS unchanged
+  FROM base),
+delta AS (
+  SELECT doc_id, full_rec,
+         CASE WHEN unchanged THEN
+           'WARC/1.0' || e'\r\n' ||
+           'WARC-Type: revisit' || e'\r\n' ||
+           'WARC-Record-ID: <urn:md5:' || md5('revisit:' || uri) || '>'
+             || e'\r\n' ||
+           'WARC-Date: 2026-01-01T00:00:00Z' || e'\r\n' ||
+           'WARC-Target-URI: ' || uri || e'\r\n' ||
+           'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'
+             || e'\r\n' ||
+           'WARC-Refers-To: <urn:md5:' || md5(uri) || '>' || e'\r\n' ||
+           'WARC-Payload-Digest: md5:' || prior_digest || e'\r\n' ||
+           'Content-Type: text/plain' || e'\r\n' ||
+           'Content-Length: 0' || e'\r\n' || e'\r\n' || e'\r\n' || e'\r\n'
+         ELSE full_rec END AS rec
+  FROM rend)
+SELECT doc_id,
+       split_part(split_part(rec, e'\r\n', 2), ' ', 2) AS record_type,
+       CAST(octet_length(encode(rec)) AS BIGINT) AS rec_len,
+       md5(rec) AS rec_md5,
+       CAST(octet_length(encode(full_rec)) - octet_length(encode(rec))
+            AS BIGINT) AS saved_bytes
+FROM delta
+""")
+def wc3_warc_revisit(spark, sf_dir):
+    """Incremental WARC archive (revisit records, WARC 1.0 §6.7.2 /
+    Common Crawl-Heritrix convention): re-crawling a corpus where a
+    prior capture exists, unchanged payloads are written as headers-only
+    `revisit` records (identical-payload-digest profile, WARC-Refers-To
+    the original response's deterministic id) and new/changed payloads
+    as full `response` records — rc7's conditional-revalidation
+    economics applied to the archive layer (304 saves wire bytes,
+    revisit saves storage bytes). Fixture: doc_id%3==0 has no prior
+    capture, doc_id%7==0 changed since capture, the rest unchanged.
+    Emits per-capture record type, rendered length, record md5, and
+    storage bytes saved vs a full re-archive; the oracle re-renders the
+    identical record strings in SQL. All map-side column algebra — zero
+    shuffle, zero Python (the mapInPandas splitter walks revisit records
+    via the same Content-Length framing; test_warc round-trips the delta
+    blobs). See sources/warc.warc_delta_record_col."""
+    from crawler_spark.sources.warc import (
+        CRLF, warc_delta_record_col, warc_record_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("http://"), F.col("source"), F.lit("/doc/"),
+                   F.col("doc_id").cast("string"))
+    prior = (F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+             .when(F.col("doc_id") % 7 == 0,
+                   F.md5(F.concat(F.lit("old:"), F.col("text"))))
+             .otherwise(F.md5(F.col("text"))))
+    # let-bind the two rendered strings once (NOTES fact #1) and derive
+    # every output field from the bound struct
+    stats = F.element_at(
+        F.transform(
+            F.array(F.struct(
+                warc_delta_record_col(uri, F.col("text"), prior)
+                .alias("rec"),
+                warc_record_col(uri, F.col("text")).alias("full"))),
+            lambda s: F.struct(
+                F.substring_index(
+                    F.substring_index(s.getField("rec"), CRLF, 2),
+                    " ", -1).alias("record_type"),
+                F.octet_length(s.getField("rec")).cast("long")
+                .alias("rec_len"),
+                F.md5(s.getField("rec")).alias("rec_md5"),
+                (F.octet_length(s.getField("full"))
+                 - F.octet_length(s.getField("rec"))).cast("long")
+                .alias("saved_bytes"))), 1)
+    return d.select("doc_id",
+                    stats.getField("record_type").alias("record_type"),
+                    stats.getField("rec_len").alias("rec_len"),
+                    stats.getField("rec_md5").alias("rec_md5"),
+                    stats.getField("saved_bytes").alias("saved_bytes"))
+
+
+_IX_TOK_SQL = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+    "lower(trim(text)), '\\s+'), t -> t <> '')) AS term FROM documents")
+
+
+@q("ix1_inverted_index", f"""
+WITH tok AS ({_IX_TOK_SQL}),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(MAX(tf) AS BIGINT) AS max_tf,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(tf AS VARCHAR), ' ' ORDER BY doc_id))
+         AS postings_md5
+FROM tf GROUP BY term
+""")
+def ix1_inverted_index(spark, sf_dir):
+    """Distributed inverted-index build — the two-phase MapReduce index
+    expressed declaratively: explode tokens map-side, (term, doc_id)
+    partial-agged tf shuffle, then a term-cardinality rollup with df /
+    corpus tf / max per-doc tf and an md5 digest of the doc_id-sorted
+    "doc:tf" postings string, so the hash gate pins the FULL postings
+    content cross-engine, not just term stats. Zipf head terms are
+    combined to one row per (term, doc) per task before the wire. See
+    operators/invindex.build_index."""
+    from crawler_spark.operators.invindex import build_index
+    return build_index(_t(spark, sf_dir, "documents"))
+
+
+@q("ix2_conjunctive_search", f"""
+WITH tok AS ({_IX_TOK_SQL}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ('vector', 'window', 'merge')
+       GROUP BY doc_id, term)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM tf GROUP BY doc_id HAVING COUNT(*) = 3
+""")
+def ix2_conjunctive_search(spark, sf_dir):
+    """Boolean AND retrieval over the ix1 index: documents containing
+    ALL of a 3-term query, scored by summed tf. The literal IN list
+    ships with the task (no join), the term filter sits BEFORE the
+    shuffle, and the intersection is a partial-agged matched-term count
+    == |q| — at serving time this is a postings key lookup, not a corpus
+    scan. See operators/invindex.conjunctive_search."""
+    from crawler_spark.operators.invindex import conjunctive_search
+    return conjunctive_search(_t(spark, sf_dir, "documents"),
+                              ["vector", "window", "merge"])

@@ -60,6 +60,49 @@ def warc_record_col(uri: Column, payload: Column) -> Column:
     return F.concat(head, payload, F.lit(CRLF + CRLF))
 
 
+_REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def warc_revisit_record_col(uri: Column, payload_digest: Column) -> Column:
+    """One WARC/1.0 `revisit` record (identical-payload-digest profile):
+    the dedup record web archives write instead of re-storing an
+    unchanged capture's body (Common Crawl / Heritrix convention, WARC
+    1.0 §6.7.2). Headers only — `WARC-Refers-To` points at the original
+    response record's deterministic ID (md5 of the URI, exactly what
+    `warc_record_col` stamps), `WARC-Payload-Digest` carries the shared
+    digest, and Content-Length is 0, so `parse_warc_bytes`' framing
+    walks over it unchanged. The record id is salted with 'revisit:' so
+    response and revisit records for one URI never collide."""
+    head = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: revisit" + CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(F.lit("revisit:"), uri)), F.lit(">" + CRLF),
+        F.lit("WARC-Date: " + _WARC_DATE + CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(CRLF),
+        F.lit("WARC-Profile: " + _REVISIT_PROFILE + CRLF),
+        F.lit("WARC-Refers-To: <urn:md5:"), F.md5(uri), F.lit(">" + CRLF),
+        F.lit("WARC-Payload-Digest: md5:"), payload_digest, F.lit(CRLF),
+        F.lit("Content-Type: text/plain" + CRLF),
+        F.lit("Content-Length: 0" + CRLF),
+        F.lit(CRLF))
+    return F.concat(head, F.lit(CRLF + CRLF))
+
+
+def warc_delta_record_col(uri: Column, payload: Column,
+                          prior_digest: Column) -> Column:
+    """Incremental-archive record chooser: a full `response` record when
+    the capture is new (`prior_digest` NULL) or its payload changed, a
+    headers-only `revisit` record when the payload digest matches the
+    prior capture — rc7's conditional-revalidation economics applied to
+    the archive layer (304 saves wire bytes; revisit saves storage
+    bytes). Pure column algebra, map-side; composes with
+    `warc_file_blobs`/`cdx_index` unchanged."""
+    unchanged = prior_digest.isNotNull() & (F.md5(payload) == prior_digest)
+    return F.when(unchanged, warc_revisit_record_col(uri, prior_digest)) \
+            .otherwise(warc_record_col(uri, payload))
+
+
 def warc_file_blobs(df: DataFrame, file_col: str, order_col: str,
                     record_col: Column) -> DataFrame:
     """(rows) -> (file_col, blob): records concatenated in ascending

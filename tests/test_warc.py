@@ -118,3 +118,59 @@ def test_cdx_offsets_slice_real_blobs(spark):
         want_key = (",".join(reversed(host.split("."))) + ")"
                     + rest[len(uri.split("://", 1)[1].split("/", 1)[0]):])
         assert r.urlkey == want_key.lower()
+
+
+def test_delta_records_roundtrip(spark):
+    """wc3: an incremental archive mixes headers-only revisit records
+    (unchanged payload digest) with full response records (new/changed);
+    the Content-Length framing must walk both, unchanged captures carry
+    zero payload bytes, and the revisit headers must point back at the
+    original response record's id and digest."""
+    from crawler_spark.sources.warc import (
+        parse_warc_bytes, warc_delta_record_col, warc_file_blobs,
+    )
+    docs = [
+        (0, "unchanged body zero", "same"),     # prior == current digest
+        (1, "changed body one", "changed"),     # prior digest differs
+        (2, "brand new two", None),             # no prior capture
+        (3, "unchanged body three", "same"),
+    ]
+    rows = []
+    for i, text, kind in docs:
+        if kind == "same":
+            prior = hashlib.md5(text.encode()).hexdigest()
+        elif kind == "changed":
+            prior = hashlib.md5(b"something else").hexdigest()
+        else:
+            prior = None
+        rows.append((i, f"https://t.example/doc/{i}", text, prior))
+    df = spark.createDataFrame(
+        rows, "doc_id long, uri string, text string, prior string")
+    blobs = warc_file_blobs(
+        df.withColumn("file_id", F.lit(0).cast("long")),
+        "file_id", "doc_id",
+        warc_delta_record_col(F.col("uri"), F.col("text"),
+                              F.col("prior"))).collect()
+    assert len(blobs) == 1
+    raw = blobs[0].blob.encode("utf-8")
+    recs = parse_warc_bytes(raw)
+    assert [u for u, _, _ in recs] == \
+        [f"https://t.example/doc/{i}" for i in range(4)]
+    by_id = {int(u.rsplit("/", 1)[1]): (n, p) for u, n, p in recs}
+    # unchanged -> revisit: zero payload bytes
+    assert by_id[0] == (0, b"") and by_id[3] == (0, b"")
+    # changed / new -> full response round-trip
+    assert by_id[1] == (len(b"changed body one"), b"changed body one")
+    assert by_id[2] == (len(b"brand new two"), b"brand new two")
+    # revisit headers: Refers-To = original response id, digest = shared
+    blob_txt = blobs[0].blob
+    rec0 = blob_txt[:blob_txt.index("\r\n\r\n") + 4]
+    assert "WARC-Type: revisit" in rec0
+    assert ("WARC-Refers-To: <urn:md5:"
+            + hashlib.md5(b"https://t.example/doc/0").hexdigest()
+            + ">") in rec0
+    assert ("WARC-Payload-Digest: md5:"
+            + hashlib.md5(b"unchanged body zero").hexdigest()) in rec0
+    assert "Content-Length: 0" in rec0
+    # response records keep their own type line
+    assert "WARC-Type: response" in blob_txt

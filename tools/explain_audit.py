@@ -387,7 +387,7 @@ CHECKS = {
     # bloom membership: the <=m-position bits table broadcasts to the
     # exploded probe side (the production bitset-broadcast analog);
     # per-candidate match count partial-aggs map-side
-    "ks6_bloom_membership": (["BroadcastHashJoin", "partial_count"],
+    "ks6_bloom_membership": (["BroadcastHashJoin", "partial_sum"],
                              ["SortMergeJoin", "BatchEvalPython",
                               "ArrowEvalPython"]),
     # LPA: per-round edge join + partial agg + degree-bounded window sit
@@ -403,6 +403,21 @@ CHECKS = {
     # global-window shape and any Python
     "wc2_cdx_index": (["Window"], ["Exchange SinglePartition",
                                    "BatchEvalPython", "ArrowEvalPython"]),
+    # incremental-archive chooser: pure map-side record render — no
+    # shuffle of any kind, no joins, no Python
+    "wc3_warc_revisit": ([], ["Exchange", "SortMergeJoin",
+                              "BroadcastHashJoin", "BatchEvalPython",
+                              "ArrowEvalPython"]),
+    # inverted index: explode map-side, (term,doc) tf shuffle with
+    # map-side combine, term rollup — no joins, no Python
+    "ix1_inverted_index": (["HashAggregate", "partial_count"],
+                           ["SortMergeJoin", "BroadcastHashJoin",
+                            "BatchEvalPython", "ArrowEvalPython"]),
+    # conjunctive search: IN-list filter BEFORE the shuffle (no join
+    # against the query set), partial-agged intersection count
+    "ix2_conjunctive_search": (["HashAggregate", "partial_count"],
+                               ["SortMergeJoin", "BroadcastHashJoin",
+                                "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
