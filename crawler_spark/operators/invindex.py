@@ -87,3 +87,78 @@ def conjunctive_search(docs: DataFrame, terms: list[str],
                  F.sum("tf").alias("score"))
             .where(F.col("n_terms") == len(q))
             .select("doc_id", "score", "n_terms"))
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  doc_id: str = "doc_id",
+                  text: str = "text") -> DataFrame:
+    """Exact phrase retrieval via positional postings — the inverted
+    index's second serving primitive (conjunctive AND cannot distinguish
+    "new york" from "york new"). Returns (doc_id, n_occurrences) for
+    documents containing the token-exact phrase, overlaps counted.
+
+    Algorithm (the positional-index coverage trick, NOT a |q|-way
+    self-join): posexplode tokens, keep rows whose term occurs in the
+    phrase, and for every phrase offset i the term matches emit a
+    candidate start = pos - i. A start position is a real occurrence iff
+    ALL |q| offsets produced it — and since (doc, pos) is unique and
+    pos = start + i, each offset contributes at most one row per
+    (doc, start), so a plain partial-agged count == |q| is the coverage
+    test. One shuffle on (doc, start) + one on doc; a repeated phrase
+    token costs extra candidate rows, never an extra join.
+
+    At the 10^10-doc design point the phrase-term filter is the
+    postings-fragment key lookup (the IN list ships with the task) and
+    both aggregations combine map-side — no stage sees more than the
+    matched postings."""
+    q = [t.lower() for t in phrase]
+    n = len(q)
+    # literal (offset, token) table, filtered per row to the offsets the
+    # row's term matches — pure column algebra, no join
+    offsets = F.filter(
+        F.array(*[F.struct(F.lit(i).alias("i"), F.lit(t).alias("t"))
+                  for i, t in enumerate(q)]),
+        lambda s: s.getField("t") == F.col("term"))
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text))).alias("pos", "term"))
+    starts = (tok.where(F.col("term").isin(q))
+              # generators must be top-level select items: explode to a
+              # column, then derive start in a sibling projection
+              .select("doc_id", "pos", F.explode(offsets).alias("off"))
+              .select("doc_id",
+                      (F.col("pos") - F.col("off.i")).alias("start")))
+    return (starts.groupBy("doc_id", "start")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .where(F.col("k") == n)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences")))
+
+
+def vocab_ids(index: DataFrame, n_parts: int = 8) -> DataFrame:
+    """Dense term-id assignment over the ix1 index — the tokenizer-vocab
+    step of an LLM data pipeline (ids by df descending, term ascending
+    tie-break, so id 0 is the most common term and the mapping is
+    content-stable).
+
+    A naive row_number() over a global ORDER BY is one task; here the
+    total order comes from the px3 two-phase shape: repartitionByRange
+    on the sort key (range boundaries may land anywhere — ids depend
+    only on the TOTAL order, which (df desc, term) is, term being
+    unique), block-local row_number per range partition, then a
+    broadcast n_parts-row prefix-sum offset table. The only single-task
+    structure is that offset table."""
+    from pyspark.sql import Window
+    d = (index.repartitionByRange(n_parts, F.desc("df"), F.asc("term"))
+         .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(F.desc("df"), F.asc("term"))
+    local = d.withColumn("_r", F.row_number().over(w) - 1)
+    wo = (Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_off", F.coalesce(F.sum("_n").over(wo),
+                                           F.lit(0).cast("long"))))
+    return (local.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+            .select("term", "df",
+                    (F.col("_r") + F.col("_off")).cast("long")
+                    .alias("term_id")))

@@ -4732,3 +4732,50 @@ def ix2_conjunctive_search(spark, sf_dir):
     from crawler_spark.operators.invindex import conjunctive_search
     return conjunctive_search(_t(spark, sf_dir, "documents"),
                               ["vector", "window", "merge"])
+
+
+@q("ix3_phrase_search", """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+                                  i -> toks[i] = 'table'
+                                       AND toks[i+1] = 'table'))
+                  AS BIGINT) AS n_occurrences
+      FROM t)
+SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
+""")
+def ix3_phrase_search(spark, sf_dir):
+    """Exact phrase retrieval ("table table" — a duplicate-token phrase,
+    the hard case) via positional postings: posexplode, per-term
+    candidate starts (pos - phrase_offset), and a coverage count == |q|
+    over (doc, start) — no |q|-way self-join, overlapping occurrences
+    counted. The DuckDB twin slides a window over the token list
+    directly. See operators/invindex.phrase_search."""
+    from crawler_spark.operators.invindex import phrase_search
+    return phrase_search(_t(spark, sf_dir, "documents"),
+                         ["table", "table"])
+
+
+@q("ix4_vocab_ids", f"""
+WITH tok AS ({_IX_TOK_SQL}),
+tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id),
+idx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT term, df,
+       CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) - 1 AS BIGINT)
+         AS term_id
+FROM idx
+""")
+def ix4_vocab_ids(spark, sf_dir):
+    """Dense tokenizer-vocabulary ids over the ix1 index (df desc, term
+    asc — id 0 is the most common term, content-stable). The global
+    row_number comes from the px3 two-phase shape: repartitionByRange on
+    the sort key, block-local row_number, broadcast n_parts-row
+    prefix-sum offsets — never a single-task global window over the
+    vocabulary. See operators/invindex.vocab_ids."""
+    from crawler_spark.operators.invindex import build_index, vocab_ids
+    return vocab_ids(build_index(_t(spark, sf_dir, "documents")),
+                     n_parts=8)

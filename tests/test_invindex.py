@@ -9,7 +9,9 @@ from collections import Counter
 
 from pyspark.sql import functions as F  # noqa: F401  (session fixture import parity)
 
-from crawler_spark.operators.invindex import build_index, conjunctive_search
+from crawler_spark.operators.invindex import (
+    build_index, conjunctive_search, phrase_search, vocab_ids,
+)
 
 CORPUS = [
     (1, "the cat sat on the mat"),
@@ -53,3 +55,49 @@ def test_conjunctive_search_is_exact_intersection(spark):
 def test_conjunctive_search_empty_when_any_term_missing(spark):
     assert conjunctive_search(_df(spark), ["cat", "nosuchterm"]) \
         .count() == 0
+
+
+def _phrase(spark, corpus, phrase):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    return {r.doc_id: r.n_occurrences
+            for r in phrase_search(df, phrase).collect()}
+
+
+def test_phrase_search_order_matters(spark):
+    got = _phrase(spark, [(1, "new york city"), (2, "york new haven"),
+                          (3, "brand New  YORK")],
+                  ["new", "york"])
+    # conjunctive AND would admit doc 2; phrase search must not
+    assert got == {1: 1, 3: 1}
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark):
+    # "a b a" at starts 0 and 2 of doc 1 share the middle "a"
+    got = _phrase(spark, [(1, "a b a b a"), (2, "a b b a")],
+                  ["a", "b", "a"])
+    assert got == {1: 2}
+
+
+def test_phrase_search_duplicate_token_phrase(spark):
+    # the coverage count must not double-credit a position that matches
+    # two phrase offsets of the same token
+    got = _phrase(spark, [(1, "x x x"), (2, "x y x"), (3, "x")],
+                  ["x", "x"])
+    assert got == {1: 2}
+
+
+def test_vocab_ids_dense_df_ordered(spark):
+    idx = build_index(_df(spark))
+    got = {r.term: (r.df, r.term_id)
+           for r in vocab_ids(idx, n_parts=3).collect()}
+    order = sorted(_expected_index().items(),
+                   key=lambda kv: (-kv[1][0], kv[0]))
+    expected = {term: (v[0], i) for i, (term, v) in enumerate(order)}
+    assert got == expected
+
+
+def test_vocab_ids_partition_count_invariant(spark):
+    idx = build_index(_df(spark))
+    a = {(r.term, r.term_id) for r in vocab_ids(idx, n_parts=1).collect()}
+    b = {(r.term, r.term_id) for r in vocab_ids(idx, n_parts=7).collect()}
+    assert a == b

@@ -418,6 +418,19 @@ CHECKS = {
     "ix2_conjunctive_search": (["HashAggregate", "partial_count"],
                                ["SortMergeJoin", "BroadcastHashJoin",
                                 "BatchEvalPython", "ArrowEvalPython"]),
+    # phrase search: coverage-count formulation — candidate-start agg +
+    # occurrence agg, both partial; NO join of any kind (the offset
+    # table is literal column algebra) and no Python
+    "ix3_phrase_search": (["HashAggregate", "partial_count"],
+                          ["SortMergeJoin", "BroadcastHashJoin",
+                           "CartesianProduct",
+                           "BatchEvalPython", "ArrowEvalPython"]),
+    # vocab ids: range-partitioned block-local windows + broadcast
+    # offset join; forbid the sort-merge shape and Python. The offset
+    # table's own SinglePartition window is n_parts rows (the design).
+    "ix4_vocab_ids": (["Window", "BroadcastHashJoin"],
+                      ["SortMergeJoin",
+                       "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
