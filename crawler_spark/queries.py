@@ -4760,6 +4760,106 @@ def ix3_phrase_search(spark, sf_dir):
                          ["table", "table"])
 
 
+_BPE_K = 6
+
+_BPE_W0 = r"""w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount,
+         ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+           AS syms
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+                 lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word)"""
+
+
+def _bpe_ctes(k: int) -> str:
+    """Unrolled k-round BPE training chain (see operators/bpe.py for
+    the double-separator replace trick that makes each round a plain
+    substring replace, bit-identical across engines)."""
+    parts = [_BPE_W0]
+    for i in range(k):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr[1] AS left_sym, pr[2] AS right_sym,
+         CAST(SUM(wcount) AS BIGINT) AS pair_count
+  FROM (SELECT wcount,
+               unnest(list_transform(range(1, len(sl)),
+                                     j -> [sl[j], sl[j+1]])) AS pr
+        FROM (SELECT wcount, string_split(trim(syms), '  ') AS sl
+              FROM w{i}))
+  GROUP BY 1, 2)""")
+        parts.append(f"""m{i} AS MATERIALIZED (
+  SELECT * FROM p{i}
+  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""")
+        parts.append(f"""w{i + 1} AS MATERIALIZED (
+  SELECT word, wcount,
+         replace(syms,
+                 ' ' || (SELECT left_sym FROM m{i}) || '  '
+                     || (SELECT right_sym FROM m{i}) || ' ',
+                 ' ' || (SELECT left_sym FROM m{i})
+                     || (SELECT right_sym FROM m{i}) || ' ') AS syms
+  FROM w{i})""")
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_TRAIN_TAIL = "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS BIGINT) AS merge_rank, left_sym, right_sym,"
+    f" pair_count FROM m{i}" for i in range(_BPE_K))
+
+
+@q("tk1_bpe_train", f"""
+{_bpe_ctes(_BPE_K)}
+{_BPE_TRAIN_TAIL}
+""")
+def tk1_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (Sennrich et al. 2016) under the hash
+    gate: k=6 merge rounds, each a weighted adjacent-pair count over
+    the symbolized word VOCABULARY (one corpus shuffle total), a
+    deterministic 1-row argmax, and a self-preserving double-separator
+    substring replace — plain left-to-right replace() semantics are
+    identical in Spark and DuckDB, so the whole iterative run is
+    bit-exact cross-engine. The oracle unrolls the k rounds as a CTE
+    chain. See operators/bpe.train_merges."""
+    from crawler_spark.operators.bpe import train_merges
+    return train_merges(_t(spark, sf_dir, "documents"), k=_BPE_K)
+
+
+_BPE_ENC_SYMS = (
+    "' ' || array_to_string(string_split(word, ''), '  ') || ' '")
+for _i in range(_BPE_K):
+    _BPE_ENC_SYMS = (
+        f"replace({_BPE_ENC_SYMS},\n"
+        f"  ' ' || (SELECT left_sym FROM m{_i}) || '  '"
+        f" || (SELECT right_sym FROM m{_i}) || ' ',\n"
+        f"  ' ' || (SELECT left_sym FROM m{_i})"
+        f" || (SELECT right_sym FROM m{_i}) || ' ')")
+
+
+@q("tk2_bpe_encode", f"""
+{_bpe_ctes(_BPE_K)},
+enc AS (
+  SELECT doc_id, {_BPE_ENC_SYMS} AS syms
+  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                 lower(trim(text)), '\\s+'), x -> x <> '')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$'))
+SELECT doc_id,
+       CAST(SUM(CAST((length(syms)
+                      - length(replace(syms, ' ', ''))) / 2 AS BIGINT))
+            AS BIGINT) AS n_bpe_tokens
+FROM enc GROUP BY doc_id
+""")
+def tk2_bpe_encode(spark, sf_dir):
+    """Corpus encoded with the k=6 BPE merges learned from the SAME
+    corpus (tk1): per-doc post-merge token counts via the format's
+    space arithmetic (spaces = 2 * symbols, exact). The learned merges
+    are a k-row bounded collect embedded as literal chained replaces —
+    the encode pass is map-side only plus one partial-agged per-doc
+    sum. See operators/bpe.encode_token_counts."""
+    from crawler_spark.operators.bpe import encode_token_counts
+    return encode_token_counts(_t(spark, sf_dir, "documents"), k=_BPE_K)
+
+
 @q("ix4_vocab_ids", f"""
 WITH tok AS ({_IX_TOK_SQL}),
 tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id),

@@ -1,0 +1,91 @@
+"""BPE tokenizer training/encoding (operators/bpe.py, driver queries
+tk1/tk2): merges pinned against a pure-Python reference implementation
+(per-round weighted pair count, deterministic argmax, greedy
+left-to-right non-overlapping merge), plus the overlap edge case the
+double-separator replace format exists for."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from crawler_spark.operators.bpe import (
+    encode_token_counts, train_merges, word_counts,
+)
+
+
+def _ref_train(word_freq: dict[str, int], k: int):
+    vocab = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(k):
+        pairs: Counter = Counter()
+        for w, f in word_freq.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        for w in vocab:
+            s, out, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (l, r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+CORPUS = [
+    (1, "low low low lower lower"),
+    (2, "newest newest newest newest newest newest"),
+    (3, "widest widest widest low"),
+    (4, "aaaa aaaa aa"),          # overlap: merge (a,a) must be greedy
+    (5, "don't keep-me"),         # non-alnum words are excluded
+]
+
+WORD_FREQ = {
+    "low": 4, "lower": 2, "newest": 6, "widest": 3, "aaaa": 2, "aa": 1,
+}
+
+
+def _df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_word_counts_filters_and_weights(spark):
+    got = {r.word: r.wcount for r in word_counts(_df(spark)).collect()}
+    assert got == WORD_FREQ
+
+
+def test_train_matches_reference_bpe(spark):
+    k = 5
+    got = [(r.left_sym, r.right_sym, r.pair_count)
+           for r in sorted(train_merges(_df(spark), k=k).collect(),
+                           key=lambda r: r.merge_rank)]
+    exp, _ = _ref_train(WORD_FREQ, k)
+    assert got == exp
+
+
+def test_overlapping_merge_is_greedy(spark):
+    # corpus where (a, a) is the first merge: "aaaa" -> [aa, aa] (2
+    # symbols, never 3) and "aa" -> [aa] (1)
+    df = spark.createDataFrame([(1, "aaaa aa b")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in encode_token_counts(df, k=1).collect()}
+    assert got == {1: 2 + 1 + 1}
+
+
+def test_encode_matches_reference(spark):
+    k = 5
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in encode_token_counts(_df(spark), k=k).collect()}
+    _, vocab = _ref_train(WORD_FREQ, k)
+    exp: dict[int, int] = {}
+    for doc_id, text in CORPUS:
+        n = sum(len(vocab[w]) for w in text.lower().split() if w in vocab)
+        if n:
+            exp[doc_id] = n
+    assert got == exp

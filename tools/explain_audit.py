@@ -431,6 +431,17 @@ CHECKS = {
     "ix4_vocab_ids": (["Window", "BroadcastHashJoin"],
                       ["SortMergeJoin",
                        "BatchEvalPython", "ArrowEvalPython"]),
+    # BPE training: the returned plan is the union of the k pinned
+    # 1-row argmax rounds (each round's agg ran at checkpoint time);
+    # forbid Python anywhere in it
+    "tk1_bpe_train": (["Union"],
+                      ["BatchEvalPython", "ArrowEvalPython"]),
+    # BPE encode: literal chained replaces map-side + ONE partial-agged
+    # per-doc sum; no joins (the merges are bounded-collected literals)
+    "tk2_bpe_encode": (["HashAggregate", "partial_sum"],
+                       ["SortMergeJoin", "BroadcastHashJoin",
+                        "CartesianProduct",
+                        "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
