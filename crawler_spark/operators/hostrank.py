@@ -637,3 +637,101 @@ def lpa_oracle_sql(edges_cte: str, iters: int = 4) -> str:
             f"GROUP BY u.src, l.label) WHERE rn = 1)")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT host, label AS community FROM l{iters}")
+
+
+def hyperanf(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna, WWW 2011): the neighborhood
+    function over the host graph via HLL-register BFS — per host, an
+    estimate of |ball(v, r)| (nodes reachable in <= r directed hops,
+    v included) for every r in 0..max_hops, from which effective
+    diameter and centrality fall out. Exact BFS per node is O(n) BFS
+    runs (hop_distance is ONE multi-source run); HyperANF is the
+    10^8-host answer: each node carries a 256-register HLL of its ball,
+    and one round is register-wise max over out-neighbors.
+
+    Representation is the gate-critical choice: registers live in LONG
+    form (host, reg, mj) — ks4's cross-engine-exact algebra (md5 reg
+    index, bin()-length ranks, integerized harmonic sum) — so a round
+    is UNION ALL(state, edges ⋈ state) + groupBy(host, reg).max(mj):
+    plain partial-agged shuffles, no array fold, no floats until the
+    one final division per (host, round). At most 256 rows per host
+    regardless of ball size — state is O(hosts), never O(hosts^2)
+    like materialized balls.
+
+    Returns (host, hops, regs_used, zero_regs, ball_est) for every
+    round; lineage cut per round like pagerank/CC."""
+    from crawler_spark.operators.sketches import _HLL_M, _HLL_NUMER
+    nodes = (edges.select(F.col("src").alias("host"))
+             .unionByName(edges.select(F.col("dst").alias("host")))
+             .distinct())
+    hx = F.md5(F.col("host"))
+    v = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    rank = (F.when(v == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(v)))).cast("int")
+    state = (nodes.select(
+                "host",
+                F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+                 .alias("reg"),
+                rank.alias("mj"))
+             .localCheckpoint(eager=True))
+
+    def est(s: DataFrame, r: int) -> DataFrame:
+        per = (s.groupBy("host")
+               .agg(F.count("*").cast("int").alias("regs_used"),
+                    F.sum(F.expr("shiftleft(1L, 53 - mj)"))
+                    .cast("long").alias("_s")))
+        zero = (F.lit(_HLL_M) - F.col("regs_used")).cast("int")
+        tot = (F.col("_s")
+               + zero.cast("long") * F.lit(1 << 53).cast("long"))
+        return per.select(
+            "host", F.lit(r).cast("long").alias("hops"), "regs_used",
+            zero.alias("zero_regs"),
+            F.round(F.lit(_HLL_NUMER) / tot.cast("double"), 4)
+            .alias("ball_est"))
+
+    out = est(state, 0)
+    for r in range(1, max_hops + 1):
+        prop = (edges.join(state.withColumnRenamed("host", "dst"), "dst")
+                .select(F.col("src").alias("host"), "reg", "mj"))
+        state = (state.unionByName(prop)
+                 .groupBy("host", "reg")
+                 .agg(F.max("mj").alias("mj"))
+                 .localCheckpoint(eager=True))
+        out = out.unionByName(est(state, r))
+    return out
+
+
+def hyperanf_oracle_sql(edges_cte: str, max_hops: int = 4) -> str:
+    """DuckDB twin of `hyperanf`: max_hops unrolled register rounds as
+    MATERIALIZED CTEs (non-materialized chains re-inline the whole
+    prefix per reference — the tk1 lesson), same integer register
+    algebra as the ks4 oracle."""
+    ctes = [f"e AS MATERIALIZED (SELECT DISTINCT src, dst "
+            f"FROM ({edges_cte}))",
+            "n AS MATERIALIZED (SELECT DISTINCT host FROM ("
+            "SELECT src AS host FROM e UNION ALL "
+            "SELECT dst AS host FROM e))",
+            "s0 AS MATERIALIZED (SELECT host, "
+            "('0x' || substr(md5(host), 1, 2))::BIGINT AS reg, "
+            "CASE WHEN ('0x' || substr(md5(host), 3, 13))::BIGINT = 0 "
+            "THEN 53 ELSE 53 - length(bin(('0x' || substr(md5(host), 3, "
+            "13))::BIGINT)) END AS mj FROM n)"]
+    for r in range(1, max_hops + 1):
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT host, reg, MAX(mj) AS mj "
+            f"FROM (SELECT host, reg, mj FROM s{r-1} UNION ALL "
+            f"SELECT e.src AS host, s.reg, s.mj FROM e "
+            f"JOIN s{r-1} s ON s.host = e.dst) GROUP BY 1, 2)")
+    legs = []
+    for r in range(max_hops + 1):
+        legs.append(
+            f"SELECT host, CAST({r} AS BIGINT) AS hops, regs_used, "
+            f"CAST(256 - regs_used AS INT) AS zero_regs, "
+            f"round(4.2399330249068963e+20 / CAST(s_used + "
+            f"CAST(256 - regs_used AS BIGINT) * 9007199254740992 "
+            f"AS DOUBLE), 4) AS ball_est FROM ("
+            f"SELECT host, CAST(count(*) AS INT) AS regs_used, "
+            f"CAST(sum(1::BIGINT << (53 - mj)) AS BIGINT) AS s_used "
+            f"FROM s{r} GROUP BY host)")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(legs))

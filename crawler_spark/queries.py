@@ -2315,7 +2315,7 @@ _G5_EDGES_SQL = (
 _G5_SEEDS_SQL = "SELECT 'src0' AS host UNION ALL SELECT 'src9'"
 
 from crawler_spark.operators.hostrank import (  # noqa: E402
-    hop_distance, hop_distance_oracle_sql,
+    hop_distance, hop_distance_oracle_sql, hyperanf_oracle_sql,
 )
 
 
@@ -2338,6 +2338,27 @@ def g5_hop_distance(spark, sf_dir):
              .distinct())
     seeds = spark.createDataFrame([("src0",), ("src9",)], "host string")
     return hop_distance(edges, seeds, max_hops=6)
+
+
+@q("g16_hyperanf", hyperanf_oracle_sql(_G5_EDGES_SQL, max_hops=4))
+def g16_hyperanf(spark, sf_dir):
+    """HyperANF neighborhood function (Boldi et al. WWW'11) over the g5
+    host graph: per-host HLL estimates of |ball(v, r)| for r = 0..4 via
+    register-wise max BFS — the 10^8-host alternative to per-node exact
+    BFS, under the bit-exact hash gate thanks to ks4's integer register
+    algebra (long-form (host, reg, mj) state; one UNION ALL + partial-
+    agged groupBy max per round; one double division per output row).
+    Oracle unrolls the rounds as MATERIALIZED CTEs. See
+    operators/hostrank.hyperanf."""
+    from crawler_spark.operators.hostrank import hyperanf
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 40).cast("string"))
+    edges = (d.where(F.col("doc_id") % 11 == 0)
+             .select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    return hyperanf(edges, max_hops=4)
 
 
 @q("ex1_boilerplate_strip", """

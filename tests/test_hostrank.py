@@ -398,3 +398,62 @@ def test_lpa_clique_converges_to_min_label(spark):
     got = {r.host: r.community
            for r in lpa_communities(df, iters=3).collect()}
     assert set(got.values()) == {"n0"}
+
+
+def _ref_hll(ball: set[str]):
+    """Registers of the exact ball membership under the ks4 algebra."""
+    import hashlib
+    regs: dict[int, int] = {}
+    for h in ball:
+        hx = hashlib.md5(h.encode()).hexdigest()
+        reg, v = int(hx[:2], 16), int(hx[2:15], 16)
+        rank = 53 - v.bit_length() if v else 53
+        regs[reg] = max(regs.get(reg, 0), rank)
+    s = sum(1 << (53 - mj) for mj in regs.values())
+    s += (256 - len(regs)) * (1 << 53)
+    return len(regs), 4.2399330249068963e+20 / float(s)
+
+
+def test_hyperanf_registers_equal_exact_ball_registers(spark):
+    """After r rounds each host's registers must be EXACTLY the HLL of
+    its true <=r-hop ball — propagation is lossless register max, so
+    no tolerance on regs_used and float-tight on the estimate."""
+    from crawler_spark.operators.hostrank import hyperanf
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+             ("a", "e"), ("e", "f"), ("x", "a")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.host, r.hops): (r.regs_used, r.ball_est)
+           for r in hyperanf(e, max_hops=3).collect()}
+    adj: dict[str, set[str]] = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        nodes |= {s, d}
+    for v in nodes:
+        ball = {v}
+        for r in range(4):
+            regs_used, est = _ref_hll(ball)
+            gu, ge = got[(v, r)]
+            assert gu == regs_used, (v, r)
+            assert abs(ge - round(est, 4)) < 1e-3, (v, r)
+            ball |= {w for u in ball for w in adj.get(u, ())}
+
+
+def test_hyperanf_linear_counting_accuracy(spark):
+    """The emitted (regs_used, zero_regs) support the small-range
+    linear-counting correction m*ln(m/zero_regs) — apply it driver-side
+    and check it recovers the true ball size on a graph with balls up
+    to ~60 nodes (raw estimator is out of range there BY DESIGN)."""
+    import math
+    from crawler_spark.operators.hostrank import hyperanf
+    # star-of-paths: hub -> p{i}0 -> p{i}1 -> p{i}2 for 20 paths
+    edges = [("hub", f"p{i}0") for i in range(20)]
+    edges += [(f"p{i}{j}", f"p{i}{j+1}") for i in range(20)
+              for j in range(2)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = {(r.host, r.hops): r for r in hyperanf(e, max_hops=3).collect()}
+    truth = {0: 1, 1: 21, 2: 41, 3: 61}   # hub's ball sizes
+    for r, n in truth.items():
+        row = rows[("hub", r)]
+        lc = 256 * math.log(256 / row.zero_regs)
+        assert abs(lc - n) <= max(3, 0.15 * n), (r, lc, n)

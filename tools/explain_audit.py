@@ -431,6 +431,12 @@ CHECKS = {
     "ix4_vocab_ids": (["Window", "BroadcastHashJoin"],
                       ["SortMergeJoin",
                        "BatchEvalPython", "ArrowEvalPython"]),
+    # HyperANF: per-round estimates are partial-agged rollups over the
+    # checkpointed long-form register states (the propagation joins ran
+    # at checkpoint time; j1-shape audited there) — no Python anywhere
+    "g16_hyperanf": (["Union", "HashAggregate", "partial_count"],
+                     ["BatchEvalPython", "ArrowEvalPython",
+                      "CartesianProduct"]),
     # BPE training: the returned plan is the union of the k pinned
     # 1-row argmax rounds (each round's agg ran at checkpoint time);
     # forbid Python anywhere in it
