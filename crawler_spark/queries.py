@@ -4881,6 +4881,46 @@ def tk2_bpe_encode(spark, sf_dir):
     return encode_token_counts(_t(spark, sf_dir, "documents"), k=_BPE_K)
 
 
+@q("px9_bpe_pack", f"""
+{_bpe_ctes(_BPE_K)},
+enc AS (
+  SELECT doc_id, {_BPE_ENC_SYMS} AS syms
+  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                 lower(trim(text)), '\\s+'), x -> x <> '')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$')),
+t AS (
+  SELECT doc_id,
+         CAST(SUM(CAST((length(syms)
+                        - length(replace(syms, ' ', ''))) / 2 AS BIGINT))
+              AS BIGINT) AS n_bpe_tokens
+  FROM enc GROUP BY doc_id),
+c AS (
+  SELECT doc_id, n_bpe_tokens,
+         COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prev_tokens
+  FROM t)
+SELECT doc_id, n_bpe_tokens, prev_tokens,
+       prev_tokens // 512 AS seq_id,
+       prev_tokens % 512 AS seq_offset
+FROM c
+""")
+def px9_bpe_pack(spark, sf_dir):
+    """End-to-end tokenizer-aware packing: BPE token counts from the
+    corpus-trained k=6 merge table (tk2) feed the distributed two-phase
+    prefix-sum packer (px3) to chunk the corpus into 512-token training
+    sequences — the tokenize→count→pack composition a pre-training data
+    job actually runs, with every stage under the hash gate. Docs with
+    no alnum words are absent by construction in both engines. See
+    operators/bpe.encode_token_counts + operators/sampling.pack_sequences."""
+    from crawler_spark.operators.bpe import encode_token_counts
+    from crawler_spark.operators.sampling import pack_sequences
+    counts = encode_token_counts(_t(spark, sf_dir, "documents"), k=_BPE_K)
+    return pack_sequences(counts, "n_bpe_tokens", order_col="doc_id",
+                          budget=512, n_blocks=8)
+
+
 @q("ix4_vocab_ids", f"""
 WITH tok AS ({_IX_TOK_SQL}),
 tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id),

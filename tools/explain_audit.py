@@ -442,6 +442,11 @@ CHECKS = {
     # forbid Python anywhere in it
     "tk1_bpe_train": (["Union"],
                       ["BatchEvalPython", "ArrowEvalPython"]),
+    # BPE-aware packing: encode partial agg + px3's block windows +
+    # broadcast offset join; forbid the sort-merge shape and Python
+    "px9_bpe_pack": (["Window", "BroadcastHashJoin", "partial_sum"],
+                     ["SortMergeJoin",
+                      "BatchEvalPython", "ArrowEvalPython"]),
     # BPE encode: literal chained replaces map-side + ONE partial-agged
     # per-doc sum; no joins (the merges are bounded-collected literals)
     "tk2_bpe_encode": (["HashAggregate", "partial_sum"],
