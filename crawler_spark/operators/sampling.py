@@ -289,3 +289,35 @@ def global_rank(df: DataFrame, order_by: list[Column],
     return (local.join(F.broadcast(offsets), "_blk")
             .withColumn(out_col, F.col("_boff") + F.col("_lrn"))
             .drop("_blk", "_lrn", "_boff"))
+
+
+def keyed_global_rank(df: DataFrame, key_cols: list[str],
+                      order_by: list[Column], n_blocks: int = 32,
+                      out_col: str = "_rn") -> DataFrame:
+    """Per-KEY global row_number, distributed — `global_rank`
+    generalized with a partition key. The naive
+    `row_number() OVER (PARTITION BY key ORDER BY ...)` is one task per
+    key: fine at host cardinality, a scale bug when keys are few and
+    huge (e.g. K=8 scheduler queues over a 10^10-row frontier). Here the
+    range partitioner orders blocks by (key, order) so each key's rows
+    span contiguous ascending blocks; ranks are block-local (parallel)
+    and each key's per-block counts get their own tiny exclusive-cumsum
+    window (partitioned BY KEY over <= n_blocks rows — never one global
+    task). Order must be total within a key."""
+    blocked = (df.repartitionByRange(n_blocks, *[F.col(k) for k in key_cols],
+                                     *order_by)
+               .withColumn("_blk", F.spark_partition_id())
+               .localCheckpoint(eager=False))
+    w_loc = Window.partitionBy(*key_cols, "_blk").orderBy(*order_by)
+    local = blocked.withColumn("_lrn",
+                               F.row_number().over(w_loc).cast("long"))
+    w_blk = (Window.partitionBy(*key_cols).orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (blocked.groupBy(*key_cols, "_blk")
+               .agg(F.count("*").alias("_bn"))
+               .withColumn("_boff", F.coalesce(F.sum("_bn").over(w_blk),
+                                               F.lit(0)).cast("long"))
+               .select(*key_cols, "_blk", "_boff"))
+    return (local.join(F.broadcast(offsets), [*key_cols, "_blk"])
+            .withColumn(out_col, F.col("_boff") + F.col("_lrn"))
+            .drop("_blk", "_lrn", "_boff"))

@@ -3140,6 +3140,61 @@ def w5_frontier_sharding(spark, sf_dir):
                     .cast("int").alias("shard")))
 
 
+@q("w6_mercator_queues", """
+WITH f AS (SELECT doc_id, source AS host, n_chars,
+                  CAST(CAST(substr(source, 4) AS INT) % 8 AS INT)
+                    AS queue_id,
+                  1 + CAST(substr(source, 4) AS INT) % 7 AS delay
+           FROM documents),
+s AS (SELECT doc_id, host, n_chars, queue_id, delay,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id)
+               AS host_seq
+      FROM f),
+t AS (SELECT doc_id, host, queue_id, n_chars,
+             CAST(host_seq AS BIGINT) AS host_seq,
+             CAST((host_seq - 1) * delay AS BIGINT) AS dispatch_at
+      FROM s)
+SELECT doc_id, host, queue_id, host_seq, dispatch_at,
+       CAST(row_number() OVER (PARTITION BY queue_id
+                               ORDER BY dispatch_at, n_chars DESC, doc_id)
+            AS BIGINT) AS queue_rank
+FROM t
+""")
+def w6_mercator_queues(spark, sf_dir):
+    """Mercator two-tier frontier scheduling (Heydon & Najork 1999 —
+    the classic crawler frontier the reference's spider queue
+    descends from): hosts hash to K=8 politeness back-queues; within a
+    host, URLs take priority order (host_seq) and an earliest-dispatch
+    time host_seq-1 times the host's Crawl-delay (rc4's fixture delay);
+    within a back-queue, the dispatch order interleaves hosts by
+    (dispatch_at, priority). The per-HOST window is host-cardinality
+    (fine at scale); the per-QUEUE rank is K=8 giant partitions — the
+    single-task window bug — so the engine computes it with
+    keyed_global_rank (block-local ranks + per-key tiny offset cumsum,
+    px3's shape with a partition key). See
+    operators/sampling.keyed_global_rank."""
+    from crawler_spark.operators.sampling import keyed_global_rank
+    d = _t(spark, sf_dir, "documents")
+    hnum = F.substring("host", 4, 10).cast("int")
+    f = d.select("doc_id", F.col("source").alias("host"), "n_chars") \
+         .withColumn("queue_id", (hnum % 8).cast("int")) \
+         .withColumn("delay", (hnum % 7 + 1))
+    w_host = Window.partitionBy("host").orderBy(F.desc("n_chars"),
+                                                F.asc("doc_id"))
+    t = (f.withColumn("host_seq",
+                      F.row_number().over(w_host).cast("long"))
+         .withColumn("dispatch_at",
+                     ((F.col("host_seq") - 1) * F.col("delay"))
+                     .cast("long")))
+    ranked = keyed_global_rank(
+        t, ["queue_id"],
+        [F.asc("dispatch_at"), F.desc("n_chars"), F.asc("doc_id")],
+        n_blocks=8, out_col="queue_rank")
+    return ranked.select("doc_id", "host", "queue_id", "host_seq",
+                         "dispatch_at", "queue_rank")
+
+
 @q("rc4_crawl_delay_budget", """
 WITH pend AS (SELECT source AS host, count(*) AS pending FROM documents
               GROUP BY 1),

@@ -252,3 +252,21 @@ def test_epoch_shuffle_permutes_and_decorrelates(spark):
                  sorted(rows, key=lambda r: (r["shard"], r["pos"]))]
              for e, rows in by_epoch.items()}
     assert order[0] != order[1]
+
+
+def test_keyed_global_rank_equals_single_window(spark):
+    """keyed_global_rank (block-local ranks + per-key offset cumsum)
+    must equal the naive PARTITION BY key window for any blocking."""
+    from pyspark.sql import Window, functions as F
+    from crawler_spark.operators.sampling import keyed_global_rank
+    rows = [(i, i % 3, (i * 37) % 11, f"u{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k int, p int, u string")
+    w = Window.partitionBy("k").orderBy(F.desc("p"), F.asc("u"))
+    exp = {(r.id, r.rn) for r in
+           df.withColumn("rn", F.row_number().over(w).cast("long"))
+           .collect()}
+    for nb in (1, 4, 32):
+        got = {(r.id, r.rn) for r in keyed_global_rank(
+            df, ["k"], [F.desc("p"), F.asc("u")], n_blocks=nb,
+            out_col="rn").collect()}
+        assert got == exp, nb

@@ -431,6 +431,12 @@ CHECKS = {
     "ix4_vocab_ids": (["Window", "BroadcastHashJoin"],
                       ["SortMergeJoin",
                        "BatchEvalPython", "ArrowEvalPython"]),
+    # Mercator queues: host-partitioned window + keyed_global_rank
+    # (block-local ranks, per-key tiny offset cumsum, broadcast join) —
+    # no K=8 giant-partition window, no sort-merge, no Python
+    "w6_mercator_queues": (["Window", "BroadcastHashJoin"],
+                           ["SortMergeJoin",
+                            "BatchEvalPython", "ArrowEvalPython"]),
     # HyperANF: per-round estimates are partial-agged rollups over the
     # checkpointed long-form register states (the propagation joins ran
     # at checkpoint time; j1-shape audited there) — no Python anywhere
