@@ -735,3 +735,90 @@ def hyperanf_oracle_sql(edges_cte: str, max_hops: int = 4) -> str:
             f"FROM s{r} GROUP BY host)")
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "\nUNION ALL\n".join(legs))
+
+
+def salsa_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration SALSA (Lempel & Moran, WWW 2000) over distinct
+    (src, dst) host edges: the degree-normalized stochastic sibling of
+    HITS — each step is a random-walk transition on the bipartite
+    hub/authority graph instead of HITS' raw mutual reinforcement, which
+    makes it resistant to the Tightly-Knit-Community effect (a dense
+    clique can't inflate its own scores because every hop divides by
+    degree). The production link-ranking choice of large social/web
+    graphs (e.g. Twitter's GraphJet runs a sampled SALSA).
+
+    h_0 = 1; per iteration: auth(v) = sum_{u->v} hub(u)/outdeg(u),
+    hub(u) = sum_{u->v} auth(v)/indeg(v), each sum-normalized (one scalar
+    broadcast) exactly like `hits_hosts`, so the two operators differ
+    ONLY by the degree weights. Scale shape identical to HITS/PageRank:
+    per iteration two host-cardinality shuffles (join on src/dst +
+    groupBy) with a lineage cut; degree dims are computed once and
+    re-joined (host cardinality, 2-3 orders below URLs).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    hosts = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    outd = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    # weighted edges carry the walk probabilities once, reused every round
+    ew = (e.join(outd, "src").join(ind, "dst")
+          .select("src", "dst", "outdeg", "indeg")
+          .localCheckpoint(eager=True))
+    hub = hosts.withColumn("hub", F.lit(1.0))
+    auth = hosts
+    for _ in range(iters):
+        am = (ew.join(hub.withColumnRenamed("host", "src"), "src")
+              .groupBy(F.col("dst").alias("host"))
+              .agg(F.sum(F.col("hub") / F.col("outdeg")).alias("mass")))
+        atot = am.agg(F.sum("mass").alias("t"))
+        auth = (hosts.join(am, "host", "left")
+                .crossJoin(F.broadcast(atot))
+                .select("host", (F.coalesce(F.col("mass"), F.lit(0.0))
+                                 / F.col("t")).alias("auth"))
+                .localCheckpoint(eager=True))
+        hm = (ew.join(auth.withColumnRenamed("host", "dst"), "dst")
+              .groupBy(F.col("src").alias("host"))
+              .agg(F.sum(F.col("auth") / F.col("indeg")).alias("mass")))
+        htot = hm.agg(F.sum("mass").alias("t"))
+        hub = (hosts.join(hm, "host", "left")
+               .crossJoin(F.broadcast(htot))
+               .select("host", (F.coalesce(F.col("mass"), F.lit(0.0))
+                                / F.col("t")).alias("hub"))
+               .localCheckpoint(eager=True))
+    return auth.join(hub, "host")
+
+
+def salsa_oracle_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin of `salsa_hosts`: K iterations unrolled as chained
+    CTEs with the same degree weights and sum normalization."""
+    ctes = [f"e AS (SELECT DISTINCT src, dst FROM ({edges_cte}))",
+            "hosts AS (SELECT src AS host FROM e UNION "
+            "SELECT dst AS host FROM e)",
+            "outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+            "ind AS (SELECT dst, COUNT(*) AS indeg FROM e GROUP BY dst)",
+            "ew AS (SELECT e.src, e.dst, o.outdeg, i.indeg FROM e "
+            "JOIN outd o USING (src) JOIN ind i USING (dst))",
+            "h0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS hub FROM hosts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"am{k} AS (SELECT ew.dst AS host, "
+            f"SUM(h.hub / ew.outdeg) AS mass "
+            f"FROM ew JOIN h{k-1} h ON h.host = ew.src GROUP BY ew.dst)")
+        ctes.append(
+            f"a{k} AS (SELECT h.host, COALESCE(m.mass, 0) "
+            f"/ (SELECT SUM(mass) FROM am{k}) AS auth "
+            f"FROM hosts h LEFT JOIN am{k} m USING (host))")
+        ctes.append(
+            f"hm{k} AS (SELECT ew.src AS host, "
+            f"SUM(a.auth / ew.indeg) AS mass "
+            f"FROM ew JOIN a{k} a ON a.host = ew.dst GROUP BY ew.src)")
+        ctes.append(
+            f"h{k} AS (SELECT h.host, COALESCE(m.mass, 0) "
+            f"/ (SELECT SUM(mass) FROM hm{k}) AS hub "
+            f"FROM hosts h LEFT JOIN hm{k} m USING (host))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT host, ROUND(a.auth, 4) AS auth, "
+            f"ROUND(h.hub, 4) AS hub "
+            f"FROM a{iters} a JOIN h{iters} h USING (host)")

@@ -4995,3 +4995,84 @@ def ix4_vocab_ids(spark, sf_dir):
     from crawler_spark.operators.invindex import build_index, vocab_ids
     return vocab_ids(build_index(_t(spark, sf_dir, "documents")),
                      n_parts=8)
+
+
+from crawler_spark.operators.hostrank import salsa_oracle_sql  # noqa: E402
+
+
+@q("g17_salsa", salsa_oracle_sql(_G1_EDGES_SQL, iters=3))
+def g17_salsa(spark, sf_dir):
+    """SALSA hubs/authorities over the host graph (same deterministic
+    edge derivation as g1/g4): the degree-normalized random-walk variant
+    of HITS (Lempel & Moran, WWW 2000) that resists the Tightly-Knit-
+    Community effect — the ranking large production link graphs actually
+    deploy (GraphJet-style). 3 fixed sum-normalized iterations; the
+    oracle unrolls them with identical degree weights. Per iteration two
+    host-cardinality shuffles, lineage cut per round — identical scale
+    shape to g1/g4. See operators/hostrank.salsa_hosts."""
+    from crawler_spark.operators.hostrank import salsa_hosts
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    out = salsa_hosts(edges, iters=3)
+    return out.select("host", F.round("auth", 4).alias("auth"),
+                      F.round("hub", 4).alias("hub"))
+
+
+_TX17_FEATS_SQL = f"""
+SELECT doc_id,
+       CAST({_NW} AS BIGINT) AS x1,
+       CAST({_hits(_LM['en'])} AS BIGINT) AS x2,
+       CAST(length(text) // 100 AS BIGINT) AS x3,
+       CAST(length(text)
+            - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+         AS x4,
+       CAST(CASE WHEN {_NW} BETWEEN 20 AND 10000
+                  AND {_hits(_LM['en'])} * 100 > {_NW}
+            THEN 1 ELSE -1 END AS BIGINT) AS y
+FROM documents
+"""
+
+from crawler_spark.operators.classifier import (  # noqa: E402
+    perceptron_oracle_sql, perceptron_score, perceptron_train,
+)
+
+
+@q("tx17_perceptron_quality",
+   perceptron_oracle_sql(_TX17_FEATS_SQL, ["x1", "x2", "x3", "x4"],
+                         epochs=3, out_cols="f.doc_id"))
+def tx17_perceptron_quality(spark, sf_dir):
+    """Learned quality filter: a full-batch integer perceptron distilled
+    from the heuristic teacher rule (length band + stopword density — the
+    FineWeb-Edu/DCLM classifier-distillation pattern), trained IN the
+    engine. Each epoch is one corpus scan -> map-side partial aggregate
+    -> ONE collected row of 5 integers; weights re-enter the next epoch
+    as plan literals — the canonical data-parallel GD shape at 100 TB
+    (model state O(features) on the driver, data never shuffles). All
+    integer arithmetic, so training + scoring sit under the bit-exact
+    hash gate; the oracle unrolls the 3 epochs as chained 1-row weight
+    CTEs. See operators/classifier.py."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    w = F.split(t, r"\s+")
+    en = list(_LM["en"])
+    feats = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("x1"),
+        F.size(F.filter(w, lambda x: x.isin(*en))).cast("long").alias("x2"),
+        F.floor(F.length("text") / 100).cast("long").alias("x3"),
+        (F.length("text")
+         - F.length(F.regexp_replace(F.col("text"), "[0-9]", "")))
+        .cast("long").alias("x4"))
+    feats = feats.withColumn(
+        "y",
+        F.when(F.col("x1").between(20, 10000)
+               & (F.col("x2") * 100 > F.col("x1")),
+               F.lit(1)).otherwise(F.lit(-1)).cast("long"))
+    feats = feats.localCheckpoint(eager=True)   # scanned once per epoch
+    wts, b = perceptron_train(feats, ["x1", "x2", "x3", "x4"], epochs=3)
+    return perceptron_score(feats, ["x1", "x2", "x3", "x4"], wts, b) \
+        .select("doc_id", "y", "score", "pred")
