@@ -153,3 +153,27 @@ def encode_token_counts(docs: DataFrame, k: int = 6,
     return (words.select("doc_id", n_syms_col(syms).alias("n"))
             .groupBy("doc_id")
             .agg(F.sum("n").alias("n_bpe_tokens")))
+
+
+def encode_word_stats(docs: DataFrame, k: int = 6,
+                      doc_id: str = "doc_id",
+                      text: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_words, n_chars) over the alnum words —
+    the per-doc raw sums tokenizer-fertility evaluation needs (tk3).
+    Same merge embedding as `encode_token_counts`: k literal chained
+    replaces, map-side, one partial-agged per-doc aggregate."""
+    merges = sorted(
+        ((r.merge_rank, r.left_sym, r.right_sym)
+         for r in train_merges(docs, k, doc_id, text).collect()))
+    words = (docs.select(F.col(doc_id).alias("doc_id"),
+                         F.explode(tokens_col(F.col(text))).alias("word"))
+             .where(F.col("word").rlike(WORD_RE)))
+    syms = symbolize_col(F.col("word"))
+    for _, l, r in merges:
+        syms = F.replace(syms, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    return (words.select("doc_id", F.length("word").alias("wl"),
+                         n_syms_col(syms).alias("n"))
+            .groupBy("doc_id")
+            .agg(F.sum("n").alias("n_bpe_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("wl").cast("long").alias("n_chars")))

@@ -822,3 +822,46 @@ def salsa_oracle_sql(edges_cte: str, iters: int = 3) -> str:
             + f"\nSELECT host, ROUND(a.auth, 4) AS auth, "
             f"ROUND(h.hub, 4) AS hub "
             f"FROM a{iters} a JOIN h{iters} h USING (host)")
+
+
+def harmonic_centrality(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Harmonic centrality via HyperBall (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013):
+    H(v) = sum_{t>=1} (|B_in(v,t)| - |B_in(v,t-1)|) / t — each node at
+    distance t contributes 1/t, estimated from the SAME HLL register BFS
+    as `hyperanf`, run on the REVERSED graph (classic harmonic counts
+    nodes that can REACH v). The web-graph centrality Boldi-Vigna
+    recommend over closeness (finite on disconnected graphs, rewards
+    short in-paths) — at 10^8 hosts the exact all-pairs version is off
+    the table and this sketch IS the published production method.
+
+    Ball deltas are combined in a FIXED pivot order (one conditional agg
+    per round, then a literal expression tree), never a float SUM over
+    rows, so the value is bit-stable cross-engine given hyperanf's
+    bit-exact per-round estimates. Scale: one extra host-cardinality
+    groupBy over hyperanf's output."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    anf = hyperanf(rev, max_hops=max_hops)
+    per = anf.groupBy("host").agg(*[
+        F.max(F.when(F.col("hops") == r, F.col("ball_est")))
+        .alias(f"b{r}") for r in range(max_hops + 1)])
+    h = F.lit(0.0)
+    for t in range(1, max_hops + 1):
+        h = h + (F.col(f"b{t}") - F.col(f"b{t-1}")) / F.lit(float(t))
+    return per.select("host", F.round(h, 4).alias("harmonic"))
+
+
+def harmonic_oracle_sql(edges_cte: str, max_hops: int = 4) -> str:
+    """DuckDB twin of `harmonic_centrality`: hyperanf's unrolled oracle
+    on the reversed edge set, pivoted with the same fixed-order delta
+    expression."""
+    rev = (f"SELECT dst AS src, src AS dst FROM ({edges_cte})")
+    inner = hyperanf_oracle_sql(rev, max_hops=max_hops)
+    cases = ", ".join(
+        f"MAX(CASE WHEN hops = {r} THEN ball_est END) AS b{r}"
+        for r in range(max_hops + 1))
+    expr = " + ".join(f"(b{t} - b{t-1}) / {float(t)}"
+                      for t in range(1, max_hops + 1))
+    return (f"WITH anf AS (SELECT * FROM ({inner})), "
+            f"p AS (SELECT host, {cases} FROM anf GROUP BY host) "
+            f"SELECT host, round({expr}, 4) AS harmonic FROM p")

@@ -5076,3 +5076,171 @@ def tx17_perceptron_quality(spark, sf_dir):
     wts, b = perceptron_train(feats, ["x1", "x2", "x3", "x4"], epochs=3)
     return perceptron_score(feats, ["x1", "x2", "x3", "x4"], wts, b) \
         .select("doc_id", "y", "score", "pred")
+
+
+from crawler_spark.operators.hostrank import harmonic_oracle_sql  # noqa: E402
+
+
+@q("g18_harmonic_centrality", harmonic_oracle_sql(_G5_EDGES_SQL, max_hops=4))
+def g18_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality of every host in the g5 graph via HyperBall
+    (Boldi & Vigna 2013): HLL-register BFS on the reversed graph (g16's
+    bit-exact integer algebra), ball deltas folded as
+    sum_t (|B(v,t)|-|B(v,t-1)|)/t in a fixed pivot order. The published
+    10^8-node centrality method, fully under the hash gate. See
+    operators/hostrank.harmonic_centrality."""
+    from crawler_spark.operators.hostrank import harmonic_centrality
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 40).cast("string"))
+    edges = (d.where(F.col("doc_id") % 11 == 0)
+             .select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    return harmonic_centrality(edges, max_hops=4)
+
+
+_MM9_T_COLS = ",\n       ".join(
+    f"CAST(len(list_filter(bk, x -> x = {c})) AS BIGINT) AS t{c}"
+    for c in range(8))
+_MM9_DOT = " + ".join(f"s{c} * t{c}" for c in range(8))
+_MM9_NA = " + ".join(f"s{c} * s{c}" for c in range(8))
+_MM9_NB = " + ".join(f"t{c} * t{c}" for c in range(8))
+
+_MM9_SQL = f"""
+WITH a AS (SELECT doc_id, text,
+                  regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS s
+           FROM documents),
+     b AS (SELECT doc_id, text,
+                  list_transform(split(s, ''), ch -> ascii(ch)) AS cps,
+                  length(s) AS n
+           FROM a),
+     m AS (SELECT doc_id, text,
+       {_MM5_CHUNK_COLS}
+     FROM b),
+     w AS (SELECT doc_id, {_MM9_T_COLS}
+           FROM (SELECT doc_id,
+                        list_transform(
+                          regexp_split_to_array(trim(text), '\\s+'),
+                          x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 8)
+                          AS bk
+                 FROM a)),
+     j AS (SELECT m.doc_id,
+                  CAST({_MM9_DOT} AS BIGINT) AS dot,
+                  CAST({_MM9_NA} AS BIGINT) AS na,
+                  CAST({_MM9_NB} AS BIGINT) AS nb
+           FROM m JOIN w ON m.doc_id = w.doc_id)
+SELECT doc_id, dot, na, nb,
+       CASE WHEN na * nb > 0
+            THEN round(dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4)
+            ELSE 0.0 END AS align_score,
+       CAST(CASE WHEN dot > 0 AND 100 * dot * dot >= 9 * na * nb
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM j
+"""
+
+
+@q("mm9_clip_gate", _MM9_SQL)
+def mm9_clip_gate(spark, sf_dir):
+    """CLIP-style image-text alignment gate (the LAION filtering rule:
+    keep a pair iff cosine(img_emb, txt_emb) >= 0.3), with deterministic
+    stand-in encoders: the media tower is the REAL mapInPandas decode
+    kernel (multimodal.decode_byte_sums — swap for a CLIP image tower in
+    production, nothing else changes), the text tower an 8-bucket hashed
+    bag-of-words built in ONE zero-shuffle fold. The keep decision is
+    pure integer arithmetic (100*dot^2 >= 9*na*nb, dot>0 — no float in
+    the gate); the reported cosine uses one exact-product sqrt, bit-
+    stable cross-engine (IEEE 754 requires sqrt correctly rounded —
+    unlike log2, see g8). Scale: two narrow per-row passes + one id-key
+    join; thresholding shuffles nothing."""
+    from crawler_spark.operators.multimodal import decode_byte_sums
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id", "text",
+        F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+        .alias("ascii_text"))
+    media = decode_byte_sums(
+        src.withColumn("payload_bin", F.encode("ascii_text", "UTF-8")))
+    wds = F.split(F.trim(F.col("text")), r"\s+")
+    bucket = lambda x: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"), F.lit(8))
+    tv = F.aggregate(
+        wds, F.array_repeat(F.lit(0).cast("long"), 8),
+        lambda acc, x: F.transform(
+            acc, lambda c, i: c + (bucket(x) == i.cast("long"))
+            .cast("long")))
+    txt = d.select("doc_id", tv.alias("tv"))
+    j = media.join(txt, "doc_id")
+    dot = sum((F.col(f"s{c}") * F.element_at("tv", c + 1)
+               for c in range(8)), F.lit(0).cast("long"))
+    na = sum((F.col(f"s{c}") * F.col(f"s{c}") for c in range(8)),
+             F.lit(0).cast("long"))
+    nb = sum((F.element_at("tv", c + 1) * F.element_at("tv", c + 1)
+              for c in range(8)), F.lit(0).cast("long"))
+    j = j.select("doc_id", dot.alias("dot"), na.alias("na"), nb.alias("nb"))
+    score = F.when(
+        F.col("na") * F.col("nb") > 0,
+        F.round(F.col("dot") / F.sqrt((F.col("na") * F.col("nb"))
+                                      .cast("double")), 4)) \
+        .otherwise(F.lit(0.0))
+    kept = F.when((F.col("dot") > 0)
+                  & (100 * F.col("dot") * F.col("dot")
+                     >= 9 * F.col("na") * F.col("nb")),
+                  F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return j.select("doc_id", "dot", "na", "nb",
+                    score.alias("align_score"), kept.alias("kept"))
+
+
+@q("tk3_fertility", f"""
+{_bpe_ctes(_BPE_K)},
+enc AS (
+  SELECT doc_id, word, {_BPE_ENC_SYMS} AS syms
+  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                 lower(trim(text)), '\\s+'), x -> x <> '')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$')),
+t AS (
+  SELECT doc_id,
+         CAST(SUM(CAST((length(syms)
+                        - length(replace(syms, ' ', ''))) / 2 AS BIGINT))
+              AS BIGINT) AS n_bpe_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(length(word)) AS BIGINT) AS n_chars
+  FROM enc GROUP BY doc_id)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(t.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(t.n_chars) AS BIGINT) AS n_chars,
+       round(CAST(SUM(t.n_bpe_tokens) AS DOUBLE) / SUM(t.n_words), 4)
+         AS fertility,
+       round(CAST(SUM(t.n_chars) AS DOUBLE) / SUM(t.n_bpe_tokens), 4)
+         AS chars_per_token
+FROM t JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""")
+def tk3_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — the standard multilingual
+    tokenizer-evaluation metric (subword units per word; cf. XLM-R /
+    SentencePiece evaluations): corpus encoded with its own k=6 BPE
+    merges (tk2), per-doc token/word/char sums rolled up by the lang
+    column, one exact division per output row. Low-resource languages
+    with high fertility are exactly the ones a token-budget mix (tx8)
+    under-samples — this is the diagnostic that pairs with it.
+    Scale: encode is map-side; two partial-agged aggregates (doc, then
+    lang); the doc->lang join carries 3 BIGINTs per doc. See
+    operators/bpe.encode_word_stats."""
+    from crawler_spark.operators.bpe import encode_word_stats
+    d = _t(spark, sf_dir, "documents")
+    t = encode_word_stats(d, k=_BPE_K)
+    j = t.join(d.select("doc_id", "lang"), "doc_id")
+    return (j.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_bpe_tokens").alias("n_tokens"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_chars").alias("n_chars"),
+                 F.round(F.sum("n_bpe_tokens").cast("double")
+                         / F.sum("n_words"), 4).alias("fertility"),
+                 F.round(F.sum("n_chars").cast("double")
+                         / F.sum("n_bpe_tokens"), 4)
+                 .alias("chars_per_token")))
