@@ -865,3 +865,64 @@ def harmonic_oracle_sql(edges_cte: str, max_hops: int = 4) -> str:
     return (f"WITH anf AS (SELECT * FROM ({inner})), "
             f"p AS (SELECT host, {cases} FROM anf GROUP BY host) "
             f"SELECT host, round({expr}, 4) AS harmonic FROM p")
+
+
+def effective_diameter(edges: DataFrame, max_hops: int = 4,
+                       q: float = 0.9) -> DataFrame:
+    """Effective diameter of the host graph (Boldi-Vigna HyperANF's
+    headline statistic): the interpolated hop count t at which the
+    neighborhood function NF(t) = sum_v |B(v,t)| reaches q * NF(max).
+    The crawl-planning number — how many waves reach 90% of all
+    reachable (v, u) pairs.
+
+    Float discipline: per-host ball estimates are fixed to 4 decimals
+    (g16's contract), so NF is accumulated as SUM of the EXACT integers
+    round(ball_est * 10000) — a float row-sum over hosts would be
+    summation-order-dependent cross-engine. Everything after is integer
+    comparisons (10*nf_t >= 9*nf_max picks t) plus ONE float
+    interpolation over exact integer operands. Output is a single row:
+    nf_0..nf_max (integer-scaled) + eff_diameter."""
+    anf = hyperanf(edges, max_hops=max_hops)
+    nf = anf.groupBy().pivot("hops", list(range(max_hops + 1))).agg(
+        F.sum(F.round(F.col("ball_est") * 10000).cast("long")))
+    cols = [F.col(f"{t}").alias(f"nf{t}") for t in range(max_hops + 1)]
+    row = nf.select(*cols)
+    qn, qd = int(q * 10), 10          # q as an exact rational (9/10)
+    target = F.col(f"nf{max_hops}") * qn
+    # smallest t with qd*nf_t >= qn*nf_max wins (ascending when-chain,
+    # same first-match-wins order as the SQL CASE); interpolate inside
+    # (t-1, t], t=0 when nf0 already reaches the target.
+    d = F.when(F.col("nf0") * qd >= target, F.lit(0.0))
+    for t in range(1, max_hops + 1):
+        interp = (F.lit(float(t - 1))
+                  + (target / qd - F.col(f"nf{t-1}"))
+                  / (F.col(f"nf{t}") - F.col(f"nf{t-1}")))
+        d = d.when(F.col(f"nf{t}") * qd >= target, interp)
+    d = d.otherwise(F.lit(float(max_hops)))
+    return row.select(*[F.col(f"nf{t}") for t in range(max_hops + 1)],
+                      F.round(d, 4).alias("eff_diameter"))
+
+
+def effective_diameter_oracle_sql(edges_cte: str, max_hops: int = 4) -> str:
+    """DuckDB twin of `effective_diameter` (q = 9/10 exact)."""
+    inner = hyperanf_oracle_sql(edges_cte, max_hops=max_hops)
+    nfs = ", ".join(
+        f"CAST(SUM(CASE WHEN hops = {t} THEN "
+        f"CAST(round(ball_est * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        f" AS nf{t}" for t in range(max_hops + 1))
+    target = f"nf{max_hops} * 9"
+    # CASE picks the smallest t with 10*nf_t >= 9*nf_max
+    branches = []
+    for t in range(max_hops + 1):
+        if t == 0:
+            expr = "0.0"
+        else:
+            expr = (f"{float(t-1)} + ({target} / 10.0 - nf{t-1}) "
+                    f"/ (nf{t} - nf{t-1})")
+        branches.append(f"WHEN nf{t} * 10 >= {target} THEN {expr}")
+    case = ("CASE " + " ".join(branches)
+            + f" ELSE {float(max_hops)} END")
+    cols = ", ".join(f"nf{t}" for t in range(max_hops + 1))
+    return (f"WITH anf AS (SELECT * FROM ({inner})), "
+            f"p AS (SELECT {nfs} FROM anf) "
+            f"SELECT {cols}, round({case}, 4) AS eff_diameter FROM p")

@@ -5244,3 +5244,123 @@ def tk3_fertility(spark, sf_dir):
                  F.round(F.sum("n_chars").cast("double")
                          / F.sum("n_bpe_tokens"), 4)
                  .alias("chars_per_token")))
+
+
+from crawler_spark.operators.hostrank import (  # noqa: E402
+    effective_diameter_oracle_sql,
+)
+
+
+@q("g19_effective_diameter",
+   effective_diameter_oracle_sql(_G5_EDGES_SQL, max_hops=4))
+def g19_effective_diameter(spark, sf_dir):
+    """Effective diameter (90th-percentile interpolated hop count) of
+    the g5 host graph from the HyperANF neighborhood function — the
+    statistic the HyperANF paper was built to compute at web scale, and
+    the crawl-planning answer to 'how many waves reach 90% of reachable
+    pairs'. NF(t) is accumulated as exact integers (round(est*10^4)) so
+    no float row-sum crosses the engines; one interpolation division at
+    the end. See operators/hostrank.effective_diameter."""
+    from crawler_spark.operators.hostrank import effective_diameter
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 40).cast("string"))
+    edges = (d.where(F.col("doc_id") % 11 == 0)
+             .select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    return effective_diameter(edges, max_hops=4)
+
+
+@q("wc4_wet_extract", """
+SELECT doc_id,
+       CAST(octet_length(encode(array_to_string(
+             regexp_split_to_array(trim(text), '\\s+'), ' ')))
+            AS BIGINT) AS n_bytes,
+       md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' '))
+         AS payload_md5
+FROM documents
+""")
+def wc4_wet_extract(spark, sf_dir):
+    """WET production path (Common Crawl's conversion records): each
+    document is rendered into its link-dense HTML page (ex1's fixture
+    renderer), the main content extracted JVM-side (link-density
+    classifier), written as WARC/1.0 `conversion` records into 20 WET
+    files, then re-parsed with the Content-Length-framed splitter — and
+    the extracted payload must STILL md5-match the normalized original
+    text straight from parquet (the oracle never sees HTML or WARC).
+    Gates extractor + record framing + refers-to plumbing in one pass.
+    All render/extract work is map-side column algebra; the only
+    shuffle is the 20-file groupBy. See sources/warc.py +
+    functions/extract.py."""
+    from crawler_spark.functions.extract import (
+        main_content_col, render_page_col,
+    )
+    from crawler_spark.sources.warc import (
+        parse_warc, warc_conversion_record_col, warc_file_blobs,
+    )
+    d = _t(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("https://corpus.example/doc/"),
+                   F.col("doc_id").cast("string"))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    page = render_page_col(words, F.col("source"))
+    content = F.element_at(
+        F.transform(F.array(page), lambda p: main_content_col(p)), 1)
+    files = warc_file_blobs(
+        d.withColumn("file_id", (F.col("doc_id") % 20).cast("long")),
+        "file_id", "doc_id", warc_conversion_record_col(uri, content))
+    parsed = parse_warc(files, "blob")
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("n_bytes"),
+        F.md5("payload").alias("payload_md5"))
+
+
+@q("tx19_zipf_slope", f"""
+WITH tok AS ({_IX_TOK_SQL}),
+tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id),
+idx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+r AS (SELECT df,
+             CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT)
+               AS rnk
+      FROM idx),
+b AS (SELECT CAST(length(bin(rnk)) AS BIGINT) AS x,
+             CAST(length(bin(df)) AS BIGINT) AS y
+      FROM r),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM b)
+SELECT n, sx, sy, sxy, sxx,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM s
+""")
+def tx19_zipf_slope(spark, sf_dir):
+    """Zipf-law fit over the corpus vocabulary: least-squares slope of
+    log2(doc-frequency) against log2(rank) — the corpus-health
+    diagnostic (natural text sits near -1; template/spam farms and
+    boilerplate-heavy crawls flatten or steepen it, cf. the C4/Gopher
+    corpus analyses). Integer lattice end to end: ranks come from ix4's
+    distributed two-phase row_number, both logs are length(bin(v))
+    (g8's trick — libm log2 is NOT cross-engine bit-stable, bit-length
+    is), the five regression sums are exact BIGINTs, and ONE final
+    division produces the slope. Scale: two vocabulary-cardinality
+    shuffles (index + range partition) + one global partial agg."""
+    from crawler_spark.operators.invindex import build_index, vocab_ids
+    v = vocab_ids(build_index(_t(spark, sf_dir, "documents")), n_parts=8)
+    b = v.select(
+        F.length(F.bin(F.col("term_id") + 1)).cast("long").alias("x"),
+        F.length(F.bin("df")).cast("long").alias("y"))
+    s = b.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx",
+        F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                4).alias("zipf_slope"))

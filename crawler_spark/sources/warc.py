@@ -236,3 +236,26 @@ def cdx_index(df: DataFrame, file_col: str, order_col: str,
                             F.coalesce(F.sum("length").over(w), F.lit(0))
                             .cast("long"))
             .drop(order_col))
+
+
+def warc_conversion_record_col(uri: Column, payload: Column) -> Column:
+    """One WARC/1.0 `conversion` record — the WET convention (Common
+    Crawl's *.warc.wet.gz): the plain-text EXTRACTION of a previously
+    archived response, `WARC-Refers-To` pointing at that response
+    record's deterministic ID (md5 of the URI — exactly what
+    `warc_record_col` stamps). Record id salted with 'conv:' so the
+    conversion never collides with its source. Same Content-Length
+    framing, so `parse_warc_bytes` walks WET files unchanged."""
+    head = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: conversion" + CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(F.lit("conv:"), uri)), F.lit(">" + CRLF),
+        F.lit("WARC-Date: " + _WARC_DATE + CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(CRLF),
+        F.lit("WARC-Refers-To: <urn:md5:"), F.md5(uri), F.lit(">" + CRLF),
+        F.lit("Content-Type: text/plain" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"), F.lit(CRLF),
+        F.lit(CRLF))
+    return F.concat(head, payload, F.lit(CRLF + CRLF))
