@@ -875,16 +875,30 @@ def effective_diameter(edges: DataFrame, max_hops: int = 4,
     The crawl-planning number — how many waves reach 90% of all
     reachable (v, u) pairs.
 
-    Float discipline: per-host ball estimates are fixed to 4 decimals
-    (g16's contract), so NF is accumulated as SUM of the EXACT integers
-    round(ball_est * 10000) — a float row-sum over hosts would be
+    Small-range correction is NOT optional here: g16 exports the raw
+    HLL estimator (plus zero_regs) by contract, but the raw estimate
+    compresses the growth of small balls so badly that a 5-node path's
+    NF(0) can already exceed 0.9*NF(max) — a 0.0 "diameter". This
+    operator therefore applies Flajolet's linear counting where it is
+    the published estimator of choice (zero_regs > 0 and raw <= 2.5m):
+    ball = m * ln(m / zero_regs). The ln is one float op over exact
+    integer operands, fixed to 4 decimals in BOTH engines before the
+    integer NF sum, so the float discipline of g16 carries through:
+    NF is accumulated as SUM of the EXACT integers
+    round(ball * 10000) — a float row-sum over hosts would be
     summation-order-dependent cross-engine. Everything after is integer
     comparisons (10*nf_t >= 9*nf_max picks t) plus ONE float
     interpolation over exact integer operands. Output is a single row:
     nf_0..nf_max (integer-scaled) + eff_diameter."""
+    from crawler_spark.operators.sketches import _HLL_M
     anf = hyperanf(edges, max_hops=max_hops)
+    m = float(_HLL_M)
+    ball = F.when(
+        (F.col("zero_regs") > 0) & (F.col("ball_est") <= F.lit(2.5 * m)),
+        F.round(F.lit(m) * F.log(F.lit(m) / F.col("zero_regs")), 4)
+    ).otherwise(F.col("ball_est"))
     nf = anf.groupBy().pivot("hops", list(range(max_hops + 1))).agg(
-        F.sum(F.round(F.col("ball_est") * 10000).cast("long")))
+        F.sum(F.round(ball * 10000).cast("long")))
     cols = [F.col(f"{t}").alias(f"nf{t}") for t in range(max_hops + 1)]
     row = nf.select(*cols)
     qn, qd = int(q * 10), 10          # q as an exact rational (9/10)
@@ -904,11 +918,16 @@ def effective_diameter(edges: DataFrame, max_hops: int = 4,
 
 
 def effective_diameter_oracle_sql(edges_cte: str, max_hops: int = 4) -> str:
-    """DuckDB twin of `effective_diameter` (q = 9/10 exact)."""
+    """DuckDB twin of `effective_diameter` (q = 9/10 exact; same
+    linear-counting small-range correction, fixed to 4 decimals before
+    the integer NF sum)."""
     inner = hyperanf_oracle_sql(edges_cte, max_hops=max_hops)
+    lc = ("CASE WHEN zero_regs > 0 AND ball_est <= 640.0 "
+          "THEN round(256.0 * ln(256.0 / zero_regs), 4) "
+          "ELSE ball_est END")
     nfs = ", ".join(
         f"CAST(SUM(CASE WHEN hops = {t} THEN "
-        f"CAST(round(ball_est * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        f"CAST(round(({lc}) * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)"
         f" AS nf{t}" for t in range(max_hops + 1))
     target = f"nf{max_hops} * 9"
     # CASE picks the smallest t with 10*nf_t >= 9*nf_max

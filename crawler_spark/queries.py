@@ -5364,3 +5364,232 @@ def tx19_zipf_slope(spark, sf_dir):
                 .cast("double")
                 / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
                 4).alias("zipf_slope"))
+
+
+@q("tx20_vocab_growth", f"""
+WITH tok AS ({_IX_TOK_SQL}),
+frst AS (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY term),
+mx AS (SELECT MAX(doc_id) AS mxid FROM documents),
+qs AS (SELECT q, ((mxid + 1) * q) // 4 AS thr
+       FROM mx, (VALUES (1), (2), (3), (4)) t(q)),
+nd AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents, qs WHERE doc_id < thr GROUP BY q),
+vc AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS vocab
+       FROM frst, qs WHERE fd < thr GROUP BY q)
+SELECT CAST(q AS BIGINT) AS quartile, n_docs, vocab
+FROM nd JOIN vc USING (q)
+""")
+def tx20_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve (Heaps 1978): distinct-term
+    count after each quartile of the corpus, via FIRST-OCCURRENCE
+    semantics — a term's contribution point is min(doc_id), so the
+    whole curve costs ONE vocabulary-cardinality aggregate + two
+    broadcast-threshold conditional counts, never four corpus passes.
+    The companion diagnostic to tx19: sub-linear growth (V ~ N^0.7) is
+    healthy text; near-linear growth is an id/hash/spam explosion that
+    will blow up tokenizer training (tk1) and the ix index. Thresholds
+    derive from max(doc_id) as exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.filter(
+                       F.split(F.lower(F.trim("text")), r"\s+"),
+                       lambda t: t != "")).alias("term"))
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    qs = (d.agg(F.max("doc_id").alias("mxid"))
+          .select(F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)]))
+                  .alias("q"), "mxid")
+          .withColumn("thr", ((F.col("mxid") + 1) * F.col("q"))
+                      .cast("long") / 4)
+          .withColumn("thr", F.floor("thr").cast("long"))
+          .select("q", "thr"))
+    nd = (d.crossJoin(F.broadcast(qs))
+          .where(F.col("doc_id") < F.col("thr"))
+          .groupBy("q").agg(F.count(F.lit(1)).cast("long")
+                            .alias("n_docs")))
+    vc = (first.crossJoin(F.broadcast(qs))
+          .where(F.col("fd") < F.col("thr"))
+          .groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("vocab")))
+    return (nd.join(vc, "q")
+            .select(F.col("q").cast("long").alias("quartile"),
+                    "n_docs", "vocab"))
+
+
+_PX10_SQL = f"""
+WITH spans AS ({_SPAN_SQL}),
+tok AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(spans, s ->
+             CASE WHEN s.kind = 'text' AND trim(s.text) <> ''
+                  THEN len(regexp_split_to_array(trim(s.text), '\\s+'))
+                  ELSE 0 END)), 0)::BIGINT AS text_tokens,
+         COALESCE(list_sum(list_transform(spans, s ->
+             CASE WHEN s.kind = 'text' AND trim(s.text) <> ''
+                   AND len(regexp_split_to_array(trim(s.text), '\\s+')) < 3
+                  THEN len(regexp_split_to_array(trim(s.text), '\\s+'))
+                  ELSE 0 END)), 0)::BIGINT AS masked_text,
+         ({_MM4_MEDIA_TOKENS} *
+          len(list_filter(spans, s -> s.kind = 'media')))::BIGINT
+           AS media_tokens
+  FROM spans),
+t AS (SELECT doc_id, text_tokens + media_tokens AS n_tokens,
+             media_tokens + masked_text AS n_masked FROM tok),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS prev_tokens
+  FROM t),
+p AS (SELECT *, prev_tokens // {_MM4_BUDGET} AS seq_id FROM c)
+SELECT seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_masked) AS BIGINT) AS n_masked,
+       CAST(SUM(n_tokens) - SUM(n_masked) AS BIGINT) AS n_loss_tokens,
+       round(CAST(SUM(n_masked) AS DOUBLE) / SUM(n_tokens), 4)
+         AS mask_ratio
+FROM p GROUP BY seq_id
+"""
+
+
+@q("px10_loss_mask", _PX10_SQL)
+def px10_loss_mask(spark, sf_dir):
+    """Loss-mask accounting over packed multimodal sequences: media
+    placeholder tokens and fragment text spans (< 3 words — the
+    boilerplate-snippet mask rule) are excluded from the LM loss, and
+    each 2048-token training sequence reports its maskable share — the
+    number a data-loader needs to budget EFFECTIVE (loss-bearing)
+    tokens per batch rather than raw tokens. Per-doc costing is ONE
+    let-bound struct fold over the span array (zero shuffle); packing
+    is mm4's distributed prefix sum; the rollup is one partial-agged
+    groupBy(seq_id). Oracle: sequential window + the same span
+    algebra."""
+    from crawler_spark.operators.sampling import pack_sequences
+    s = _spans_df(spark, sf_dir)
+
+    def _wc(sp):
+        return F.size(F.split(F.trim(sp.text), r"\s+"))
+
+    def _stats(sp_arr):
+        text = F.aggregate(
+            F.transform(sp_arr, lambda sp: F.when(
+                (sp.kind == "text") & (F.trim(sp.text) != ""), _wc(sp))
+                .otherwise(F.lit(0)).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        masked = F.aggregate(
+            F.transform(sp_arr, lambda sp: F.when(
+                (sp.kind == "text") & (F.trim(sp.text) != "")
+                & (_wc(sp) < 3), _wc(sp))
+                .otherwise(F.lit(0)).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        media = (F.lit(_MM4_MEDIA_TOKENS)
+                 * F.size(F.filter(sp_arr, lambda sp: sp.kind == "media"))
+                 ).cast("long")
+        return F.struct(text.alias("text"), masked.alias("masked"),
+                        media.alias("media"))
+
+    st = F.element_at(
+        F.transform(F.array(F.col("spans")), _stats), 1)
+    t = s.select(
+        "doc_id",
+        (st.getField("text") + st.getField("media")).alias("n_tokens"),
+        (st.getField("media") + st.getField("masked")).alias("n_masked"))
+    p = pack_sequences(t, "n_tokens", order_col="doc_id",
+                       budget=_MM4_BUDGET, n_blocks=8)
+    return (p.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_masked").alias("n_masked"),
+                 (F.sum("n_tokens") - F.sum("n_masked")).cast("long")
+                 .alias("n_loss_tokens"),
+                 F.round(F.sum("n_masked").cast("double")
+                         / F.sum("n_tokens"), 4).alias("mask_ratio")))
+
+
+@q("g20_cocitation", f"""
+WITH e0 AS ({_G8_EDGES_SQL}),
+g AS (SELECT src, count(*) AS od FROM e0 GROUP BY 1),
+e AS (SELECT e0.src, e0.dst FROM e0 JOIN g ON e0.src = g.src
+      WHERE g.od <= 16),
+p AS (SELECT a.dst AS h1, b.dst AS h2, count(*) AS cocite
+      FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY 1, 2)
+SELECT h1, h2, CAST(cocite AS BIGINT) AS cocite
+FROM p WHERE cocite >= 2
+""")
+def g20_cocitation(spark, sf_dir):
+    """Co-citation related-hosts (Dean & Henzinger, WWW 1999): two hosts
+    are related when many distinct sources link to BOTH; the pair count
+    is the classic "related pages" similarity that needs no content at
+    all. Composes with g1/g17 as a same-topic prior and with f9/f10 as a
+    mirror-candidate signal (mirrors share nearly all citers).
+
+    Scale: NO edge self-join — edges group once by citing source and
+    pairs are generated in-bucket from the sorted dst array (the dd3
+    in-bucket idiom), so shuffle volume is the edge list, not the pair
+    list. The quadratic guard is the out-degree cap (od <= 16 here;
+    profligate citers say nothing about relatedness and are dropped,
+    exactly like dd3's max_bucket): per-source pair fan-out is bounded
+    by cap^2/2. Reference parity: spider exposes the raw link graph
+    (page_links, spider/src/page.rs via lib.rs re-export); relatedness
+    is derived algebra over it."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e0 = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+          .where(F.col("src") != F.col("dst")).distinct())
+    grp = (e0.groupBy("src")
+           .agg(F.sort_array(F.collect_list("dst")).alias("ds"))
+           .where(F.size("ds") <= 16))
+    pairs = grp.select(F.explode(F.flatten(F.expr(
+        "transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS h1, y AS h2)))"))).alias("p"))
+    return (pairs.select("p.h1", "p.h2")
+            .groupBy("h1", "h2")
+            .agg(F.count(F.lit(1)).cast("long").alias("cocite"))
+            .where(F.col("cocite") >= 2))
+
+
+@q("f11_soft404", """
+WITH s AS (
+  SELECT source AS host,
+         CASE WHEN regexp_matches(lower(text),
+                '(not found|error 404|no longer available|page does not exist)')
+               OR len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      t -> t <> '')) < 20
+              THEN 1 ELSE 0 END AS soft
+  FROM documents)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(soft) AS BIGINT) AS n_soft404,
+       round(CAST(sum(soft) AS DOUBLE) / count(*), 4) AS soft404_rate
+FROM s GROUP BY host
+""")
+def f11_soft404(spark, sf_dir):
+    """Soft-404 detection: pages that return HTTP 200 but are really
+    error shells — the canonical content-side crawler trap (Bar-Yossef
+    et al., "Sic transit gloria telae", WWW 2004). The practical batch
+    heuristic: an error-phrase match OR a thin body (< 20 real words).
+    Per-host soft-404 rate feeds the frontier as a demotion prior (a
+    host serving mostly error shells wastes fetch budget) and feeds dd8
+    as a keep-disqualifier. Reference parity: spider surfaces only the
+    status code (CrawlResults.status in main.rs:35-43); 200-but-empty
+    detection is exactly what this adds on top.
+
+    Scale: both signals are map-side codegen (one regex + one
+    filtered-split length per row, text touched twice but let-binding
+    is not needed — each signal folds the row once); the rollup is ONE
+    partial-agged groupBy(host). Zero joins, zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower("text")
+    n_words = F.size(F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+    soft = F.when(
+        low.rlike("(not found|error 404|no longer available"
+                  "|page does not exist)") | (n_words < 20),
+        F.lit(1)).otherwise(F.lit(0))
+    return (d.select(F.col("source").alias("host"), soft.alias("soft"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("soft").cast("long").alias("n_soft404"),
+                 F.round(F.sum("soft").cast("double")
+                         / F.count(F.lit(1)), 4).alias("soft404_rate")))

@@ -89,3 +89,28 @@ def test_encode_matches_reference(spark):
         if n:
             exp[doc_id] = n
     assert got == exp
+
+
+def test_encode_word_stats_consistent_with_token_counts(spark):
+    """tk3's per-doc sums must agree with encode_token_counts on tokens
+    and with direct word arithmetic on words/chars."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.bpe import (
+        encode_token_counts, encode_word_stats,
+    )
+    rows = [(1, "the cat sat on the mat"),
+            (2, "aaaa aaaa bbbb Mixed-Case! 99 bottles"),
+            (3, "punctuation only !!! ???")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r["doc_id"]: r for r in encode_word_stats(df, k=3).collect()}
+    tc = {r["doc_id"]: r["n_bpe_tokens"]
+          for r in encode_token_counts(df, k=3).collect()}
+    assert {d: r["n_bpe_tokens"] for d, r in st.items()} == tc
+    # doc 3: only 'punctuation' and 'only' survive the ^[a-z0-9]+$
+    # word filter ('!!!' and '???' drop). chars/words by hand:
+    assert st[3]["n_words"] == 2
+    assert st[3]["n_chars"] == len("punctuation") + len("only")
+    for r in st.values():
+        assert r["n_bpe_tokens"] >= r["n_words"]     # merges never cross words
+        assert r["n_chars"] >= r["n_bpe_tokens"]     # a token is >= 1 char

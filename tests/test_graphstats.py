@@ -1,0 +1,86 @@
+"""Graph statistics added in round 3 (operators/hostrank.py): SALSA vs a
+pure-Python mirror, harmonic centrality ordering, effective diameter on
+known topologies."""
+
+from __future__ import annotations
+
+from crawler_spark.operators.hostrank import (
+    effective_diameter, harmonic_centrality, salsa_hosts,
+)
+
+EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+         ("b", "e"), ("c", "e"), ("f", "g")]
+
+
+def _pure_salsa(edges, iters=3):
+    es = sorted(set(edges))
+    hosts = sorted({u for e in es for u in e})
+    outd: dict[str, int] = {}
+    ind: dict[str, int] = {}
+    for s, t in es:
+        outd[s] = outd.get(s, 0) + 1
+        ind[t] = ind.get(t, 0) + 1
+    hub = {h: 1.0 for h in hosts}
+    auth = {h: 0.0 for h in hosts}
+    for _ in range(iters):
+        m = {h: 0.0 for h in hosts}
+        for s, t in es:
+            m[t] += hub[s] / outd[s]
+        tot = sum(m.values())
+        auth = {h: m[h] / tot for h in hosts}
+        m = {h: 0.0 for h in hosts}
+        for s, t in es:
+            m[s] += auth[t] / ind[t]
+        tot = sum(m.values())
+        hub = {h: m[h] / tot for h in hosts}
+    return auth, hub
+
+
+def test_salsa_matches_pure_python(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["host"]: (r["auth"], r["hub"])
+           for r in salsa_hosts(e, iters=3).collect()}
+    wa, wh = _pure_salsa(EDGES)
+    assert set(got) == set(wa)
+    for h in wa:
+        assert abs(got[h][0] - wa[h]) < 1e-9, h
+        assert abs(got[h][1] - wh[h]) < 1e-9, h
+
+
+def test_salsa_normalized_and_degree_sensitive(spark):
+    """Sum-normalization holds, and SALSA differs from raw HITS where
+    degrees are skewed: a node cited by a profligate hub gains less
+    authority than one cited by a selective hub."""
+    edges = [("hub_many", f"t{i}") for i in range(5)] \
+        + [("hub_one", "t_sel")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = salsa_hosts(e, iters=1).collect()
+    auth = {r["host"]: r["auth"] for r in rows}
+    assert abs(sum(auth.values()) - 1.0) < 1e-9
+    # hub_one's single target absorbs its full unit mass; hub_many's
+    # targets split theirs five ways
+    assert auth["t_sel"] > auth["t0"]
+
+
+def test_harmonic_centrality_orders_reachability(spark):
+    """Star pointing at a center: the center is reachable from every
+    leaf in one hop and must dominate; leaves (unreachable from
+    anywhere) get harmonic 0."""
+    edges = [(f"l{i}", "center") for i in range(6)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    h = {r["host"]: r["harmonic"]
+         for r in harmonic_centrality(e, max_hops=3).collect()}
+    assert h["center"] > h["l0"]
+    assert abs(h["l0"]) < 0.5          # HLL noise only, true value 0
+
+
+def test_effective_diameter_path_graph(spark):
+    """Directed 5-path: every prefix ball keeps growing to hop 4, so the
+    90th-percentile interpolated diameter must land in (0, 4] and the
+    integer-scaled neighborhood function must be non-decreasing."""
+    edges = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    row = effective_diameter(e, max_hops=4).collect()[0]
+    nf = [row[f"nf{t}"] for t in range(5)]
+    assert all(b >= a for a, b in zip(nf, nf[1:]))
+    assert 0.0 < row["eff_diameter"] <= 4.0

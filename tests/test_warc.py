@@ -174,3 +174,35 @@ def test_delta_records_roundtrip(spark):
     assert "Content-Length: 0" in rec0
     # response records keep their own type line
     assert "WARC-Type: response" in blob_txt
+
+
+def test_conversion_record_roundtrip_and_refers_to(spark):
+    """WET conversion records (wc4): the Content-Length framing must
+    survive the parser byte-exactly, and WARC-Refers-To must equal the
+    response record id `warc_record_col` would stamp for the same URI
+    (md5 of the URI) while the conversion's own id differs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources.warc import (
+        parse_warc, warc_conversion_record_col, warc_file_blobs,
+    )
+    rows = [(1, "https://x.example/a", "extracted text one"),
+            (2, "https://x.example/b", "WARC/1.0\r\n\r\nlooks like a record"),
+            (3, "https://x.example/c", "")]
+    df = spark.createDataFrame(rows, "doc_id long, uri string, body string")
+    files = warc_file_blobs(
+        df.withColumn("f", F.lit(0).cast("long")), "f", "doc_id",
+        warc_conversion_record_col(F.col("uri"), F.col("body")))
+    blob = files.collect()[0]["blob"]
+    got = parse_warc(files, "blob").orderBy("target_uri").collect()
+    assert [r["payload"] for r in got] == [
+        "extracted text one", "WARC/1.0\r\n\r\nlooks like a record", ""]
+    text = blob
+    for _, uri, _ in rows:
+        want = hashlib.md5(uri.encode()).hexdigest()
+        assert f"WARC-Refers-To: <urn:md5:{want}>" in text
+        conv_id = hashlib.md5(f"conv:{uri}".encode()).hexdigest()
+        assert f"WARC-Record-ID: <urn:md5:{conv_id}>" in text
+        assert conv_id != want

@@ -459,6 +459,69 @@ CHECKS = {
                        ["SortMergeJoin", "BroadcastHashJoin",
                         "CartesianProduct",
                         "BatchEvalPython", "ArrowEvalPython"]),
+    # SALSA: final plan joins the two checkpointed host-cardinality
+    # score tables (the per-round degree-weighted shuffles ran at
+    # checkpoint time, same audit story as g4/g16); no Python anywhere
+    "g17_salsa": ([], ["BatchEvalPython", "ArrowEvalPython",
+                       "CartesianProduct"]),
+    # perceptron scoring: pure codegen projection over the checkpointed
+    # feature table — training's per-epoch aggregates ran eagerly; the
+    # returned plan moves NOTHING (no exchange, no Python)
+    "tx17_perceptron_quality": (["[codegen id :"],
+                                ["Exchange", "BatchEvalPython",
+                                 "ArrowEvalPython"]),
+    # HyperBall statistics: partial-agged rollups/pivots over the
+    # checkpointed register rounds; no Python
+    "g18_harmonic_centrality": (["HashAggregate"],
+                                ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct"]),
+    "g19_effective_diameter": (["HashAggregate"],
+                               ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct"]),
+    # CLIP gate: the media tower is the Arrow-batched mapInPandas decode
+    # kernel (the designed Python island); the text tower + gate are
+    # column algebra — forbid only row-at-a-time Python
+    "mm9_clip_gate": (["MapInPandas"],
+                      ["BatchEvalPython", "CartesianProduct"]),
+    # fertility: map-side literal-replace encode + two partial-agged
+    # aggregates + one doc->lang join; no Python
+    "tk3_fertility": (["HashAggregate", "partial_sum"],
+                      ["BatchEvalPython", "ArrowEvalPython",
+                       "CartesianProduct"]),
+    # WET extract: render/extract all codegen, Content-Length-framed
+    # re-parse is the mapInPandas splitter; no row-at-a-time Python
+    "wc4_wet_extract": (["MapInPandas"],
+                        ["BatchEvalPython", "CartesianProduct"]),
+    # Zipf fit: ix4's two-phase distributed rank (block windows +
+    # broadcast offset join) + one global partial agg; no single-task
+    # corpus window, no sort-merge, no Python
+    "tx19_zipf_slope": (["Window", "BroadcastHashJoin", "partial_sum"],
+                        ["SortMergeJoin", "BatchEvalPython",
+                         "ArrowEvalPython"]),
+    # Heaps curve: one vocabulary aggregate + two broadcast-threshold
+    # conditional counts; the quartile table must broadcast, never
+    # sort-merge against the corpus; no Python
+    "tx20_vocab_growth": (["BroadcastNestedLoopJoin", "HashAggregate"],
+                          ["SortMergeJoin", "BatchEvalPython",
+                           "ArrowEvalPython"]),
+    # loss-mask pack: per-doc span fold is codegen, packing reuses
+    # px3's block-window + broadcast-offset prefix sum; no global
+    # single-task window over the corpus, no Python
+    "px10_loss_mask": (["Window", "HashAggregate"],
+                       ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct"]),
+    # co-citation: in-bucket pair generation — ONE groupBy(src) then
+    # explode; the pair list must NOT come from an edge self-join
+    # (forbid both join strategies outright) and no Python
+    "g20_cocitation": (["HashAggregate", "Generate"],
+                       ["SortMergeJoin", "BroadcastHashJoin",
+                        "CartesianProduct", "BatchEvalPython",
+                        "ArrowEvalPython"]),
+    # soft-404: map-side regex+length signals into one partial-agged
+    # host rollup; zero joins, zero exchanges beyond the final agg,
+    # zero Python
+    "f11_soft404": (["HashAggregate", "partial_sum"],
+                    ["Join", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
