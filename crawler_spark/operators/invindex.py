@@ -162,3 +162,48 @@ def vocab_ids(index: DataFrame, n_parts: int = 8) -> DataFrame:
             .select("term", "df",
                     (F.col("_r") + F.col("_off")).cast("long")
                     .alias("term_id")))
+
+
+def postings_gap_stats(docs: DataFrame, doc_id: str = "doc_id",
+                       text: str = "text") -> DataFrame:
+    """Per-term delta-gap compression statistics over the ix1 postings —
+    the storage-planning pass an index build runs before writing
+    compressed posting lists (d-gap + varint/LEB128 is the classic
+    layout: Manning/Raghavan/Schütze IR ch. 5). For each term, postings
+    sort by doc_id and each id is replaced by its gap from the previous
+    (the first id encodes as doc_id + 1 so a 0 id still costs >= 1).
+    Emits exact-integer byte accounting: raw 8-byte ids vs LEB128 varint
+    bytes (ceil(bitlen/7) per gap), so `ratio` is the measured
+    compression the layout would achieve on THIS corpus.
+
+    Scale shape: ONE (term, doc_id) partial-agged tf shuffle (the ix1
+    build shuffle), a lag window partitioned BY TERM (postings of one
+    term co-locate — the same placement any postings writer needs; Zipf
+    head terms are the known skew and AQE handles the final rollup),
+    then one partial-agged groupBy(term) of integer sums. No arrays are
+    materialized — gaps stream through the window row-by-row, unlike a
+    collect_list which would hold a stop-word's full posting list in one
+    task's heap.
+
+    Cross-engine exactness: gaps, bit lengths (length(bin(g))), varint
+    byte counts, and sums are all BIGINT algebra; the single float is
+    the final round(varint/raw, 4)."""
+    from pyspark.sql import Window
+    postings = (docs.select(F.col(doc_id).alias("doc_id"),
+                            F.explode(tokens_col(F.col(text)))
+                            .alias("term"))
+                .groupBy("term", "doc_id")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gap = (F.col("doc_id")
+           - F.lag("doc_id", 1, -1).over(w)).cast("long")
+    bits = F.length(F.bin(gap)).cast("long")
+    g = postings.select("term", gap.alias("gap"),
+                        ((bits + 6) / 7).cast("long").alias("vbytes"))
+    return (g.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                 F.max("gap").cast("long").alias("max_gap"),
+                 F.sum("vbytes").cast("long").alias("varint_bytes"),
+                 (F.count(F.lit(1)) * 8).cast("long").alias("raw_bytes"),
+                 F.round(F.sum("vbytes").cast("double")
+                         / (F.count(F.lit(1)) * 8), 4).alias("ratio")))

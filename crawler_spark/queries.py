@@ -5593,3 +5593,186 @@ def f11_soft404(spark, sf_dir):
                  F.sum("soft").cast("long").alias("n_soft404"),
                  F.round(F.sum("soft").cast("double")
                          / F.count(F.lit(1)), 4).alias("soft404_rate")))
+
+
+_G21_TRUST_CTE = ("SELECT 'src0' AS host UNION ALL SELECT 'src5' "
+                  "UNION ALL SELECT 'src10'")
+
+
+@q("g21_spam_mass", f"""
+WITH pr_t AS (SELECT * FROM (
+{pagerank_oracle_sql(_G1_EDGES_SQL, iters=5, damping=0.85)}
+)),
+tr_t AS (SELECT * FROM (
+{pagerank_oracle_sql(_G1_EDGES_SQL, iters=5, damping=0.85,
+                     teleport_cte=_G21_TRUST_CTE)}
+)),
+j AS (SELECT pr_t.host, pr_t.rank AS pr, tr_t.rank AS tr
+      FROM pr_t JOIN tr_t USING (host)),
+tot AS (SELECT SUM(pr) AS sp, SUM(tr) AS st FROM j)
+SELECT host, pr,
+       round(tr * sp / st, 4) AS tr_norm,
+       round((pr - tr * sp / st) / pr, 4) AS spam_mass
+FROM j, tot
+""")
+def g21_spam_mass(spark, sf_dir):
+    """TrustRank + spam mass (Gyongyi, Garcia-Molina & Pedersen, VLDB
+    2004; mass estimation per Gyongyi et al. 2006): rank the g1 host
+    graph twice — classic PageRank and trust-seeded personalized
+    PageRank (teleport only at the vetted seeds) — scale trust to
+    PageRank's total mass, and report each host's spam mass = the
+    fraction of its PageRank NOT accounted for by trusted proximity.
+    High spam-mass hosts earn their rank from link farms rather than
+    the trusted core: THE frontier demotion signal link-spam detection
+    feeds a crawler (composes with g1/g11/g12 through
+    hostrank_boosts, inverted).
+
+    Scale: two fixed-iteration pagerank_hosts runs over the SAME
+    checkpointed degree-weighted edge table (host cardinality, lineage
+    cut per round), one host-cardinality join, one 2-scalar total agg
+    broadcast back. Float discipline: both rank columns are fixed to 4
+    decimals (the g1/g12 gate contract) BEFORE the mass arithmetic, and
+    the normalization expression is written in the identical order in
+    both engines. Reference parity: spider exposes the raw link graph
+    (page_links via lib.rs re-export); rank-based spam triage is derived
+    algebra over it."""
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    trusted = spark.createDataFrame(
+        [("src0",), ("src5",), ("src10",)], "host string")
+    pr = (pagerank_hosts(edges, iters=5, damping=0.85)
+          .select("host", F.round("rank", 4).alias("pr")))
+    tr = (pagerank_hosts(edges, iters=5, damping=0.85, teleport=trusted)
+          .select("host", F.round("rank", 4).alias("tr")))
+    j = pr.join(tr, "host")
+    tot = j.agg(F.sum("pr").alias("sp"), F.sum("tr").alias("st"))
+    return (j.crossJoin(F.broadcast(tot))
+            .select("host", "pr",
+                    F.round(F.col("tr") * F.col("sp") / F.col("st"), 4)
+                    .alias("tr_norm"),
+                    F.round((F.col("pr")
+                             - F.col("tr") * F.col("sp") / F.col("st"))
+                            / F.col("pr"), 4).alias("spam_mass")))
+
+
+@q("ix6_postings_gaps", f"""
+WITH tok AS ({_IX_TOK_SQL}),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id),
+g AS (SELECT term,
+             doc_id - lag(doc_id, 1, CAST(-1 AS BIGINT))
+               OVER (PARTITION BY term ORDER BY doc_id) AS gap
+      FROM tf)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT) AS varint_bytes,
+       CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+       round(CAST(SUM((length(bin(gap)) + 6) // 7) AS DOUBLE)
+             / (COUNT(*) * 8), 4) AS ratio
+FROM g GROUP BY term
+""")
+def ix6_postings_gaps(spark, sf_dir):
+    """Postings delta-gap + varint compression accounting over the ix1
+    index (Manning/Raghavan/Schutze IR ch.5 d-gap layout): per term,
+    doc_ids sort, each becomes its gap from the previous (first id
+    encodes as doc_id + 1), and LEB128 byte cost ceil(bitlen/7) sums
+    against the raw 8-byte layout — the storage-planning pass an index
+    build runs before writing compressed posting lists. Dense postings
+    (stop words) compress hardest (gap 1 = 1 byte vs 8); rare terms
+    barely at all — `ratio` measures it on THIS corpus. Gaps stream
+    through a per-term lag window (no posting-list arrays in memory);
+    all byte accounting is exact BIGINT algebra. See
+    operators/invindex.postings_gap_stats."""
+    from crawler_spark.operators.invindex import postings_gap_stats
+    return postings_gap_stats(_t(spark, sf_dir, "documents"))
+
+
+@q("mm10_mime_sniff", """
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS s
+           FROM documents),
+p AS (SELECT doc_id,
+             unhex((CASE doc_id % 6
+                    WHEN 0 THEN '89504E470D0A1A0A'
+                    WHEN 1 THEN 'FFD8FFE0'
+                    WHEN 2 THEN '474946383961'
+                    WHEN 3 THEN '255044462D'
+                    WHEN 4 THEN '504B0304'
+                    ELSE '' END) || hex(encode(s))) AS payload,
+             CASE WHEN doc_id % 5 = 0 THEN '.png'
+                  WHEN doc_id % 5 = 1 THEN '.mp4' ELSE '.html' END AS ext
+      FROM a),
+s AS (SELECT doc_id, ext, hex(payload) AS h,
+             CAST(octet_length(payload) AS BIGINT) AS n_bytes
+      FROM p)
+SELECT doc_id, ext,
+       CASE WHEN h LIKE '89504E47%' THEN 'image/png'
+            WHEN h LIKE 'FFD8FF%' THEN 'image/jpeg'
+            WHEN h LIKE '474946383761%' OR h LIKE '474946383961%'
+              THEN 'image/gif'
+            WHEN h LIKE '255044462D%' THEN 'application/pdf'
+            WHEN h LIKE '504B0304%' THEN 'application/zip'
+            ELSE 'text/plain' END AS mime,
+       n_bytes,
+       CAST(CASE WHEN (ext = '.png') <>
+                      (CASE WHEN h LIKE '89504E47%' THEN 'image/png'
+                            WHEN h LIKE 'FFD8FF%' THEN 'image/jpeg'
+                            WHEN h LIKE '474946383761%'
+                              OR h LIKE '474946383961%' THEN 'image/gif'
+                            WHEN h LIKE '255044462D%'
+                              THEN 'application/pdf'
+                            WHEN h LIKE '504B0304%'
+                              THEN 'application/zip'
+                            ELSE 'text/plain' END = 'image/png')
+            THEN 1 ELSE 0 END AS INT) AS ext_mismatch
+FROM s
+""")
+def mm10_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing over binary payloads (file(1) / WHATWG
+    sniffing reduced to its prefix table): the crawler-side guard
+    against mislabeled Content-Type — the reference trusts the server
+    header; real corpora lie, and the asset filter (F8) must act on
+    CONTENT, not extension. Payloads are synthesized with real magic
+    prefixes (PNG/JPEG/GIF/PDF/ZIP by doc_id%6, one class unmagicked)
+    ahead of the document bytes, so the sniff CASE is exercised against
+    genuine binary columns; `ext_mismatch` flags URLs whose .png
+    extension claim disagrees with the sniffed type — the f11-style
+    per-host spoof-rate input.
+
+    Scale: unhex/hex/prefix-compare are map-side codegen over the
+    binary column, zero shuffle, zero Python; output is flat
+    (doc_id, ext, mime, n_bytes, ext_mismatch). The sniff consumes only
+    the first 8 payload bytes — at 100 TB the scan prunes to the binary
+    column and the comparison never touches the payload tail."""
+    d = _t(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    magic = (F.when(F.col("doc_id") % 6 == 0, "89504E470D0A1A0A")
+             .when(F.col("doc_id") % 6 == 1, "FFD8FFE0")
+             .when(F.col("doc_id") % 6 == 2, "474946383961")
+             .when(F.col("doc_id") % 6 == 3, "255044462D")
+             .when(F.col("doc_id") % 6 == 4, "504B0304")
+             .otherwise(""))
+    ext = (F.when(F.col("doc_id") % 5 == 0, ".png")
+           .when(F.col("doc_id") % 5 == 1, ".mp4")
+           .otherwise(".html"))
+    p = d.select("doc_id", ext.alias("ext"),
+                 F.unhex(F.concat(magic, F.hex(F.encode(s, "UTF-8"))))
+                 .alias("payload"))
+    h = F.hex(F.col("payload"))
+    mime = (F.when(h.startswith("89504E47"), "image/png")
+            .when(h.startswith("FFD8FF"), "image/jpeg")
+            .when(h.startswith("474946383761")
+                  | h.startswith("474946383961"), "image/gif")
+            .when(h.startswith("255044462D"), "application/pdf")
+            .when(h.startswith("504B0304"), "application/zip")
+            .otherwise("text/plain"))
+    return (p.select("doc_id", "ext", mime.alias("mime"),
+                     F.octet_length("payload").cast("long")
+                     .alias("n_bytes"),
+                     ((F.col("ext") == ".png")
+                      != (mime == "image/png")).cast("int")
+                     .alias("ext_mismatch")))

@@ -84,3 +84,32 @@ def test_effective_diameter_path_graph(spark):
     nf = [row[f"nf{t}"] for t in range(5)]
     assert all(b >= a for a, b in zip(nf, nf[1:]))
     assert 0.0 < row["eff_diameter"] <= 4.0
+
+
+def test_spam_mass_separates_farm_from_trusted(spark):
+    """A link farm with no path from the trusted core carries tr = 0,
+    so its spam mass is ~1; the trusted seed and hosts it links carry
+    substantially lower mass."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.hostrank import pagerank_hosts
+    edges = [("t0", "a"), ("a", "t0"), ("t0", "b"),
+             ("f1", "f2"), ("f2", "f1"), ("f3", "f1"), ("f3", "f2")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    trusted = spark.createDataFrame([("t0",)], "host string")
+    pr = (pagerank_hosts(e, iters=5, damping=0.85)
+          .select("host", F.round("rank", 4).alias("pr")))
+    tr = (pagerank_hosts(e, iters=5, damping=0.85, teleport=trusted)
+          .select("host", F.round("rank", 4).alias("tr")))
+    j = pr.join(tr, "host")
+    tot = j.agg(F.sum("pr").alias("sp"), F.sum("tr").alias("st"))
+    out = {r["host"]: r["sm"] for r in
+           j.crossJoin(F.broadcast(tot))
+            .select("host",
+                    F.round((F.col("pr")
+                             - F.col("tr") * F.col("sp") / F.col("st"))
+                            / F.col("pr"), 4).alias("sm")).collect()}
+    for farm in ("f1", "f2"):
+        assert out[farm] == 1.0, farm        # zero trust reaches the farm
+    assert out["t0"] < 0.5
+    assert out["a"] < out["f1"]

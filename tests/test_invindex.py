@@ -101,3 +101,23 @@ def test_vocab_ids_partition_count_invariant(spark):
     a = {(r.term, r.term_id) for r in vocab_ids(idx, n_parts=1).collect()}
     b = {(r.term, r.term_id) for r in vocab_ids(idx, n_parts=7).collect()}
     assert a == b
+
+
+def test_postings_gap_stats_hand_counts(spark):
+    """Gaps/varint bytes pinned by hand: term 'a' in docs 0,3,10 ->
+    gaps (1,3,7) = 1 varint byte each; raw = 3*8."""
+    from crawler_spark.operators.invindex import postings_gap_stats
+    rows = [(0, "a b"), (3, "a"), (10, "a"), (200, "c " * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in postings_gap_stats(df).collect()}
+    a = got["a"]
+    assert (a["df"], a["max_gap"], a["varint_bytes"], a["raw_bytes"]) \
+        == (3, 7, 3, 24)
+    assert a["ratio"] == 0.125
+    b = got["b"]
+    assert (b["df"], b["max_gap"], b["varint_bytes"]) == (1, 1, 1)
+    # 'c' repeats 40x in ONE doc: df counts documents, not occurrences,
+    # and the first-gap encoding is doc_id + 1 = 201 -> 8 bits -> 2 bytes
+    c = got["c"]
+    assert (c["df"], c["max_gap"], c["varint_bytes"], c["raw_bytes"]) \
+        == (1, 201, 2, 8)

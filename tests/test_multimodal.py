@@ -120,3 +120,19 @@ def test_frame_sums_twin_matches_sample_frames(spark, media_df):
         for fi in idxs:
             want = n // 8 + (1 if fi < n % 8 else 0)
             assert sums[(d, fi)]["frame_bytes"] == want
+
+
+def test_mime_sniff_matches_magic_assignment(spark):
+    """mm10: the sniffed type must equal the type implied by the magic
+    prefix injected by doc_id%6, and ext_mismatch must be consistent
+    with (ext, mime)."""
+    from crawler_spark.queries import mm10_mime_sniff
+    rows = mm10_mime_sniff(spark, SF_DIR).collect()
+    want = {0: "image/png", 1: "image/jpeg", 2: "image/gif",
+            3: "application/pdf", 4: "application/zip", 5: "text/plain"}
+    assert len(rows) == 500
+    for r in rows:
+        assert r["mime"] == want[r["doc_id"] % 6], r
+        assert r["ext_mismatch"] == int(
+            (r["ext"] == ".png") != (r["mime"] == "image/png"))
+        assert r["n_bytes"] > 0

@@ -517,6 +517,22 @@ CHECKS = {
                        ["SortMergeJoin", "BroadcastHashJoin",
                         "CartesianProduct", "BatchEvalPython",
                         "ArrowEvalPython"]),
+    # spam mass: final plan joins the two checkpointed rank tables and
+    # broadcasts the 2-scalar total; no Python, no cartesian
+    "g21_spam_mass": (["BroadcastNestedLoopJoin"],
+                      ["BatchEvalPython", "ArrowEvalPython",
+                       "CartesianProduct"]),
+    # postings gaps: per-term lag window + two partial-agged aggs,
+    # NO joins of any kind, no arrays collected, no Python
+    "ix6_postings_gaps": (["Window", "HashAggregate", "Generate"],
+                          ["BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct", "SortMergeJoin",
+                           "BroadcastHashJoin"]),
+    # MIME sniff: pure map-side codegen over the binary column — the
+    # plan must carry NO exchange and no Python at all
+    "mm10_mime_sniff": (["[codegen id :"],
+                        ["Exchange", "BatchEvalPython",
+                         "ArrowEvalPython"]),
     # soft-404: map-side regex+length signals into one partial-agged
     # host rollup; zero joins, zero exchanges beyond the final agg,
     # zero Python
