@@ -147,3 +147,118 @@ def merge_host_state(old: DataFrame | None, updated: DataFrame) -> DataFrame:
         return updated
     carried = old.join(updated.select("host"), "host", "left_anti")
     return updated.unionByName(carried)
+
+
+def waterfill_allocations(demands: DataFrame, budget: int,
+                          host: str = "host", demand: str = "demand",
+                          n_blocks: int = 32) -> DataFrame:
+    """Max-min fair fetch-budget allocation across hosts (progressive
+    filling / water-filling — Bertsekas & Gallager, Data Networks §6.5):
+    split a global per-wave fetch budget so every host gets its full
+    demand if that fits under the common waterline, and hosts above the
+    line share what remains as evenly as integers allow. The allocation
+    a crawler needs when the politeness layer caps per-host rates but
+    the WAVE has a global budget (F7): a Zipf head host must not starve
+    the tail, and the tail's spare capacity must flow back to the head.
+
+    Exact integer characterization (demands ascending, host tie-break):
+    host i (0-based rank, exclusive prefix sum cum_i, n hosts) is FULL
+    iff d_i * (n - i) + cum_i <= B — the fully-served set under max-min
+    fairness is always a prefix of the ascending-demand order. With
+    nfull and cumfull aggregated, every non-full host gets
+    floor(rem/k) (+1 for the first rem%k of them in rank order), where
+    rem = B - cumfull and k = n - nfull. Everything is BIGINT algebra —
+    deterministic and engine-exact.
+
+    Scale shape: the global (rank, prefix-sum) pair comes from the
+    pack_sequences/global_rank two-phase idiom — range-partition by
+    (demand, host), block-local row_number + exclusive cumsum, one
+    <= n_blocks-row offset table cumsum'd on a single tiny task and
+    broadcast back. The two scalar rollups (n; nfull/cumfull) broadcast
+    1-row tables. No global single-task window over the host table."""
+    order = [F.col(demand).asc(), F.col(host).asc()]
+    blocked = (demands.repartitionByRange(n_blocks, *order)
+               .withColumn("_blk", F.spark_partition_id())
+               .localCheckpoint(eager=False))
+    w_loc = Window.partitionBy("_blk").orderBy(*order)
+    local = (blocked
+             .withColumn("_lrn", (F.row_number().over(w_loc) - 1)
+                         .cast("long"))
+             .withColumn("_lcum", F.coalesce(
+                 F.sum(demand).over(
+                     w_loc.rowsBetween(Window.unboundedPreceding, -1)),
+                 F.lit(0)).cast("long")))
+    w_blk = (Window.orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (blocked.groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("_bn"),
+                 F.sum(demand).alias("_bs"))
+            .withColumn("_roff", F.coalesce(F.sum("_bn").over(w_blk),
+                                            F.lit(0)).cast("long"))
+            .withColumn("_soff", F.coalesce(F.sum("_bs").over(w_blk),
+                                            F.lit(0)).cast("long"))
+            .select("_blk", "_roff", "_soff"))
+    g = (local.join(F.broadcast(offs), "_blk")
+         .select(host, F.col(demand).cast("long").alias("demand"),
+                 (F.col("_roff") + F.col("_lrn")).alias("i"),
+                 (F.col("_soff") + F.col("_lcum")).alias("cum")))
+    n_tot = g.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    full = (F.col("demand") * (F.col("n") - F.col("i")) + F.col("cum")
+            <= F.lit(budget))
+    f = (g.crossJoin(F.broadcast(n_tot))
+         .withColumn("full", full)
+         .localCheckpoint(eager=False))
+    s = f.agg(F.sum(F.when(F.col("full"), 1).otherwise(0))
+              .cast("long").alias("nfull"),
+              F.sum(F.when(F.col("full"), F.col("demand")).otherwise(0))
+              .cast("long").alias("cumfull"))
+    k = F.greatest(F.col("n") - F.col("nfull"), F.lit(1).cast("long"))
+    rem = F.lit(budget).cast("long") - F.col("cumfull")
+    alloc = F.when(F.col("full"), F.col("demand")).otherwise(
+        F.floor(rem / k).cast("long")
+        + F.when(F.col("i") - F.col("nfull") < rem % k, 1).otherwise(0))
+    return (f.crossJoin(F.broadcast(s))
+            .select(host, "demand", alloc.cast("long").alias("alloc")))
+
+
+def apportion_by_ip(demands: DataFrame, per_ip_cap: int,
+                    host: str = "host", ip: str = "ip",
+                    demand: str = "demand") -> DataFrame:
+    """IP-granular politeness (BUbiNG, Boldi et al. 2018: rate limits
+    must bind on the shared ADDRESS, or virtual-host farms multiply a
+    crawler's per-server pressure by the number of names): each IP gets
+    budget min(per_ip_cap, total demand on that IP), apportioned back to
+    its hosts PROPORTIONALLY by the Hamilton/Vinton largest-remainder
+    method — floor(B*d_h/D) each, then one extra unit to the hosts with
+    the largest remainders (B*d_h) mod D, remainder ties broken by host
+    ascending. Exact integer algebra: quotas never compare as floats,
+    the remainder rank is an integer sort key, and sum(alloc) == B per
+    IP by construction.
+
+    Scale shape: one partial-agged groupBy(ip) for totals, a broadcast
+    join back (IP cardinality <= host cardinality), and the remainder
+    rank is a per-IP window — bounded by hosts-per-IP (the virtual-host
+    fan-out, thousands at worst), never corpus-wide. Zero Python."""
+    d = demands.select(F.col(host).alias("host"),
+                       F.col(ip).alias("ip"),
+                       F.col(demand).cast("long").alias("demand"))
+    tot = (d.groupBy("ip")
+           .agg(F.sum("demand").alias("d_ip"),
+                F.count(F.lit(1)).alias("n_hosts")))
+    b_ip = F.least(F.lit(per_ip_cap).cast("long"), F.col("d_ip"))
+    j = (d.join(F.broadcast(tot), "ip")
+         .withColumn("b", b_ip)
+         # true integer division (DIV), not double-and-truncate: the
+         # b*demand product can exceed 2^53 at the 10^10 design point
+         .withColumn("base", F.expr("(b * demand) div d_ip"))
+         .withColumn("r", (F.col("b") * F.col("demand")) % F.col("d_ip")))
+    w = Window.partitionBy("ip").orderBy(F.desc("r"), F.asc("host"))
+    ranked = j.withColumn("_rk", F.row_number().over(w).cast("long"))
+    leftover = (F.col("b")
+                - F.sum("base").over(Window.partitionBy("ip")))
+    return (ranked
+            .withColumn("_extra", F.when(F.col("_rk") <= leftover, 1)
+                        .otherwise(0).cast("long"))
+            .select("ip", "host", "demand",
+                    (F.col("base") + F.col("_extra")).cast("long")
+                    .alias("alloc")))

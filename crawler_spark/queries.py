@@ -5776,3 +5776,202 @@ def mm10_mime_sniff(spark, sf_dir):
                      ((F.col("ext") == ".png")
                       != (mime == "image/png")).cast("int")
                      .alias("ext_mismatch")))
+
+
+@q("w7_waterfill_budget", """
+WITH d AS (SELECT source || '/' || lang AS queue,
+                  CAST(count(*) AS BIGINT) AS demand
+           FROM documents GROUP BY 1),
+r AS (SELECT queue, demand,
+             CAST(ROW_NUMBER() OVER (ORDER BY demand, queue) - 1
+                  AS BIGINT) AS i,
+             CAST(COALESCE(SUM(demand) OVER (ORDER BY demand, queue
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM d),
+f AS (SELECT *, demand * (n - i) + cum <= 300 AS isfull FROM r),
+s AS (SELECT CAST(SUM(CASE WHEN isfull THEN 1 ELSE 0 END) AS BIGINT)
+               AS nfull,
+             CAST(COALESCE(SUM(CASE WHEN isfull THEN demand END), 0)
+                  AS BIGINT) AS cumfull
+      FROM f)
+SELECT queue, demand,
+       CAST(CASE WHEN isfull THEN demand
+            ELSE (300 - cumfull) // greatest(n - nfull, 1)
+                 + (CASE WHEN i - nfull <
+                         (300 - cumfull) % greatest(n - nfull, 1)
+                    THEN 1 ELSE 0 END)
+            END AS BIGINT) AS alloc
+FROM f, s
+""")
+def w7_waterfill_budget(spark, sf_dir):
+    """Max-min fair fetch-budget allocation (water-filling / progressive
+    filling, Bertsekas-Gallager Data Networks 6.5) across politeness
+    queues: a global wave budget of 300 fetches splits over the
+    (host, lang) queues so small queues are fully served and the Zipf
+    head shares the remainder as evenly as integers allow — the F7
+    global budget made HOST-FAIR instead of first-come-first-served.
+    Composes with w6's Mercator queues (allocation per back-queue) and
+    rc4's crawl-delay budgets (demand = due URLs). All BIGINT algebra —
+    the fully-served set is provably a prefix of the ascending-demand
+    order, so one distributed (rank, prefix-sum) pass + two 1-row
+    broadcast rollups decide every allocation. See
+    operators/politeness.waterfill_allocations (the global_rank/px3
+    two-phase shape: block-local windows + a broadcast <= n_blocks-row
+    offset table; no single-task global window)."""
+    from crawler_spark.operators.politeness import waterfill_allocations
+    d = _t(spark, sf_dir, "documents")
+    dem = (d.groupBy(F.concat("source", F.lit("/"), "lang").alias("queue"))
+           .agg(F.count(F.lit(1)).cast("long").alias("demand")))
+    return waterfill_allocations(dem, budget=300, host="queue",
+                                 n_blocks=8)
+
+
+@q("tx21_readability", """
+WITH a AS (SELECT doc_id, lower(trim(text)) AS low FROM documents),
+b AS (SELECT doc_id, low,
+             list_filter(regexp_split_to_array(low, '\\s+'),
+                         x -> x <> '') AS ws
+      FROM a),
+c AS (SELECT doc_id,
+             greatest(len(ws), 1) AS w,
+             greatest(len(regexp_extract_all(low, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(low, '[aeiouy]+'))
+               + len(list_filter(ws,
+                     x -> NOT regexp_matches(x, '[aeiouy]'))) AS syl
+      FROM b)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(syl AS BIGINT) AS n_syllables,
+       round(0.39 * w / s + 11.8 * syl / w - 15.59, 4) AS fk_grade
+FROM c
+""")
+def tx21_readability(spark, sf_dir):
+    """Flesch-Kincaid grade level (Kincaid et al. 1975) — the classic
+    readability quality signal corpus filters and educational-value
+    scorers gate on: 0.39*(words/sentences) + 11.8*(syllables/words)
+    - 15.59. Syllables use the deterministic vowel-run heuristic
+    (count of [aeiouy]+ runs; a vowel-less token still costs 1), so
+    both engines share exact integer counts and the ONE float formula
+    is written in the identical operation order and rounded to 4.
+
+    Scale: entirely map-side codegen — one let-bound word split feeds
+    word/no-vowel counts (Catalyst does no cross-column CSE; the array
+    is computed once inside the transform), sentence and vowel runs are
+    two regexp_counts over the same lowered text; zero shuffle, zero
+    Python, no joins. Composes with tx2's quality score and tx15's
+    perplexity buckets as a mixing-weight feature (tx8/tx16)."""
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower(F.trim("text"))
+    words = F.filter(F.split(low, r"\s+"), lambda t: t != "")
+    stats = F.element_at(
+        F.transform(F.array(words), lambda ws: F.struct(
+            F.size(ws).cast("long").alias("w"),
+            F.size(F.filter(ws, lambda x: ~x.rlike("[aeiouy]")))
+            .cast("long").alias("novowel"))), 1)
+    c = d.select(
+        "doc_id",
+        F.greatest(stats.getField("w"), F.lit(1).cast("long"))
+        .alias("w"),
+        F.greatest(F.regexp_count(low, F.lit("[.!?]+")).cast("long"),
+                   F.lit(1).cast("long")).alias("s"),
+        (F.regexp_count(low, F.lit("[aeiouy]+")).cast("long")
+         + stats.getField("novowel")).alias("syl"))
+    return c.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("syl").alias("n_syllables"),
+        F.round(F.lit(0.39) * F.col("w") / F.col("s")
+                + F.lit(11.8) * F.col("syl") / F.col("w")
+                - F.lit(15.59), 4).alias("fk_grade"))
+
+
+@q("w8_ip_apportion", """
+WITH d AS (SELECT source AS host,
+                  'ip' || CAST(CAST(substr(source, 4) AS INT) % 7
+                               AS VARCHAR) AS ip,
+                  CAST(count(*) AS BIGINT) AS demand
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT ip, SUM(demand) AS d_ip FROM d GROUP BY 1),
+j AS (SELECT d.*, least(40, d_ip) AS b,
+             (least(40, d_ip) * demand) // d_ip AS base,
+             (least(40, d_ip) * demand) % d_ip AS r
+      FROM d JOIN t USING (ip)),
+k AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY ip
+                                ORDER BY r DESC, host) AS rk,
+             b - SUM(base) OVER (PARTITION BY ip) AS leftover
+      FROM j)
+SELECT ip, host, demand,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM k
+""")
+def w8_ip_apportion(spark, sf_dir):
+    """IP-granular politeness apportionment (BUbiNG, Boldi et al. 2018:
+    rate limits must bind on the shared ADDRESS or virtual-host farms
+    multiply per-server pressure by the number of names): hosts map to
+    their server IP, each IP's budget is min(cap=40, its total demand),
+    and the budget splits back to the IP's hosts by the Hamilton
+    largest-remainder method — floor-proportional plus one unit to the
+    largest (B*d)%D remainders, host-ascending ties. Exact integer
+    algebra end-to-end (true DIV, integer remainder ranks); per-IP
+    sums equal the budget by construction. Composes with w7 (fair
+    split ACROSS addresses) and rc4/rc6 (per-address rate). See
+    operators/politeness.apportion_by_ip."""
+    from crawler_spark.operators.politeness import apportion_by_ip
+    d = _t(spark, sf_dir, "documents")
+    dem = (d.groupBy(
+        F.col("source").alias("host"),
+        F.concat(F.lit("ip"),
+                 (F.substring("source", 4, 10).cast("int") % 7)
+                 .cast("string")).alias("ip"))
+        .agg(F.count(F.lit(1)).cast("long").alias("demand")))
+    return apportion_by_ip(dem, per_ip_cap=40)
+
+
+@q("mm11_resize_algebra", """
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS s
+           FROM documents),
+b AS (SELECT doc_id, s, length(s) AS n0 FROM a WHERE length(s) > 0),
+r AS (SELECT doc_id,
+             array_to_string(list_transform(range(0, 64),
+                             i -> s[((i * n0) // 64) + 1]), '') AS outp
+      FROM b)
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(64 AS BIGINT) AS n_out_bytes, md5(outp) AS out_md5
+FROM r
+""")
+def mm11_resize_algebra(spark, sf_dir):
+    """The mm2 resize KERNEL's byte-exact output under the hash gate
+    (mm5's trick applied to resampling): the real mapInPandas kernel
+    (`resize_images` -> `_fake_resize`, even-strided selection
+    out[i] = buf[(i*len)//n]) runs over ASCII-projected payload bytes,
+    and the DuckDB twin recomputes the same strided character pick and
+    md5 — so the resize semantics, not just the row shape, is
+    cross-engine-verified (empty-ASCII payloads are excluded: the
+    kernel's zero-fill bytes have no engine-portable string carrier).
+    With mm5 (decode chunk algebra) and mm8 (frame-slice algebra) this
+    closes the mm family: every codec stand-in's arithmetic is
+    oracle-checked; production swaps the kernel body, not the plumbing.
+
+    Scale: same narrow mapInPandas as mm2 (the designed Arrow Python
+    island); the gate reduction is one map-side md5."""
+    from crawler_spark.operators.multimodal import resize_images
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+        .alias("ascii_text"))
+    src = (d.where(F.length("ascii_text") > 0)
+           .select("doc_id",
+                   F.encode("ascii_text", "UTF-8").alias("payload_bin"),
+                   F.lit("image").alias("media_type")))
+    out = resize_images(src, width=8, height=8)
+    return out.select(
+        "doc_id", "width", "height",
+        F.length("payload_bin").cast("long").alias("n_out_bytes"),
+        F.md5(F.encode("payload_bin", "UTF-8")).alias("out_md5"))

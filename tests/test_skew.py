@@ -72,3 +72,80 @@ def test_skew_guard_is_default_on():
     equality under the guard is continuously re-proven.)"""
     from crawler_spark.spec import CrawlJobSpec
     assert CrawlJobSpec(seeds=("http://a.example/",)).politeness_salt >= 16
+
+
+def _pure_waterfill(dem: dict, budget: int) -> dict:
+    """Brute-force progressive filling: hand out one unit at a time,
+    cycling over unsaturated hosts in (demand, host) rank order."""
+    order = sorted(dem, key=lambda h: (dem[h], h))
+    alloc = {h: 0 for h in dem}
+    left = budget
+    while left > 0:
+        open_hosts = [h for h in order if alloc[h] < dem[h]]
+        if not open_hosts:
+            break
+        for h in open_hosts:
+            if left == 0:
+                break
+            alloc[h] += 1
+            left -= 1
+    return alloc
+
+
+def test_waterfill_matches_progressive_filling(spark):
+    """The closed-form prefix characterization must equal unit-by-unit
+    progressive filling exactly — skewed demands, ties, all-full and
+    zero-budget cases."""
+    from crawler_spark.operators.politeness import waterfill_allocations
+    cases = [
+        ({"a": 100, "b": 3, "c": 7, "d": 7, "e": 40}, 60),
+        ({"a": 100, "b": 3, "c": 7, "d": 7, "e": 40}, 500),   # all full
+        ({"a": 5, "b": 5, "c": 5}, 7),                        # ties + rem
+        ({"a": 9}, 0),                                        # zero budget
+        ({f"h{i}": (i * 13) % 29 + 1 for i in range(40)}, 200),
+    ]
+    for dem, budget in cases:
+        df = spark.createDataFrame(list(dem.items()),
+                                   "host string, demand long")
+        got = {r["host"]: r["alloc"]
+               for r in waterfill_allocations(df, budget,
+                                              n_blocks=4).collect()}
+        assert got == _pure_waterfill(dem, budget), (dem, budget)
+        assert sum(got.values()) == min(budget, sum(dem.values()))
+
+
+def test_ip_apportionment_matches_hamilton(spark):
+    """apportion_by_ip == pure-python largest-remainder with identical
+    tie-breaks; per-IP sums equal min(cap, demand)."""
+    from crawler_spark.operators.politeness import apportion_by_ip
+
+    def pure(hosts, cap):
+        d_ip = sum(d for _, d in hosts)
+        b = min(cap, d_ip)
+        base = {h: b * d // d_ip for h, d in hosts}
+        rem = {h: (b * d) % d_ip for h, d in hosts}
+        leftover = b - sum(base.values())
+        order = sorted(hosts, key=lambda hd: (-rem[hd[0]], hd[0]))
+        for h, _ in order[:leftover]:
+            base[h] += 1
+        return base
+
+    cases = [
+        # six equal demands under a binding cap: all remainders tie,
+        # leftover 4 of 6 -> host-ascending tie-break decides
+        ("ipA", [(f"h{i}", 7) for i in range(6)]),
+        ("ipB", [("x", 7), ("y", 2), ("z", 1)]),          # cap > demand
+        ("ipC", [("solo", 99)]),
+        ("ipD", [("p", 13), ("q", 29), ("r", 5), ("s", 17)]),
+    ]
+    rows = [(h, ip, d) for ip, hosts in cases for h, d in hosts]
+    df = spark.createDataFrame(rows, "host string, ip string, demand long")
+    cap = 40
+    got = {(r["ip"], r["host"]): r["alloc"]
+           for r in apportion_by_ip(df, per_ip_cap=cap).collect()}
+    for ip, hosts in cases:
+        want = pure(hosts, cap)
+        for h, _d in hosts:
+            assert got[(ip, h)] == want[h], (ip, h)
+        assert sum(got[(ip, h)] for h, _ in hosts) \
+            == min(cap, sum(d for _, d in hosts))

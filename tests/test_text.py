@@ -103,3 +103,36 @@ def test_doc_profile_fusion_equals_individual_signals(spark):
     for r in rows:
         for f in ("lang_pred", "quality", "n_tokens", "fp", "simhash"):
             assert r["p"][f] == r[f], (r["doc_id"], f, r["p"][f], r[f])
+
+
+def test_readability_hand_counts(spark):
+    """tx21's counting rules pinned by hand: vowel-run syllables,
+    vowel-less tokens cost 1, sentences = [.!?]+ runs (min 1)."""
+    from crawler_spark.queries import tx21_readability
+    import crawler_spark.queries as Q
+    rows = [(1, "The cat sat. The dog ran!"),
+            (2, "xyzzy 99"),          # two vowel-less tokens, no enders
+            (3, "Hello?! Are you ok?")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = Q._t
+    Q._t = lambda spark, sf_dir, name: df
+    try:
+        got = {r["doc_id"]: r for r in
+               tx21_readability(spark, "unused").collect()}
+    finally:
+        Q._t = orig
+    # doc 1: 6 words, 2 sentences ('.', '!'), vowel runs: e,a,a,e,o,a = 6
+    assert (got[1]["n_words"], got[1]["n_sentences"],
+            got[1]["n_syllables"]) == (6, 2, 6)
+    # doc 2: 2 words, 0 enders -> 1 sentence; 'y' counts as vowel so
+    # x-y-zz-y has TWO runs, '99' is vowel-less -> +1
+    assert (got[2]["n_words"], got[2]["n_sentences"],
+            got[2]["n_syllables"]) == (2, 1, 3)
+    # doc 3: 4 words; '?!' and '?' -> 2 sentences; runs: e-o(hello: e,o)
+    # a-e(are: a,e) you(1: 'you' = one run) ok(o) -> 2+2+1+1 = 6
+    assert (got[3]["n_words"], got[3]["n_sentences"],
+            got[3]["n_syllables"]) == (4, 2, 6)
+    for r in got.values():
+        w, s, syl = r["n_words"], r["n_sentences"], r["n_syllables"]
+        assert r["fk_grade"] == round(0.39 * w / s + 11.8 * syl / w
+                                      - 15.59, 4)

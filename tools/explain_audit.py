@@ -533,6 +533,28 @@ CHECKS = {
     "mm10_mime_sniff": (["[codegen id :"],
                         ["Exchange", "BatchEvalPython",
                          "ArrowEvalPython"]),
+    # water-filling: the rank/prefix-sum block windows live BELOW the
+    # lazy checkpoint boundary (the px3/global_rank idiom, audited in
+    # w6/px3's plans), so the returned plan shows the RDD scan + the
+    # 1-row scalar rollup + its broadcast cross join; no Python
+    "w7_waterfill_budget": (["BroadcastNestedLoopJoin", "HashAggregate"],
+                            ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct", "SortMergeJoin"]),
+    # readability: pure map-side codegen (let-bound word split + two
+    # regexp_counts) — NO exchange, no joins, no Python
+    "tx21_readability": (["[codegen id :"],
+                         ["Exchange", "BatchEvalPython",
+                          "ArrowEvalPython"]),
+    # IP apportionment: per-IP windows (bounded by virtual-host
+    # fan-out) + broadcast totals join; exact integer DIV; no Python
+    "w8_ip_apportion": (["Window", "HashAggregate"],
+                        ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct"]),
+    # resize algebra: the designed Arrow Python island (MapInPandas) +
+    # map-side md5 reduction; forbid row-at-a-time Python and shuffles
+    "mm11_resize_algebra": (["MapInPandas"],
+                            ["BatchEvalPython", "Exchange",
+                             "CartesianProduct"]),
     # soft-404: map-side regex+length signals into one partial-agged
     # host rollup; zero joins, zero exchanges beyond the final agg,
     # zero Python
