@@ -945,3 +945,32 @@ def effective_diameter_oracle_sql(edges_cte: str, max_hops: int = 4) -> str:
     return (f"WITH anf AS (SELECT * FROM ({inner})), "
             f"p AS (SELECT {nfs} FROM anf) "
             f"SELECT {cols}, round({case}, 4) AS eff_diameter FROM p")
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman, PRL 2002) over distinct (src, dst)
+    edges: Pearson correlation between source out-degree and target
+    in-degree across edges. One row: the five exact BIGINT moments
+    (n, sx, sy, sxy, sxx, syy) + the float correlation rounded to 4
+    (single formula, identical operation order cross-engine — the tx19
+    float discipline). Degree tables join at host cardinality; the
+    moment rollup partial-aggs to a single scalar row."""
+    e = edges.select("src", "dst").distinct()
+    od = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("od"))
+    idg = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("id"))
+    x = (e.join(od, "src").join(idg, "dst")
+         .select(F.col("od").alias("x"), F.col("id").alias("y")))
+    s = x.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    nd = F.col("n").cast("double")
+    r = ((nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+         / (F.sqrt(nd * F.col("sxx")
+                   - F.col("sx").cast("double") * F.col("sx"))
+            * F.sqrt(nd * F.col("syy")
+                     - F.col("sy").cast("double") * F.col("sy"))))
+    return s.select("n", "sx", "sy", "sxy", "sxx", "syy",
+                    F.round(r, 4).alias("assortativity"))

@@ -5975,3 +5975,44 @@ def mm11_resize_algebra(spark, sf_dir):
         "doc_id", "width", "height",
         F.length("payload_bin").cast("long").alias("n_out_bytes"),
         F.md5(F.encode("payload_bin", "UTF-8")).alias("out_md5"))
+
+
+@q("g23_assortativity", f"""
+WITH e AS ({_G8_EDGES_SQL}),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+id_ AS (SELECT dst, CAST(count(*) AS BIGINT) AS id FROM e GROUP BY 1),
+x AS (SELECT od.od AS x, id_.id AS y
+      FROM e JOIN od ON e.src = od.src JOIN id_ ON e.dst = id_.dst),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM x)
+SELECT n, sx, sy, sxy, sxx, syy,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 4) AS assortativity
+FROM s
+""")
+def g23_assortativity(spark, sf_dir):
+    """Degree assortativity of the host graph (Newman, PRL 2002): the
+    Pearson correlation between a link's source out-degree and target
+    in-degree over all edges. The web is famously DISassortative
+    (hubs link to low-degree pages, r < 0) — a corpus whose crawl graph
+    turns assortative is usually a link-farm/mirror artifact, so this
+    is the one-number companion to g8's degree histogram and the g21
+    spam-mass prior. Five exact BIGINT moments (one partial-agged pass
+    over degree-joined edges) and ONE float Pearson formula in
+    identical operation order, rounded to 4 — the tx19 float
+    discipline. See operators/hostrank.assortativity."""
+    from crawler_spark.operators.hostrank import assortativity
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    return assortativity(e)

@@ -113,3 +113,25 @@ def test_spam_mass_separates_farm_from_trusted(spark):
         assert out[farm] == 1.0, farm        # zero trust reaches the farm
     assert out["t0"] < 0.5
     assert out["a"] < out["f1"]
+
+
+def test_assortativity_signs_on_known_topologies(spark):
+    """Operator-level sign anchors: the disjoint union of K4 (every
+    edge joins out-deg-3 to in-deg-3) and a 3-ring (1 -> 1) has x == y
+    on EVERY edge -> r = 1.0 exactly; a hub feeding a chain of leaves
+    is disassortative (r < 0)."""
+    from crawler_spark.operators.hostrank import assortativity
+
+    def r_of(edges):
+        e = spark.createDataFrame(edges, "src string, dst string")
+        return assortativity(e).collect()[0]
+
+    k4_ring = [(f"a{i}", f"a{j}") for i in range(4) for j in range(4)
+               if i != j] + [(f"b{i}", f"b{(i + 1) % 3}") for i in range(3)]
+    row = r_of(k4_ring)
+    assert row["assortativity"] == 1.0
+    assert row["n"] == 15 and row["sx"] == row["sy"]
+
+    hub = [("h", f"l{i}") for i in range(6)] + \
+          [(f"l{i}", f"l{i+1}") for i in range(5)]
+    assert r_of(hub)["assortativity"] < 0

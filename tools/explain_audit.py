@@ -555,6 +555,11 @@ CHECKS = {
     "mm11_resize_algebra": (["MapInPandas"],
                             ["BatchEvalPython", "Exchange",
                              "CartesianProduct"]),
+    # assortativity: degree joins at host cardinality + one scalar
+    # moment rollup; no Python, no cartesian
+    "g23_assortativity": (["HashAggregate", "partial_sum"],
+                          ["BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct"]),
     # soft-404: map-side regex+length signals into one partial-agged
     # host rollup; zero joins, zero exchanges beyond the final agg,
     # zero Python
