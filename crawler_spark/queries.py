@@ -6016,3 +6016,226 @@ def g23_assortativity(spark, sf_dir):
     e = (d.select(F.col("source").alias("src"), dst.alias("dst"))
          .where(F.col("src") != F.col("dst")).distinct())
     return assortativity(e)
+
+
+@q("tx23_code_detect", """
+WITH a AS (SELECT doc_id, text,
+                  length(text) AS n_chars,
+                  regexp_split_to_array(text, '\\n') AS lines
+           FROM documents),
+b AS (SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[{}\\[\\]();=<>]', '',
+                                          'g')) AS BIGINT) AS sym_chars,
+             CAST(greatest(n_chars, 1) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b(def|return|import|function|class|void|struct'
+                  '|const|elif|lambda)\\b')) AS BIGINT) AS kw_hits,
+             CAST(len(list_filter(lines,
+                  l -> regexp_matches(l, '^(\\t|  )'))) AS BIGINT)
+               AS indent_lines,
+             CAST(len(list_filter(lines,
+                  l -> regexp_matches(l, ';\\s*$'))) AS BIGINT)
+               AS semi_lines
+      FROM a),
+c AS (SELECT *,
+             (CASE WHEN sym_chars * 100 > n_chars * 3 THEN 2 ELSE 0 END
+              + CASE WHEN semi_lines * 10 > n_lines THEN 1 ELSE 0 END
+              + CASE WHEN indent_lines * 5 > n_lines THEN 1 ELSE 0 END
+              + CASE WHEN kw_hits >= 2 THEN 1 ELSE 0 END) AS code_score
+      FROM b)
+SELECT doc_id, n_lines, sym_chars, kw_hits, indent_lines, semi_lines,
+       CAST(code_score AS INT) AS code_score,
+       CAST(CASE WHEN code_score >= 2 THEN 1 ELSE 0 END AS INT) AS is_code
+FROM c
+""")
+def tx23_code_detect(spark, sf_dir):
+    """Code-vs-prose detection — the pretraining-mix routing signal
+    (StarCoder/DCLM pipelines split code into its own mixture bucket;
+    prose filters like tx2/px1 MUST NOT see code or they reject it):
+    four deterministic structural signals — code-symbol density
+    ({}[]();=<>), end-of-line semicolons, leading indentation, reserved
+    keywords — vote into an integer score (symbol density counts
+    double); is_code at score >= 2. All ratio comparisons are written
+    as integer cross-multiplications (sym*100 > chars*3), so the gate
+    is BIGINT-exact cross-engine with no float thresholds at all.
+
+    Scale: one regexp_replace + two line filters + one keyword count
+    per row, all map-side codegen over a single line-split (let-bound
+    array — NOTES fact #1); zero shuffle, zero joins, zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.split("text", "\n")
+    stats = F.element_at(
+        F.transform(F.array(lines), lambda ls: F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(F.filter(ls, lambda l: l.rlike(r"^(\t|  )")))
+            .cast("long").alias("indent"),
+            F.size(F.filter(ls, lambda l: l.rlike(r";\s*$")))
+            .cast("long").alias("semi"))), 1)
+    sym = (F.length("text")
+           - F.length(F.regexp_replace("text", r"[{}\[\]();=<>]", ""))
+           ).cast("long")
+    kw = F.regexp_count(
+        F.lower("text"),
+        F.lit(r"\b(def|return|import|function|class|void|struct"
+              r"|const|elif|lambda)\b")).cast("long")
+    b = d.select(
+        "doc_id", stats.getField("n_lines").alias("n_lines"),
+        sym.alias("sym_chars"),
+        F.greatest(F.length("text").cast("long"), F.lit(1).cast("long"))
+        .alias("n_chars"),
+        kw.alias("kw_hits"),
+        stats.getField("indent").alias("indent_lines"),
+        stats.getField("semi").alias("semi_lines"))
+    score = (F.when(F.col("sym_chars") * 100 > F.col("n_chars") * 3, 2)
+             .otherwise(0)
+             + F.when(F.col("semi_lines") * 10 > F.col("n_lines"), 1)
+             .otherwise(0)
+             + F.when(F.col("indent_lines") * 5 > F.col("n_lines"), 1)
+             .otherwise(0)
+             + F.when(F.col("kw_hits") >= 2, 1).otherwise(0))
+    return (b.withColumn("code_score", score.cast("int"))
+            .select("doc_id", "n_lines", "sym_chars", "kw_hits",
+                    "indent_lines", "semi_lines", "code_score",
+                    F.when(F.col("code_score") >= 2, 1).otherwise(0)
+                    .cast("int").alias("is_code")))
+
+
+@q("px11_length_buckets", """
+WITH t AS (SELECT doc_id,
+                  least(len(list_filter(regexp_split_to_array(
+                        trim(text), '\\s+'), x -> x <> '')), 512) AS nt
+           FROM documents),
+b AS (SELECT doc_id, nt,
+             CASE WHEN nt < 64 THEN 'b0' WHEN nt < 128 THEN 'b1'
+                  WHEN nt < 256 THEN 'b2' ELSE 'b3' END AS bucket
+      FROM t),
+c AS (SELECT *, COALESCE(SUM(nt) OVER (PARTITION BY bucket
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS prev
+      FROM b),
+p AS (SELECT bucket, nt, prev // 512 AS seq_id FROM c)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST((MAX(seq_id) + 1) * 512 - SUM(nt) AS BIGINT) AS n_pad,
+       round(CAST((MAX(seq_id) + 1) * 512 - SUM(nt) AS DOUBLE)
+             / ((MAX(seq_id) + 1) * 512), 4) AS pad_ratio
+FROM p GROUP BY bucket
+""")
+def px11_length_buckets(spark, sf_dir):
+    """Length-bucketed sequence packing — the dynamic-batching layout
+    data loaders use to cut padding waste (pad-to-longest batches
+    similar-length docs together; mixing a 20-token doc into a
+    512-token batch wastes 96% of its rows): docs route to fixed
+    length buckets (<64, <128, <256, rest; capped at the 512 max
+    sequence length, the truncation a loader applies), each bucket
+    packs independently through px3's DISTRIBUTED two-phase prefix
+    sum, and the rollup reports per-bucket padding waste — the number
+    that justifies the bucket boundaries. Bucket routing is map-side;
+    packing per bucket reuses pack_sequences (block windows +
+    broadcast offsets, no single-task global window); the rollup is
+    one partial-agged groupBy(bucket)."""
+    from crawler_spark.operators.sampling import pack_sequences
+    d = _t(spark, sf_dir, "documents")
+    nt = F.least(
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                        lambda x: x != "")).cast("long"),
+        F.lit(512).cast("long"))
+    t = d.select("doc_id", nt.alias("n_tokens"))
+    t = t.withColumn(
+        "bucket",
+        F.when(F.col("n_tokens") < 64, "b0")
+         .when(F.col("n_tokens") < 128, "b1")
+         .when(F.col("n_tokens") < 256, "b2").otherwise("b3"))
+    parts = []
+    for bk in ("b0", "b1", "b2", "b3"):
+        sub = t.where(F.col("bucket") == bk).select("doc_id", "n_tokens")
+        parts.append(
+            pack_sequences(sub, "n_tokens", order_col="doc_id",
+                           budget=512, n_blocks=4)
+            .withColumn("bucket", F.lit(bk)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (u.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 ((F.max("seq_id") + 1) * 512
+                  - F.sum("n_tokens")).cast("long").alias("n_pad"),
+                 F.round(((F.max("seq_id") + 1) * 512
+                          - F.sum("n_tokens")).cast("double")
+                         / ((F.max("seq_id") + 1) * 512), 4)
+                 .alias("pad_ratio")))
+
+
+_AN9_MS = (8, 16, 32)
+
+
+def _an9_block(m: int) -> str:
+    vec = f"e.embedding[1:{m}]::DOUBLE[]" if m else "e.embedding::DOUBLE[]"
+    qv = f"q.embedding[1:{m}]::DOUBLE[]" if m else "q.embedding::DOUBLE[]"
+    tag = f"t{m}" if m else "fd"
+    return f"""{tag}0 AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         round(list_cosine_similarity({vec}, {qv}), 4) AS cosine
+  FROM embeddings e, (SELECT * FROM embeddings
+                      WHERE vec_id IN (0, 1, 2)) q
+  WHERE e.vec_id <> q.vec_id),
+{tag} AS (SELECT qid, vec_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id) AS rnk
+  FROM {tag}0) WHERE rnk <= 10)"""
+
+
+@q("an9_mrl_recall", "WITH " + ",\n".join(
+    [_an9_block(0)] + [_an9_block(m) for m in _AN9_MS]) + "\n"
+    + "\nUNION ALL\n".join(f"""
+SELECT f.qid, CAST({m} AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS recall
+FROM fd f LEFT JOIN t{m} t USING (qid, vec_id) GROUP BY f.qid
+""" for m in _AN9_MS))
+def an9_mrl_recall(spark, sf_dir):
+    """Matryoshka-truncation recall (Kusupati et al., NeurIPS 2022 —
+    MRL; the eval behind every 'truncatable' embedding API): recall@10
+    of brute-force search in the FIRST-m-dims subspace (m = 8/16/32 of
+    64) against full-dimension search, per query. The storage/latency
+    planning number for an embedding corpus: how many dims the ANN
+    index (an2/an7) can drop before recall degrades. Both sides reuse
+    an1's broadcast-query brute-force plan (the corpus never joins
+    itself); truncation is a map-side slice. Float discipline is the
+    an1/an5 contract: cosine rounded to 4, rank ties broken by
+    vec_id."""
+    from crawler_spark.operators.similarity import brute_force_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    truth = brute_force_topk(e, qs, k=10).select("qid", "vec_id")
+    parts = []
+    for m in _AN9_MS:
+        te = e.select("vec_id", F.slice("embedding", 1, m)
+                      .alias("embedding"))
+        tq = qs.select("vec_id", F.slice("embedding", 1, m)
+                       .alias("embedding"))
+        tr = (brute_force_topk(te, tq, k=10)
+              .select("qid", "vec_id", F.lit(1).alias("hit")))
+        parts.append(
+            truth.join(tr, ["qid", "vec_id"], "left")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                 F.coalesce(F.sum("hit"), F.lit(0)).cast("long")
+                 .alias("n_hit"),
+                 F.round(F.coalesce(F.sum("hit"), F.lit(0))
+                         / F.count(F.lit(1)), 4).alias("recall"))
+            .select("qid", F.lit(m).cast("long").alias("m"),
+                    "k", "n_hit", "recall"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u

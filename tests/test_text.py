@@ -136,3 +136,30 @@ def test_readability_hand_counts(spark):
         w, s, syl = r["n_words"], r["n_sentences"], r["n_syllables"]
         assert r["fk_grade"] == round(0.39 * w / s + 11.8 * syl / w
                                       - 15.59, 4)
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    """tx23's integer vote on hand-built fixtures: a Python-ish snippet
+    and a C-ish snippet must gate as code, plain prose must not."""
+    from crawler_spark.queries import tx23_code_detect
+    import crawler_spark.queries as Q
+    py_code = ("def f(x):\n  return [i*2 for i in range(x)];\n"
+               "import os\n  class A:\n  pass")
+    c_code = ("int main() {\n  int x = 0;\n  x = x + 1;\n"
+              "  return x;\n}")
+    prose = ("The quick brown fox jumps over the lazy dog. "
+             "It was a bright day and the crawl proceeded calmly "
+             "without any incident at all.")
+    df = spark.createDataFrame(
+        [(1, py_code), (2, c_code), (3, prose)],
+        "doc_id long, text string")
+    orig = Q._t
+    Q._t = lambda spark, sf_dir, name: df
+    try:
+        got = {r["doc_id"]: r for r in
+               tx23_code_detect(spark, "unused").collect()}
+    finally:
+        Q._t = orig
+    assert got[1]["is_code"] == 1 and got[1]["kw_hits"] >= 2
+    assert got[2]["is_code"] == 1 and got[2]["semi_lines"] >= 3
+    assert got[3]["is_code"] == 0 and got[3]["code_score"] <= 1

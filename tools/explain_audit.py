@@ -560,6 +560,21 @@ CHECKS = {
     "g23_assortativity": (["HashAggregate", "partial_sum"],
                           ["BatchEvalPython", "ArrowEvalPython",
                            "CartesianProduct"]),
+    # code detect: map-side codegen only (let-bound line split + regex
+    # counts) — NO exchange, no joins, no Python
+    "tx23_code_detect": (["[codegen id :"],
+                         ["Exchange", "BatchEvalPython",
+                          "ArrowEvalPython"]),
+    # length buckets: per-bucket pack_sequences (block windows +
+    # broadcast offsets) + one partial-agged rollup; no Python
+    "px11_length_buckets": (["Window", "HashAggregate"],
+                            ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct", "SortMergeJoin"]),
+    # MRL recall: broadcast-query brute force on both sides (no corpus
+    # self-join -> no SMJ on the corpus), window top-k, no Python
+    "an9_mrl_recall": (["BroadcastNestedLoopJoin", "Window"],
+                       ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct"]),
     # soft-404: map-side regex+length signals into one partial-agged
     # host rollup; zero joins, zero exchanges beyond the final agg,
     # zero Python
