@@ -6239,3 +6239,69 @@ def an9_mrl_recall(spark, sf_dir):
     for p in parts[1:]:
         u = u.unionByName(p)
     return u
+
+
+@q("wc5_wat_metadata", f"""
+WITH s AS ({_SPAN_SQL}),
+m AS (
+  SELECT doc_id,
+         'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         CAST(len(list_filter(spans, x -> x.kind = 'media')) AS BIGINT)
+           AS n_media,
+         CAST(len(spans) AS BIGINT) AS n_spans,
+         COALESCE(list_sum(list_transform(spans, x ->
+             CASE WHEN x.kind = 'text' AND trim(x.text) <> ''
+                  THEN len(regexp_split_to_array(trim(x.text), '\\s+'))
+                  ELSE 0 END)), 0)::BIGINT AS n_words
+  FROM s),
+p AS (SELECT doc_id,
+             '{{"uri":"' || uri || '","media":' || n_media
+               || ',"spans":' || n_spans || ',"words":' || n_words
+               || '}}' AS payload
+      FROM m)
+SELECT doc_id,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+       md5(payload) AS payload_md5
+FROM p
+""")
+def wc5_wat_metadata(spark, sf_dir):
+    """WAT production path (Common Crawl's metadata records — the
+    third of the WARC/WET/WAT triad, all three now rendered by
+    sources/warc.py): per capture, a deterministic JSON envelope
+    describing the interleaved span content (media count, span count,
+    text word count), framed as WARC/1.0 `metadata` records with
+    WARC-Refers-To the response id, written into 20 WAT files and
+    re-parsed with the Content-Length splitter — the re-extracted
+    payload must md5-match the JSON the oracle recomputes straight
+    from the span algebra (it never sees WARC). The JSON is built by
+    explicit concatenation, NOT to_json, so both engines produce the
+    identical byte string. Map-side render; the only shuffle is the
+    20-file groupBy."""
+    from crawler_spark.sources.warc import (
+        parse_warc, warc_file_blobs, warc_metadata_record_col,
+    )
+    s = _spans_df(spark, sf_dir)
+    uri = F.concat(F.lit("https://corpus.example/doc/"),
+                   F.col("doc_id").cast("string"))
+    n_media = F.size(F.filter("spans", lambda x: x.kind == "media"))
+    n_spans = F.size("spans")
+    n_words = F.aggregate(
+        F.transform("spans", lambda x: F.when(
+            (x.kind == "text") & (F.trim(x.text) != ""),
+            F.size(F.split(F.trim(x.text), r"\s+")))
+            .otherwise(F.lit(0)).cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    payload = F.concat(
+        F.lit('{"uri":"'), uri, F.lit('","media":'),
+        n_media.cast("string"), F.lit(',"spans":'),
+        n_spans.cast("string"), F.lit(',"words":'),
+        n_words.cast("string"), F.lit("}"))
+    files = warc_file_blobs(
+        s.withColumn("file_id", (F.col("doc_id") % 20).cast("long")),
+        "file_id", "doc_id", warc_metadata_record_col(uri, payload))
+    parsed = parse_warc(files, "blob")
+    return parsed.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("n_bytes"),
+        F.md5("payload").alias("payload_md5"))

@@ -259,3 +259,28 @@ def warc_conversion_record_col(uri: Column, payload: Column) -> Column:
         F.octet_length(payload).cast("string"), F.lit(CRLF),
         F.lit(CRLF))
     return F.concat(head, payload, F.lit(CRLF + CRLF))
+
+
+def warc_metadata_record_col(uri: Column, payload: Column) -> Column:
+    """One WARC/1.0 `metadata` record — the WAT convention (Common
+    Crawl's *.warc.wat.gz): a JSON envelope DESCRIBING a previously
+    archived response (link counts, media counts, text statistics),
+    `WARC-Refers-To` pointing at that response record's deterministic
+    ID (md5 of the URI — what `warc_record_col` stamps). Record id
+    salted with 'meta:' so WARC/WET/WAT ids never collide for one
+    capture. Same Content-Length framing: `parse_warc_bytes` walks WAT
+    files unchanged. Completes the Common Crawl record triad
+    (response / conversion / metadata)."""
+    head = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: metadata" + CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(F.lit("meta:"), uri)), F.lit(">" + CRLF),
+        F.lit("WARC-Date: " + _WARC_DATE + CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(CRLF),
+        F.lit("WARC-Refers-To: <urn:md5:"), F.md5(uri), F.lit(">" + CRLF),
+        F.lit("Content-Type: application/json" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"), F.lit(CRLF),
+        F.lit(CRLF))
+    return F.concat(head, payload, F.lit(CRLF + CRLF))

@@ -206,3 +206,36 @@ def test_conversion_record_roundtrip_and_refers_to(spark):
         conv_id = hashlib.md5(f"conv:{uri}".encode()).hexdigest()
         assert f"WARC-Record-ID: <urn:md5:{conv_id}>" in text
         assert conv_id != want
+
+
+def test_metadata_record_roundtrip_and_ids(spark):
+    """WAT metadata records (wc5): byte-exact payload through the
+    parser; WARC-Refers-To equals the response id (md5 of URI) while
+    the metadata record's own id is the 'meta:'-salted md5 and all
+    three record types (response/conversion/metadata) get distinct
+    ids for one capture."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources.warc import (
+        parse_warc, warc_file_blobs, warc_metadata_record_col,
+    )
+    rows = [(1, "https://x.example/a", '{"words":3}'),
+            (2, "https://x.example/b", '{"words":0}')]
+    df = spark.createDataFrame(rows, "doc_id long, uri string, body string")
+    files = warc_file_blobs(
+        df.withColumn("f", F.lit(0).cast("long")), "f", "doc_id",
+        warc_metadata_record_col(F.col("uri"), F.col("body")))
+    blob = files.collect()[0]["blob"]
+    got = parse_warc(files, "blob").orderBy("target_uri").collect()
+    assert [r["payload"] for r in got] == ['{"words":3}', '{"words":0}']
+    for _, uri, _ in rows:
+        resp = hashlib.md5(uri.encode()).hexdigest()
+        meta = hashlib.md5(f"meta:{uri}".encode()).hexdigest()
+        conv = hashlib.md5(f"conv:{uri}".encode()).hexdigest()
+        assert f"WARC-Refers-To: <urn:md5:{resp}>" in blob
+        assert f"WARC-Record-ID: <urn:md5:{meta}>" in blob
+        assert len({resp, meta, conv}) == 3
+    assert "WARC-Type: metadata" in blob
+    assert "Content-Type: application/json" in blob

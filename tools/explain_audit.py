@@ -575,6 +575,10 @@ CHECKS = {
     "an9_mrl_recall": (["BroadcastNestedLoopJoin", "Window"],
                        ["BatchEvalPython", "ArrowEvalPython",
                         "CartesianProduct"]),
+    # WAT metadata: map-side JSON render + 20-file groupBy + the
+    # Content-Length splitter (the designed mapInPandas island)
+    "wc5_wat_metadata": (["MapInPandas"],
+                         ["BatchEvalPython", "CartesianProduct"]),
     # soft-404: map-side regex+length signals into one partial-agged
     # host rollup; zero joins, zero exchanges beyond the final agg,
     # zero Python
