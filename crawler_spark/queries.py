@@ -6305,3 +6305,162 @@ def wc5_wat_metadata(spark, sf_dir):
          .alias("doc_id"),
         F.col("n_bytes"),
         F.md5("payload").alias("payload_md5"))
+
+
+_IX7_TERMS = ("vector", "window", "merge")
+_IX7_MU = 2000.0
+
+
+@q("ix7_lm_ranking", f"""
+WITH tok AS ({_IX_TOK_SQL}),
+cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM tok),
+ctf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf FROM tok
+        WHERE term IN ('vector', 'window', 'merge') GROUP BY 1),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE term IN ('vector', 'window', 'merge') GROUP BY 1, 2),
+hit AS (SELECT doc_id,
+        SUM(CASE WHEN term = 'vector' THEN tf ELSE 0 END) AS tf0,
+        SUM(CASE WHEN term = 'window' THEN tf ELSE 0 END) AS tf1,
+        SUM(CASE WHEN term = 'merge' THEN tf ELSE 0 END) AS tf2
+        FROM tf GROUP BY doc_id),
+j AS (SELECT h.doc_id, tf0, tf1, tf2, dl.dl,
+             (SELECT ctf FROM ctf WHERE term = 'vector') AS ctf0,
+             (SELECT ctf FROM ctf WHERE term = 'window') AS ctf1,
+             (SELECT ctf FROM ctf WHERE term = 'merge') AS ctf2,
+             (SELECT c FROM cs) AS c
+      FROM hit h JOIN dl ON dl.doc_id = h.doc_id)
+SELECT doc_id,
+       CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_hit,
+       round(ln((tf0 + {_IX7_MU} * ctf0 / c) / (dl + {_IX7_MU}))
+             + ln((tf1 + {_IX7_MU} * ctf1 / c) / (dl + {_IX7_MU}))
+             + ln((tf2 + {_IX7_MU} * ctf2 / c) / (dl + {_IX7_MU})), 4)
+         AS lm_score
+FROM j
+""")
+def ix7_lm_ranking(spark, sf_dir):
+    """Query-likelihood ranking with Dirichlet smoothing (Ponte & Croft
+    1998; Zhai & Lafferty, SIGIR 2001 — the language-model alternative
+    to tx11's BM25, and the stronger model at short-query retrieval):
+    score(d) = sum over query terms of ln((tf + mu*ctf/C)/(|d| + mu)),
+    mu = 2000. Missing terms contribute their smoothed (doc-length-
+    dependent) mass — the part naive implementations drop and the
+    reason this needs per-doc tf pivots, not just hit rows.
+
+    Float discipline: the per-term logs sum in a FIXED textual order
+    (t0 + t1 + t2 written out, never an aggregate over rows), so
+    cross-engine agreement needs only IEEE ops + one round(4) — no
+    sum-order hazard at all. Scale shape: corpus filtered to the query
+    terms before any shuffle; ctf/C are broadcast scalars; the doc-
+    length table joins at hit-doc cardinality."""
+    d = _t(spark, sf_dir, "documents")
+    from crawler_spark.operators.invindex import tokens_col
+    tok = d.select("doc_id",
+                   F.explode(tokens_col(F.col("text"))).alias("term"))
+    cs = tok.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    qt = tok.where(F.col("term").isin(list(_IX7_TERMS)))
+    ctf = qt.groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("ctf"))
+    ctfs = ctf.groupBy().pivot("term", list(_IX7_TERMS)).sum("ctf") \
+        .select(*[F.col(t).alias(f"ctf{i}")
+                  for i, t in enumerate(_IX7_TERMS)])
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("dl"))
+    hit = (qt.groupBy("doc_id", "term")
+           .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+           .groupBy("doc_id")
+           .agg(*[F.sum(F.when(F.col("term") == t, F.col("tf"))
+                        .otherwise(0)).cast("long").alias(f"tf{i}")
+                  for i, t in enumerate(_IX7_TERMS)]))
+    j = (hit.join(dl, "doc_id")
+         .crossJoin(F.broadcast(ctfs))
+         .crossJoin(F.broadcast(cs)))
+    mu = F.lit(_IX7_MU)
+
+    def term_log(i):
+        return F.log((F.col(f"tf{i}") + mu * F.col(f"ctf{i}")
+                      / F.col("c")) / (F.col("dl") + mu))
+
+    n_hit = sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+                for i in range(3))
+    return j.select(
+        "doc_id", n_hit.cast("int").alias("n_hit"),
+        F.round(term_log(0) + term_log(1) + term_log(2), 4)
+        .alias("lm_score"))
+
+
+@q("mm12_span_audit", f"""
+WITH s0 AS ({_SPAN_SQL}),
+s AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               list_transform(s0.spans, x -> struct_pack(
+                 kind := x.kind, text := x.text,
+                 media_ref := CASE WHEN doc_id % 14 = 0
+                                    AND x.kind = 'media' THEN ''
+                              ELSE x.media_ref END,
+                 "offset" := (x."offset" % 20)::INT))
+             ELSE s0.spans END AS spans
+      FROM s0)
+SELECT doc_id,
+       CAST(len(spans) AS BIGINT) AS n_spans,
+       CAST(len(list_filter(range(2, len(spans) + 1),
+            i -> spans[i]."offset" <= spans[i-1]."offset")) AS BIGINT)
+         AS off_viol,
+       CAST(len(list_filter(spans, x -> x.kind = 'media'
+            AND x.media_ref = '')) AS BIGINT) AS bad_media,
+       CAST(len(list_filter(spans, x -> x.kind = 'text'
+            AND trim(x.text) = '')) AS BIGINT) AS empty_text,
+       CAST(CASE WHEN len(list_filter(range(2, len(spans) + 1),
+                 i -> spans[i]."offset" <= spans[i-1]."offset")) = 0
+             AND len(list_filter(spans, x -> x.kind = 'media'
+                 AND x.media_ref = '')) = 0
+             AND len(list_filter(spans, x -> x.kind = 'text'
+                 AND trim(x.text) = '')) = 0
+            THEN 1 ELSE 0 END AS INT) AS valid
+FROM s
+""")
+def mm12_span_audit(spark, sf_dir):
+    """Interleaved-span integrity audit — the validation pass a
+    multimodal training pipeline runs before packing (px2/mm4/px10 all
+    ASSUME monotone offsets, non-empty media refs and non-empty text
+    spans; a violation silently corrupts sequence assembly): per doc,
+    count offset-order violations (adjacent non-increasing), media
+    spans with empty refs, and empty text spans, plus a single `valid`
+    gate bit. Deterministic corruption is INJECTED for doc_id % 7 == 0
+    (offsets wrapped mod 20; % 14 additionally blanks media refs) in
+    BOTH engines, so the auditor's detection logic — not just the
+    happy path — sits under the hash gate.
+
+    Scale: the whole audit is per-row HOF algebra over the span array
+    (adjacent-pair check via an index-range filter, no posexplode) —
+    zero shuffle, zero joins, zero Python."""
+    s0 = _spans_df(spark, sf_dir)
+    corrupt = F.transform("spans", lambda x: F.struct(
+        x.kind.alias("kind"), x.text.alias("text"),
+        F.when((F.col("doc_id") % 14 == 0) & (x.kind == "media"),
+               F.lit("")).otherwise(x.media_ref).alias("media_ref"),
+        (x.offset % 20).cast("int").alias("offset")))
+    s = s0.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, corrupt)
+         .otherwise(F.col("spans")).alias("spans"))
+    sp = F.col("spans")
+    off_viol = F.when(F.size(sp) < 2, F.lit(0).cast("long")).otherwise(
+        F.size(F.filter(
+            F.sequence(F.lit(2), F.size(sp)),
+            lambda i: F.element_at(sp, i).getField("offset")
+            <= F.element_at(sp, i - 1).getField("offset"))).cast("long"))
+    bad_media = F.size(F.filter(
+        sp, lambda x: (x.kind == "media") & (x.media_ref == ""))
+    ).cast("long")
+    empty_text = F.size(F.filter(
+        sp, lambda x: (x.kind == "text") & (F.trim(x.text) == ""))
+    ).cast("long")
+    return s.select(
+        "doc_id", F.size(sp).cast("long").alias("n_spans"),
+        off_viol.alias("off_viol"), bad_media.alias("bad_media"),
+        empty_text.alias("empty_text"),
+        ((off_viol == 0) & (bad_media == 0) & (empty_text == 0))
+        .cast("int").alias("valid"))

@@ -579,6 +579,16 @@ CHECKS = {
     # Content-Length splitter (the designed mapInPandas island)
     "wc5_wat_metadata": (["MapInPandas"],
                          ["BatchEvalPython", "CartesianProduct"]),
+    # LM ranking: corpus filtered to query terms pre-shuffle; ctf/C
+    # broadcast scalars (BNLJ); fixed-order 3-term log sum; no Python
+    "ix7_lm_ranking": (["BroadcastNestedLoopJoin", "HashAggregate"],
+                       ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct"]),
+    # span audit: pure per-row HOF algebra over the span arrays — NO
+    # exchange, no joins, no Python
+    "mm12_span_audit": (["[codegen id :"],
+                        ["Exchange", "BatchEvalPython",
+                         "ArrowEvalPython"]),
     # soft-404: map-side regex+length signals into one partial-agged
     # host rollup; zero joins, zero exchanges beyond the final agg,
     # zero Python
