@@ -974,3 +974,163 @@ def assortativity(edges: DataFrame) -> DataFrame:
                      - F.col("sy").cast("double") * F.col("sy"))))
     return s.select("n", "sx", "sy", "sxy", "sxx", "syy",
                     F.round(r, 4).alias("assortativity"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-host local clustering coefficient c(v) = 2*T(v) / (d(v)*(d(v)-1))
+    over the undirected host graph (Watts & Strogatz, Nature 1998) — the
+    per-node companion to g7's raw triangle counts and g23's one-number
+    assortativity.  A host whose neighborhood closes into a clique
+    (c -> 1) at non-trivial degree is a link-farm / mirror-ring
+    candidate; navigational hubs sit near c -> 0.  Output one row per
+    host: (host, degree, n_triangles, clustering), degree >= 1, with
+    n_triangles = 0 and clustering = 0.0 where no triangle closes
+    (degree-1 hosts are defined as 0.0 — the sociology convention).
+
+    Scale shape: triangle side is the degree-ordered wedge join (see
+    triangle_counts — per-key fan-out O(sqrt(m)) regardless of Zipf
+    hubs); the degree table is host-cardinality and the final join is a
+    broadcast.  Float discipline: ONE double formula (2.0*T first, then
+    d*(d-1), one divide) in identical operation order cross-engine,
+    rounded to 4.
+    """
+    und = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    deg = (und.select(F.col("u").alias("host"))
+           .unionAll(und.select(F.col("v").alias("host")))
+           .groupBy("host").agg(F.count(F.lit(1)).cast("long")
+                                .alias("degree")))
+    tri = triangle_counts(edges)
+    j = deg.join(F.broadcast(tri), "host", "left") \
+           .withColumn("n_triangles",
+                       F.coalesce(F.col("n_triangles"), F.lit(0))
+                       .cast("long"))
+    d = F.col("degree").cast("double")
+    c = F.when(F.col("degree") >= 2,
+               (F.lit(2.0) * F.col("n_triangles").cast("double"))
+               / (d * (d - F.lit(1.0)))).otherwise(F.lit(0.0))
+    return j.select("host", "degree", "n_triangles",
+                    F.round(c, 4).alias("clustering"))
+
+
+def clustering_oracle_sql(edges_cte: str) -> str:
+    """DuckDB twin of clustering_coefficients: lexicographic triangle
+    join + degree rollup, same single-formula float path."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+deg AS (SELECT host, CAST(count(*) AS BIGINT) AS degree FROM
+        (SELECT u AS host FROM und UNION ALL SELECT v FROM und)
+        GROUP BY host),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+part AS (SELECT a AS host FROM tri UNION ALL
+         SELECT b FROM tri UNION ALL SELECT c FROM tri),
+tcnt AS (SELECT host, CAST(count(*) AS BIGINT) AS t FROM part
+         GROUP BY host)
+SELECT deg.host, deg.degree,
+       CAST(coalesce(tcnt.t, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN deg.degree >= 2
+             THEN (2.0 * coalesce(tcnt.t, 0))
+                  / (CAST(deg.degree AS DOUBLE) * (deg.degree - 1.0))
+             ELSE 0.0 END, 4) AS clustering
+FROM deg LEFT JOIN tcnt ON deg.host = tcnt.host
+"""
+
+
+def mirror_hosts(edges: DataFrame, min_jaccard: float = 0.25,
+                 max_df: int = 64) -> DataFrame:
+    """Mirror-host detection via outlink-set resemblance (Bharat & Broder,
+    WWW 1999 "A comparison of techniques to find mirrored hosts"): two
+    hosts whose OUTLINK host-sets are near-identical are almost always
+    the same site served under two names — the crawl-budget leak the
+    reference's spider cannot see (it scopes per-domain; reference
+    src/scanner/scan.rs drives one Website per domain with no cross-host
+    comparison).  Detecting mirrors BEFORE fetch saves the whole
+    duplicate host's budget, vs dd1-dd10 which pay the fetch and dedup
+    the content after.
+
+    Candidates come from a shared-outlink inverted index with a df cap
+    (targets linked by more than `max_df` hosts generate no pairs — the
+    dd4 quadratic guard: a universally-linked CDN host would otherwise
+    pair every host with every other); resemblance is then verified
+    EXACTLY against the full, uncapped outlink sets (array_intersect on
+    collect_set arrays), so the cap bounds fan-out without inflating
+    similarity.  Output: one row per unordered host pair with
+    jaccard >= min_jaccard: (host_a, host_b, n_a, n_b, n_inter,
+    jaccard, containment) — containment = |A∩B|/|A| (A the
+    lexicographically-smaller host) catches subset mirrors (a partial
+    replica) that symmetric Jaccard dilutes.
+
+    Scale shape: the index explode and df rollup are edge-cardinality
+    with map-side combine; pair generation is bounded by
+    O(max_df * shared-targets); the verify join moves only
+    host-cardinality outlink arrays (out-degree ~ 10^1-10^3 per host).
+    Float discipline: one divide per measure, rounded to 4.
+    """
+    out = (edges.select("src", "dst")
+           .where(F.col("src") != F.col("dst")).distinct())
+    sets = out.groupBy("src").agg(
+        F.array_sort(F.collect_set("dst")).alias("outs"),
+        F.count(F.lit(1)).cast("long").alias("n_out"))
+    df = out.groupBy("dst").agg(F.count(F.lit(1)).alias("df"))
+    fex = (out.join(F.broadcast(df.where(F.col("df") <= max_df)
+                                .select("dst")), "dst"))
+    a = fex.select(F.col("src").alias("host_a"), "dst")
+    b = fex.select(F.col("src").alias("host_b"), "dst")
+    cands = (a.join(b, "dst")
+             .where(F.col("host_a") < F.col("host_b"))
+             .select("host_a", "host_b").distinct())
+    sa = sets.select(F.col("src").alias("host_a"),
+                     F.col("outs").alias("outs_a"),
+                     F.col("n_out").alias("n_a"))
+    sb = sets.select(F.col("src").alias("host_b"),
+                     F.col("outs").alias("outs_b"),
+                     F.col("n_out").alias("n_b"))
+    v = (cands.join(sa, "host_a").join(sb, "host_b")
+         .withColumn("n_inter",
+                     F.size(F.array_intersect("outs_a", "outs_b"))
+                     .cast("long")))
+    inter_d = F.col("n_inter").cast("double")
+    uni = (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    jac = F.round(inter_d / uni, 4)
+    cont = F.round(inter_d / F.col("n_a").cast("double"), 4)
+    return (v.select("host_a", "host_b", "n_a", "n_b", "n_inter",
+                     jac.alias("jaccard"), cont.alias("containment"))
+            .where(F.col("jaccard") >= F.lit(min_jaccard)))
+
+
+def mirror_oracle_sql(edges_cte: str, min_jaccard: float = 0.25,
+                      max_df: int = 64) -> str:
+    """DuckDB twin of mirror_hosts: capped inverted-index candidates,
+    exact list_intersect verify against the full outlink lists."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+outl AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+sets AS (SELECT src, list_sort(list(DISTINCT dst)) AS outs,
+                CAST(count(DISTINCT dst) AS BIGINT) AS n_out
+         FROM outl GROUP BY src),
+df AS (SELECT dst FROM outl GROUP BY dst HAVING count(*) <= {max_df}),
+fex AS (SELECT o.src, o.dst FROM outl o JOIN df ON o.dst = df.dst),
+cands AS (SELECT DISTINCT a.src AS host_a, b.src AS host_b
+          FROM fex a JOIN fex b ON a.dst = b.dst AND a.src < b.src),
+v AS (SELECT c.host_a, c.host_b, sa.n_out AS n_a, sb.n_out AS n_b,
+             CAST(len(list_intersect(sa.outs, sb.outs)) AS BIGINT)
+               AS n_inter
+      FROM cands c
+      JOIN sets sa ON c.host_a = sa.src
+      JOIN sets sb ON c.host_b = sb.src)
+SELECT host_a, host_b, n_a, n_b, n_inter,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(n_a + n_b - n_inter AS DOUBLE), 4) AS jaccard,
+       round(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE), 4)
+         AS containment
+FROM v
+WHERE round(CAST(n_inter AS DOUBLE)
+            / CAST(n_a + n_b - n_inter AS DOUBLE), 4) >= {min_jaccard}
+"""

@@ -6464,3 +6464,80 @@ def mm12_span_audit(spark, sf_dir):
         empty_text.alias("empty_text"),
         ((off_viol == 0) & (bad_media == 0) & (empty_text == 0))
         .cast("int").alias("valid"))
+
+
+from crawler_spark.operators.hostrank import (  # noqa: E402
+    clustering_oracle_sql, mirror_oracle_sql,
+)
+
+
+@q("g26_clustering_coeff", clustering_oracle_sql(_G7_EDGES_SQL))
+def g26_clustering_coeff(spark, sf_dir):
+    """Per-host local clustering coefficient (Watts-Strogatz) over the g7
+    host-graph fixture — the per-node cohesion score that turns g7's raw
+    triangle counts into the bounded [0,1] link-farm signal: high
+    clustering at non-trivial degree marks a mirror-ring/spam cluster,
+    near-zero marks a navigational hub. Triangles come from the
+    degree-ordered wedge join (O(sqrt(m)) per-key fan-out); degrees and
+    the final left join are host-cardinality broadcasts; ONE double
+    formula rounded to 4 on both engines. See
+    operators/hostrank.clustering_coefficients."""
+    from crawler_spark.operators.hostrank import clustering_coefficients
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("src"),
+                     F.substring("source", 4, 10).cast("int").alias("h")) \
+             .distinct()
+
+    def to_dst(e):
+        return F.concat(F.lit("src"), e.cast("string"))
+
+    edges = (hosts.select("src", to_dst((F.col("h") + 1) % 40).alias("dst"))
+             .unionAll(hosts.select(
+                 "src", to_dst((F.col("h") + 2) % 40).alias("dst")))
+             .unionAll(hosts.select(
+                 "src", to_dst((F.col("h") * 7 + 3) % 23).alias("dst"))))
+    return clustering_coefficients(edges)
+
+
+_G24_EDGES_SQL = """
+SELECT 'src' || CAST(h AS VARCHAR) AS src,
+       'src' || CAST(t AS VARCHAR) AS dst
+FROM (SELECT DISTINCT CAST(substr(source, 4) AS INT) AS h FROM documents)
+     hosts,
+     LATERAL (SELECT unnest(CASE WHEN h % 10 >= 5 THEN
+                [(3 * (h % 10) + 1) % 20, (5 * (h % 10) + 2) % 20,
+                 (7 * (h % 10) + 3) % 20, (11 * h + 5) % 20]
+              ELSE
+                [(3 * (h % 10) + 1) % 20, (5 * (h % 10) + 2) % 20,
+                 (7 * (h % 10) + 3) % 20] END) AS t) targets
+"""
+
+
+@q("g24_mirror_hosts", mirror_oracle_sql(_G24_EDGES_SQL))
+def g24_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (Bharat & Broder, WWW 1999): host pairs
+    whose outlink host-sets are near-identical — the pre-fetch
+    crawl-budget signal the per-domain reference scanner cannot compute.
+    Fixture: host h's outlinks depend only on g = h % 10 (hosts h and
+    h+10 are deliberate mirrors), with one h-specific extra target for
+    g >= 5 (partial mirrors) and self-loop removal making a few pairs
+    asymmetric — so the output exercises jaccard 1.0 exact mirrors,
+    ~0.5-0.6 partials, and the containment asymmetry. Candidates from a
+    df-capped shared-outlink index, verified exactly against the full
+    collect_set arrays (the dd4 guard shape). See
+    operators/hostrank.mirror_hosts."""
+    from crawler_spark.operators.hostrank import mirror_hosts
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.substring("source", 4, 10).cast("int").alias("h")) \
+             .distinct()
+    g = F.col("h") % 10
+    base = F.array((g * 3 + 1) % 20, (g * 5 + 2) % 20, (g * 7 + 3) % 20)
+    targets = F.when(g >= 5,
+                     F.concat(base, F.array((F.col("h") * 11 + 5) % 20))) \
+               .otherwise(base)
+    edges = (hosts.select(
+        F.concat(F.lit("src"), F.col("h").cast("string")).alias("src"),
+        F.explode(targets).alias("t"))
+        .select("src", F.concat(F.lit("src"),
+                                F.col("t").cast("string")).alias("dst")))
+    return mirror_hosts(edges)

@@ -135,3 +135,79 @@ def test_assortativity_signs_on_known_topologies(spark):
     hub = [("h", f"l{i}") for i in range(6)] + \
           [(f"l{i}", f"l{i+1}") for i in range(5)]
     assert r_of(hub)["assortativity"] < 0
+
+
+def test_clustering_coefficients_known_graph(spark):
+    """Triangle a-b-c with pendant b-e: triangle corners of degree 2 get
+    c=1.0, the degree-3 corner 1/3, the pendant 0.0."""
+    from crawler_spark.operators.hostrank import clustering_coefficients
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "e")],
+        "src string, dst string")
+    got = {r["host"]: r for r in clustering_coefficients(e).collect()}
+    assert got["a"]["degree"] == 2 and got["a"]["clustering"] == 1.0
+    assert got["b"]["degree"] == 3 and got["b"]["clustering"] == 0.3333
+    assert got["c"]["clustering"] == 1.0
+    assert got["e"]["degree"] == 1 and got["e"]["clustering"] == 0.0
+    assert got["b"]["n_triangles"] == 1
+
+
+def test_clustering_direction_and_duplicates_erased(spark):
+    """Reversed and duplicated edges yield the identical coefficients."""
+    from crawler_spark.operators.hostrank import clustering_coefficients
+    base = [("a", "b"), ("b", "c"), ("c", "a")]
+    noisy = base + [("b", "a"), ("c", "b"), ("a", "c"), ("a", "b")]
+    e1 = spark.createDataFrame(base, "src string, dst string")
+    e2 = spark.createDataFrame(noisy, "src string, dst string")
+    r1 = sorted(map(tuple, clustering_coefficients(e1).collect()))
+    r2 = sorted(map(tuple, clustering_coefficients(e2).collect()))
+    assert r1 == r2
+
+
+def test_mirror_hosts_exact_and_partial(spark):
+    """A/B share all 3 outlinks (jaccard 1.0); C overlaps 2 of 3 with each
+    (0.5); D shares nothing and pairs with nobody."""
+    from crawler_spark.operators.hostrank import mirror_hosts
+    edges = [("A", t) for t in ("x", "y", "z")] \
+        + [("B", t) for t in ("x", "y", "z")] \
+        + [("C", t) for t in ("x", "y", "w")] \
+        + [("D", "p")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["host_a"], r["host_b"]): r
+           for r in mirror_hosts(e, min_jaccard=0.25).collect()}
+    assert got[("A", "B")]["jaccard"] == 1.0
+    assert got[("A", "B")]["n_inter"] == 3
+    assert got[("A", "C")]["jaccard"] == 0.5
+    assert got[("B", "C")]["jaccard"] == 0.5
+    assert not any("D" in k for k in got)
+
+
+def test_mirror_hosts_df_cap_blocks_pairgen_not_verify(spark):
+    """Hosts sharing ONLY a high-df target generate no pair under the cap;
+    but for pairs that DO qualify, similarity is verified against the
+    FULL outlink sets including capped targets."""
+    from crawler_spark.operators.hostrank import mirror_hosts
+    # 'hub' is linked by everyone (df 4 > max_df 3).
+    edges = [(h, "hub") for h in ("A", "B", "C", "D")] \
+        + [("A", "u1"), ("B", "u1"), ("A", "u2"), ("B", "u2")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["host_a"], r["host_b"]): r
+           for r in mirror_hosts(e, min_jaccard=0.25, max_df=3).collect()}
+    # Only (A, B) share an uncapped target; C/D pair with nobody.
+    assert set(got) == {("A", "B")}
+    # Verify uses full sets: |A∩B| = {hub, u1, u2} = 3 of 3 -> 1.0.
+    assert got[("A", "B")]["n_inter"] == 3
+    assert got[("A", "B")]["jaccard"] == 1.0
+
+
+def test_mirror_containment_asymmetry(spark):
+    """A ⊂ B (partial replica): containment |A∩B|/|A| = 1.0 while
+    jaccard dilutes to |A|/|B|."""
+    from crawler_spark.operators.hostrank import mirror_hosts
+    edges = [("A", "x"), ("A", "y")] \
+        + [("B", t) for t in ("x", "y", "z", "w")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    r = mirror_hosts(e, min_jaccard=0.25).collect()
+    assert len(r) == 1
+    assert r[0]["containment"] == 1.0
+    assert r[0]["jaccard"] == 0.5
