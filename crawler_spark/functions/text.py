@@ -5,7 +5,7 @@ ANSI-SQL oracle twin in crawler_spark/queries.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language marker lists (n-gram heuristic; deterministic)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -262,3 +262,115 @@ def bm25_scores(docs: DataFrame, text: Column, terms: tuple[str, ...],
             .crossJoin(F.broadcast(stats))
             .groupBy("doc_id")
             .agg(F.round(F.sum(idf * norm), 4).alias("bm25")))
+
+
+def tfidf_keywords(docs: DataFrame, text: Column, k: int = 5,
+                   min_len: int = 3) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF — the compact
+    document descriptor a training pipeline uses for topic bucketing,
+    cluster labeling, and eval-set neighborhood audits (and the crawl
+    store uses as the per-page index summary).
+
+    Tokenization matches the house contract (whitespace split of
+    trim(lower(text))); terms shorter than `min_len` chars are dropped
+    (they are stopword-shaped and tf-idf already discounts them — the
+    length gate just keeps the tf table small). Score = tf * ln(N/df)
+    rounded to 4; ranking runs ON the rounded score with the term string
+    as tiebreak (the an5 discipline: floats never order a cross-engine
+    result, rounded floats + a total-order key do).
+
+    Scale shape (100 TB): tf is ONE explode + partial-agged groupBy at
+    (doc, term) cardinality; df is a term-cardinality rollup joined back
+    BROADCAST (vocab << corpus); the per-doc top-k window partitions by
+    doc_id — no global sort anywhere. Returns (doc_id, term, tf, df,
+    tfidf, rank<=k).
+    """
+    w = docs.select("doc_id",
+                    F.split(F.trim(F.lower(text)), r"\s+").alias("w"))
+    n = w.agg(F.count(F.lit(1)).alias("n"))
+    tf = (w.select("doc_id", F.explode("w").alias("term"))
+          .where(F.length("term") >= min_len)
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("long")
+                                .alias("df"))
+    scored = (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf", F.round(
+                  F.col("tf").cast("double")
+                  * F.log(F.col("n").cast("double")
+                          / F.col("df").cast("double")), 4)))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(win).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df", "tfidf", "rank"))
+
+
+def tfidf_keywords_oracle_sql(k: int = 5, min_len: int = 3) -> str:
+    """DuckDB twin of tfidf_keywords over the documents view."""
+    return f"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+n AS (SELECT count(*) AS n FROM w),
+t AS (SELECT doc_id, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+       WHERE length(term) >= {min_len} GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(CAST(tf.tf AS DOUBLE)
+                   * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 4)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rank
+      FROM s)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+# Unicode script blocks for script_mix_cols: (name, Java-regex class,
+# RE2/DuckDB class). Latin deliberately includes ASCII letters only —
+# the crawl corpus' markup/URL residue is ASCII, so accented Latin-1
+# would need its own block, not a silent merge.
+SCRIPT_BLOCKS: tuple[tuple[str, str, str], ...] = (
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]", "[\\x{0400}-\\x{04FF}]"),
+    ("cjk", "[一-鿿]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("arabic", "[؀-ۿ]", "[\\x{0600}-\\x{06FF}]"),
+)
+
+
+def script_mix_cols(text: Column) -> Column:
+    """Unicode-script composition of a document: per-script character
+    counts plus the dominant script — the writing-system companion to
+    lang_id_col (marker-word language ID is useless on non-Latin text;
+    script detection is the router that decides which language-ID
+    family even applies, and the mixed-script signal is itself a spam
+    heuristic: Latin text salted with Cyrillic homoglyphs).
+
+    Counts are length(text) - length(strip(block)) per script block —
+    integer-exact cross-engine, no float anywhere. Dominant script is
+    the max count under a fixed precedence (latin, cyrillic, cjk,
+    arabic; 'none' when no scripted char occurs). Returns a struct
+    (n_latin, n_cyrillic, n_cjk, n_arabic, main_script); one map-side
+    pass, zero shuffle, zero Python.
+    """
+    counts = {name: (F.length(text)
+                     - F.length(F.regexp_replace(text, jre, "")))
+              .cast("long")
+              for name, jre, _ in SCRIPT_BLOCKS}
+    m = F.greatest(*counts.values())
+    main = F.when(m == 0, F.lit("none"))
+    for name, _, _ in SCRIPT_BLOCKS:
+        main = main.when(counts[name] == m, F.lit(name))
+    return F.struct(
+        counts["latin"].alias("n_latin"),
+        counts["cyrillic"].alias("n_cyrillic"),
+        counts["cjk"].alias("n_cjk"),
+        counts["arabic"].alias("n_arabic"),
+        main.alias("main_script"))

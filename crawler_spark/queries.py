@@ -6541,3 +6541,76 @@ def g24_mirror_hosts(spark, sf_dir):
         .select("src", F.concat(F.lit("src"),
                                 F.col("t").cast("string")).alias("dst")))
     return mirror_hosts(edges)
+
+
+from crawler_spark.functions.text import (  # noqa: E402
+    tfidf_keywords, tfidf_keywords_oracle_sql,
+)
+
+
+@q("tx24_tfidf_keywords", tfidf_keywords_oracle_sql(k=5, min_len=3))
+def tx24_tfidf_keywords(spark, sf_dir):
+    """Per-document top-5 keywords by TF-IDF — the compact topic
+    descriptor for cluster labeling and eval-neighborhood audits.
+    tf is one explode + partial-agged groupBy; df joins back broadcast
+    (vocab << corpus); ranking runs on the ROUNDED score with the term
+    as tiebreak (the an5 float-ranking discipline); the top-k window
+    partitions by doc_id — no global sort. See
+    functions/text.tfidf_keywords."""
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(d, F.col("text"), k=5, min_len=3)
+
+
+@q("tx26_script_detect", """
+WITH a AS (SELECT doc_id,
+                  text || repeat('я', CAST(doc_id % 7 AS INT))
+                       || repeat('中', CAST(doc_id % 5 AS INT))
+                       || repeat('ع', CAST(doc_id % 3 AS INT)) AS t
+           FROM documents),
+c AS (SELECT doc_id,
+             CAST(length(t) - length(regexp_replace(t,
+                  '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+             CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT)
+               AS n_cyrillic,
+             CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+             CAST(length(t) - length(regexp_replace(t,
+                  '[\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT)
+               AS n_arabic
+      FROM a)
+SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+       CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic) = 0
+              THEN 'none'
+            WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_arabic)
+              THEN 'latin'
+            WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk,
+                                       n_arabic) THEN 'cyrillic'
+            WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_arabic)
+              THEN 'cjk'
+            ELSE 'arabic' END AS main_script
+FROM c
+""")
+def tx26_script_detect(spark, sf_dir):
+    """Unicode-script composition + dominant script per document — the
+    writing-system router in front of language ID (tx1's marker words
+    only exist in Latin script) and a homoglyph-spam signal when scripts
+    mix. The ASCII fixture text is salted with deterministic Cyrillic/
+    CJK/Arabic runs keyed on doc_id so all four blocks and the 'none'
+    tiebreak precedence are exercised. Counts are strip-and-subtract
+    integer algebra (no floats anywhere); one map-side pass, zero
+    shuffle, zero Python. See functions/text.script_mix_cols."""
+    from crawler_spark.functions.text import script_mix_cols
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.expr("repeat('я', CAST(doc_id % 7 AS INT))"),
+        F.expr("repeat('中', CAST(doc_id % 5 AS INT))"),
+        F.expr("repeat('ع', CAST(doc_id % 3 AS INT))"))
+    return d.withColumn("_m", script_mix_cols(aug)).select(
+        "doc_id",
+        F.col("_m.n_latin").alias("n_latin"),
+        F.col("_m.n_cyrillic").alias("n_cyrillic"),
+        F.col("_m.n_cjk").alias("n_cjk"),
+        F.col("_m.n_arabic").alias("n_arabic"),
+        F.col("_m.main_script").alias("main_script"))

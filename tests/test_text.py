@@ -4,6 +4,8 @@ pin the per-row semantics on hand-computable fixtures."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.text import (
@@ -163,3 +165,57 @@ def test_code_detect_separates_code_from_prose(spark):
     assert got[1]["is_code"] == 1 and got[1]["kw_hits"] >= 2
     assert got[2]["is_code"] == 1 and got[2]["semi_lines"] >= 3
     assert got[3]["is_code"] == 0 and got[3]["code_score"] <= 1
+
+
+def test_tfidf_keywords_known_values(spark):
+    from crawler_spark.functions.text import tfidf_keywords
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "common common date")],
+        "doc_id long, text string")
+    out = tfidf_keywords(docs, F.col("text"), k=5, min_len=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1's top keyword is its unique repeated term.
+    top1 = sorted(by_doc[1], key=lambda r: r["rank"])[0]
+    assert top1["term"] == "apple"
+    assert top1["tf"] == 2 and top1["df"] == 1
+    assert top1["tfidf"] == round(2 * math.log(3.0), 4)
+    # the corpus-wide term scores 0 and sinks to the bottom everywhere.
+    for rows in by_doc.values():
+        common = [r for r in rows if r["term"] == "common"][0]
+        assert common["tfidf"] == 0.0
+        assert common["rank"] == max(r["rank"] for r in rows)
+
+
+def test_tfidf_keywords_k_and_min_len(spark):
+    from crawler_spark.functions.text import tfidf_keywords
+    docs = spark.createDataFrame(
+        [(1, "aa bb alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    out = tfidf_keywords(docs, F.col("text"), k=3, min_len=3).collect()
+    assert len(out) == 3
+    assert all(len(r["term"]) >= 3 for r in out)
+    # ties (all tfidf 0.0 at N=1... ln(1/1)=0) break by term ascending.
+    terms = [r["term"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert terms == sorted(terms)
+
+
+def test_script_mix_counts_and_dominant(spark):
+    from crawler_spark.functions.text import script_mix_cols
+    rows = [(1, "hello яж 中 ع ع"),      # latin-dominant mix
+            (2, "привет мир"),            # pure cyrillic
+            (3, "12345 !?"),              # no scripted chars
+            (4, "ab яж")]                 # 2-2 tie -> latin precedence
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["m"] for r in
+           d.select("doc_id", script_mix_cols(F.col("text")).alias("m"))
+            .collect()}
+    assert out[1]["n_latin"] == 5 and out[1]["n_cyrillic"] == 2
+    assert out[1]["n_cjk"] == 1 and out[1]["n_arabic"] == 2
+    assert out[1]["main_script"] == "latin"
+    assert out[2]["main_script"] == "cyrillic"
+    assert out[3]["main_script"] == "none"
+    assert out[4]["main_script"] == "latin"
