@@ -126,3 +126,40 @@ def time_window_join(left: DataFrame, right: DataFrame, on: str | list[str],
             .where((F.col(left_ts) >= F.col(right_ts))
                    & (F.col(left_ts) - F.col(right_ts) < w))
             .drop("_bkt"))
+
+
+def scd2_intervals(changes: DataFrame, key_col: str, attr_col: str,
+                   ts_col: str, tie_col: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 materialization of a changelog:
+    collapse each key's attribute stream into validity intervals
+    [valid_from, valid_to) with a version counter and a current flag —
+    how the crawl store keeps per-host policy history (robots version,
+    politeness tier, assigned UA) queryable AS OF any fetch time (the
+    table asof_join consumes on its `right` side), and how a training
+    pipeline snapshots mutable upstream metadata without losing lineage.
+
+    Semantics (the Kimball SCD2 contract): rows are ordered per key by
+    (ts, tie); consecutive rows with an UNCHANGED attribute are absorbed
+    into the open interval (only transitions create versions); each
+    version's valid_to is the next version's valid_from; the last
+    version is open (valid_to null, is_current = 1).
+
+    Scale shape: ONE shuffle on the key; two narrow windows over it
+    (the change-detection lag and the interval-closing lead run on the
+    same partitioning — Catalyst plans a single Exchange + Sort and
+    reuses it, no second shuffle); output cardinality is the number of
+    transitions, not the changelog size.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    ch = (changes
+          .withColumn("_prev", F.lag(attr_col).over(w))
+          .where(F.col("_prev").isNull()
+                 | (F.col("_prev") != F.col(attr_col))))
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    return (ch.select(
+        F.col(key_col), F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"))
+        .withColumn("is_current",
+                    F.col("valid_to").isNull().cast("int")))

@@ -321,3 +321,72 @@ def keyed_global_rank(df: DataFrame, key_cols: list[str],
     return (local.join(F.broadcast(offsets), [*key_cols, "_blk"])
             .withColumn(out_col, F.col("_boff") + F.col("_lrn"))
             .drop("_blk", "_lrn", "_boff"))
+
+
+def _md5_coin(key: Column) -> Column:
+    """Content-stable 32-bit uniform integer (the px5 coin)."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def fim_transform(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", fim_rate_pct: int = 50,
+                  min_chars: int = 16) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): rewrite a
+    deterministic fraction of documents from autoregressive order into
+    PSM (prefix-suffix-middle) or SPM (suffix-prefix-middle) order with
+    sentinel tokens, so the model learns infilling "for free". The
+    document is cut at two content-stable points 0 <= c1 <= c2 <= n;
+    segments are re-concatenated as
+      PSM:  <PRE> prefix <SUF> suffix <MID> middle
+      SPM:  <PRE> <SUF> suffix <MID> prefix middle
+    Documents below `min_chars` or losing the rate coin stay 'ar'.
+
+    All randomness is integerized md5 coins keyed on the doc id (the
+    px5/tx9 discipline): the FIM/AR gate compares a 32-bit coin against
+    fim_rate_pct * 2^32 / 100 in exact integer arithmetic; cut points
+    are independent coins reduced mod the valid span. Reproducible
+    across engines, partitionings, and runs — resharding the corpus
+    cannot change which documents are transformed (the property that
+    makes mid-training FIM-rate changes auditable).
+
+    Scale shape: pure map-side string algebra, zero shuffle, zero
+    Python; output carries segment lengths + the md5 of the transformed
+    string so downstream equality gates never move the payload twice.
+    """
+    n = F.length(text_col)
+    gate = _md5_coin(F.concat(F.lit("fim/"), F.col(id_col).cast("string")))
+    c1_coin = _md5_coin(F.concat(F.lit("fimc1/"),
+                                 F.col(id_col).cast("string")))
+    c2_coin = _md5_coin(F.concat(F.lit("fimc2/"),
+                                 F.col(id_col).cast("string")))
+    spm_coin = _md5_coin(F.concat(F.lit("fimspm/"),
+                                  F.col(id_col).cast("string")))
+    threshold = F.lit((fim_rate_pct * (1 << 32)) // 100).cast("long")
+    is_fim = (n >= min_chars) & (gate < threshold)
+    c1 = F.when(is_fim, c1_coin % (n.cast("long") + 1)) \
+          .otherwise(F.lit(0)).cast("long")
+    c2 = F.when(is_fim, c1 + c2_coin % (n.cast("long") - c1 + 1)) \
+          .otherwise(F.lit(0)).cast("long")
+    pre = F.substring(F.col(text_col), F.lit(1), c1.cast("int"))
+    mid = F.substring(F.col(text_col), (c1 + 1).cast("int"),
+                      (c2 - c1).cast("int"))
+    suf = F.substring(F.col(text_col), (c2 + 1).cast("int"),
+                      (n.cast("long") - c2).cast("int"))
+    mode = F.when(~is_fim, F.lit("ar")) \
+            .when(spm_coin % 2 == 0, F.lit("psm")) \
+            .otherwise(F.lit("spm"))
+    out = (F.when(mode == "ar", F.col(text_col))
+           .when(mode == "psm",
+                 F.concat(F.lit("<PRE>"), pre, F.lit("<SUF>"), suf,
+                          F.lit("<MID>"), mid))
+           .otherwise(
+               F.concat(F.lit("<PRE>"), F.lit("<SUF>"), suf,
+                        F.lit("<MID>"), pre, mid)))
+    return df.select(
+        F.col(id_col), mode.alias("mode"),
+        n.cast("long").alias("n_chars"), c1.alias("c1"), c2.alias("c2"),
+        F.length(pre).cast("long").alias("len_prefix"),
+        F.length(mid).cast("long").alias("len_middle"),
+        F.length(suf).cast("long").alias("len_suffix"),
+        F.md5(F.encode(out, "UTF-8")).alias("out_md5"))

@@ -6614,3 +6614,91 @@ def tx26_script_detect(spark, sf_dir):
         F.col("_m.n_cjk").alias("n_cjk"),
         F.col("_m.n_arabic").alias("n_arabic"),
         F.col("_m.main_script").alias("main_script"))
+
+
+_PX12_COIN = ("('0x' || substr(md5('{p}/' || CAST(doc_id AS VARCHAR)), "
+              "1, 8))::BIGINT")
+
+
+@q("px12_fim_transform", f"""
+WITH a AS (SELECT doc_id, text, length(text) AS n,
+                  {_PX12_COIN.format(p='fim')} AS gate,
+                  {_PX12_COIN.format(p='fimc1')} AS c1c,
+                  {_PX12_COIN.format(p='fimc2')} AS c2c,
+                  {_PX12_COIN.format(p='fimspm')} AS spmc
+           FROM documents),
+b AS (SELECT *, (n >= 16 AND gate < 2147483648) AS is_fim FROM a),
+c AS (SELECT *, CASE WHEN is_fim THEN c1c % (n + 1) ELSE 0 END AS c1
+      FROM b),
+d AS (SELECT *, CASE WHEN is_fim THEN c1 + c2c % (n - c1 + 1)
+                     ELSE 0 END AS c2 FROM c),
+e AS (SELECT *, substr(text, 1, CAST(c1 AS INT)) AS pre,
+             substr(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))
+               AS mid,
+             substr(text, CAST(c2 + 1 AS INT), CAST(n - c2 AS INT))
+               AS suf,
+             CASE WHEN NOT is_fim THEN 'ar'
+                  WHEN spmc % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+      FROM d)
+SELECT doc_id, mode, CAST(n AS BIGINT) AS n_chars,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST(length(pre) AS BIGINT) AS len_prefix,
+       CAST(length(mid) AS BIGINT) AS len_middle,
+       CAST(length(suf) AS BIGINT) AS len_suffix,
+       md5(CASE WHEN mode = 'ar' THEN text
+                WHEN mode = 'psm' THEN '<PRE>' || pre || '<SUF>' || suf
+                                       || '<MID>' || mid
+                ELSE '<PRE>' || '<SUF>' || suf || '<MID>' || pre || mid
+           END) AS out_md5
+FROM e
+""")
+def px12_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    50% of documents (content-stable md5 gate) are cut at two
+    coin-derived points and re-serialized PSM or SPM with sentinel
+    markers; the rest stay autoregressive. All coins are integerized
+    md5 (the px5/tx9 discipline) so the SAME documents transform
+    identically under any partitioning/engine — the auditability a
+    mid-training FIM-rate change needs. Map-side string algebra, zero
+    shuffle; the gate carries segment lengths + transformed-text md5.
+    See operators/sampling.fim_transform."""
+    from crawler_spark.operators.sampling import fim_transform
+    d = _t(spark, sf_dir, "documents")
+    return fim_transform(d, "text", "doc_id", fim_rate_pct=50,
+                         min_chars=16)
+
+
+@q("st10_scd2_intervals", """
+WITH c AS (SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev
+           FROM events),
+ch AS (SELECT user_id, event_type, ts, event_id FROM c
+       WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS status,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+       CAST(coalesce(floor(epoch(lead(ts) OVER w)), -1) AS BIGINT)
+         AS valid_to_s,
+       CAST(row_number() OVER w AS INT) AS version,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current
+FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def st10_scd2_intervals(spark, sf_dir):
+    """SCD type-2 history of each user's event-type stream — the
+    changelog-to-intervals materialization behind AS-OF metadata joins
+    (j6 consumes tables of exactly this shape) and Structured
+    Streaming's foreachBatch upsert sinks. Only transitions create
+    versions (runs of the same value are absorbed); the open version
+    carries valid_to = -1 sentinel (the st5 null-vs-hash lesson) and
+    is_current = 1. One shuffle on user_id; both windows share the
+    Exchange+Sort. See operators/joins.scd2_intervals."""
+    from crawler_spark.operators.joins import scd2_intervals
+    e = _t(spark, sf_dir, "events")
+    out = scd2_intervals(e, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        "user_id", F.col("event_type").alias("status"),
+        F.unix_timestamp("valid_from").cast("long").alias("valid_from_s"),
+        F.coalesce(F.unix_timestamp("valid_to"), F.lit(-1)).cast("long")
+         .alias("valid_to_s"),
+        "version", "is_current")

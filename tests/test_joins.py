@@ -123,3 +123,34 @@ def test_time_window_join_equals_naive_and_boundaries(spark):
     ids = sorted(r.rid for r in
                  time_window_join(l2, r2, "k", "t", "rt", 100).collect())
     assert ids == [10, 11]  # rt=900 is t-100 (excluded); rt=1001 is future
+
+
+def test_scd2_collapses_runs_and_chains_intervals(spark):
+    from crawler_spark.operators.joins import scd2_intervals
+    rows = [(1, "A", 10, 1), (1, "A", 20, 2), (1, "B", 30, 3),
+            (1, "B", 40, 4), (1, "A", 50, 5),
+            (2, "X", 15, 6)]
+    d = spark.createDataFrame(
+        rows, "uid long, attr string, t long, eid long")
+    out = sorted(scd2_intervals(d, "uid", "attr", "t", "eid").collect(),
+                 key=lambda r: (r["uid"], r["version"]))
+    u1 = [r for r in out if r["uid"] == 1]
+    assert [(r["attr"], r["valid_from"], r["valid_to"], r["version"],
+             r["is_current"]) for r in u1] == \
+        [("A", 10, 30, 1, 0), ("B", 30, 50, 2, 0), ("A", 50, None, 3, 1)]
+    u2 = [r for r in out if r["uid"] == 2]
+    assert [(r["attr"], r["valid_from"], r["valid_to"],
+             r["is_current"]) for r in u2] == [("X", 15, None, 1)]
+
+
+def test_scd2_tiebreak_on_equal_timestamps(spark):
+    """Two changes at the same ts order by the tie column — versions and
+    intervals stay deterministic."""
+    from crawler_spark.operators.joins import scd2_intervals
+    rows = [(1, "A", 10, 1), (1, "B", 10, 2), (1, "C", 10, 3)]
+    d = spark.createDataFrame(
+        rows, "uid long, attr string, t long, eid long")
+    out = sorted(scd2_intervals(d, "uid", "attr", "t", "eid").collect(),
+                 key=lambda r: r["version"])
+    assert [r["attr"] for r in out] == ["A", "B", "C"]
+    assert out[-1]["is_current"] == 1 and out[0]["valid_to"] == 10

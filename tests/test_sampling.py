@@ -270,3 +270,55 @@ def test_keyed_global_rank_equals_single_window(spark):
             df, ["k"], [F.desc("p"), F.asc("u")], n_blocks=nb,
             out_col="rn").collect()}
         assert got == exp, nb
+
+
+def test_fim_transform_segments_and_md5(spark):
+    """Segment lengths always resum to n_chars; AR rows hash the original
+    text; a FIM row's md5 matches the reconstruction from its own cuts."""
+    import hashlib
+    from crawler_spark.operators.sampling import fim_transform
+    rows = [(i, f"doc {i} " + "abcdefghij" * 4) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           fim_transform(d, "text", "doc_id").collect()}
+    texts = dict(rows)
+    modes = {r["mode"] for r in out.values()}
+    assert modes == {"ar", "psm", "spm"}
+    for i, r in out.items():
+        t = texts[i]
+        assert r["len_prefix"] + r["len_middle"] + r["len_suffix"] \
+            == r["n_chars"] == len(t)
+        pre = t[:r["c1"]]
+        mid = t[r["c1"]:r["c2"]]
+        suf = t[r["c2"]:]
+        if r["mode"] == "ar":
+            exp = t
+        elif r["mode"] == "psm":
+            exp = f"<PRE>{pre}<SUF>{suf}<MID>{mid}"
+        else:
+            exp = f"<PRE><SUF>{suf}<MID>{pre}{mid}"
+        assert r["out_md5"] == hashlib.md5(exp.encode()).hexdigest(), \
+            (i, r["mode"])
+
+
+def test_fim_transform_short_docs_stay_ar_and_rate_gates(spark):
+    from crawler_spark.operators.sampling import fim_transform
+    rows = [(i, "short") for i in range(10)] \
+        + [(100 + i, "x" * 64) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_transform(d, "text", "doc_id", fim_rate_pct=100).collect()
+    got = {r["doc_id"]: r["mode"] for r in out}
+    assert all(got[i] == "ar" for i in range(10))          # below min_chars
+    assert all(got[100 + i] != "ar" for i in range(10))    # rate 100
+    out0 = fim_transform(d, "text", "doc_id", fim_rate_pct=0).collect()
+    assert all(r["mode"] == "ar" for r in out0)            # rate 0
+
+
+def test_fim_transform_partition_invariant(spark):
+    from crawler_spark.operators.sampling import fim_transform
+    rows = [(i, f"payload {i} " + "qwerty" * 6) for i in range(30)]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string")
+    d8 = d1.repartition(8)
+    r1 = sorted(map(tuple, fim_transform(d1, "text", "doc_id").collect()))
+    r8 = sorted(map(tuple, fim_transform(d8, "text", "doc_id").collect()))
+    assert r1 == r8
