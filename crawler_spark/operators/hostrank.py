@@ -1134,3 +1134,82 @@ FROM v
 WHERE round(CAST(n_inter AS DOUBLE)
             / CAST(n_a + n_b - n_inter AS DOUBLE), 4) >= {min_jaccard}
 """
+
+
+def simrank(edges: DataFrame, iters: int = 3, c: float = 0.8) -> DataFrame:
+    """Fixed-iteration SimRank (Jeh & Widom, KDD 2002) over the host
+    graph: two hosts are similar when their IN-neighbors are similar —
+    s(a,b) = c/(|I(a)||I(b)|) * Σ_{u∈I(a),v∈I(b)} s(u,v), s(a,a) = 1.
+    The structural-similarity dual of g24's outlink-set mirror test:
+    mirror_hosts sees hosts that point the SAME PLACES, simrank sees
+    hosts pointed at BY similar places (citation-context similarity —
+    the host-level "related sites" signal).
+
+    Returns (host_a < host_b, simrank) for pairs with nonzero score
+    after `iters` rounds, rounded to 4 (floats accumulate identically
+    to the unrolled-CTE oracle: fixed iteration count, one formula,
+    round at the end — the g1 discipline).
+
+    Scale: pair state is O(n^2) in the worst case — the honest
+    constraint of SimRank itself. The production path at 10^7-10^8
+    hosts seeds the pair frontier from a candidate generator (g20
+    co-citation or g24's shared-outlink index) instead of the full
+    diagonal closure; each iteration is then two in-edge joins + one
+    partial-agged groupBy at candidate-pair cardinality, with lineage
+    cut per round. On the fixture the full closure is exact.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct().localCheckpoint(eager=True))
+    ine = e.select(F.col("dst").alias("node"),
+                   F.col("src").alias("inn")).distinct() \
+           .localCheckpoint(eager=True)
+    ind = ine.groupBy("node").agg(F.count(F.lit(1)).alias("ind"))
+    diag = nodes.select(F.col("host").alias("a"),
+                        F.col("host").alias("b"),
+                        F.lit(1.0).alias("s"))
+    s = diag
+    for _ in range(iters):
+        m = (s.join(ine.select(F.col("inn").alias("a"),
+                               F.col("node").alias("na")), "a")
+             .join(ine.select(F.col("inn").alias("b"),
+                              F.col("node").alias("nb")), "b")
+             .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
+             .agg(F.sum("s").alias("m")))
+        off = (m.where(F.col("a") != F.col("b"))
+               .join(ind.select(F.col("node").alias("a"),
+                                F.col("ind").alias("ia")), "a")
+               .join(ind.select(F.col("node").alias("b"),
+                                F.col("ind").alias("ib")), "b")
+               .select("a", "b",
+                       (F.lit(c) * F.col("m")
+                        / (F.col("ia") * F.col("ib"))).alias("s")))
+        s = diag.unionByName(off).localCheckpoint(eager=True)
+    return (s.where((F.col("a") < F.col("b")) & (F.col("s") > 0))
+            .select(F.col("a").alias("host_a"), F.col("b").alias("host_b"),
+                    F.round("s", 4).alias("simrank")))
+
+
+def simrank_oracle_sql(edges_cte: str, iters: int = 3,
+                       c: float = 0.8) -> str:
+    """DuckDB twin of simrank: the K rounds unrolled as chained CTEs."""
+    ctes = [f"e AS (SELECT DISTINCT src, dst FROM ({edges_cte}))",
+            "n AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+            "ine AS (SELECT DISTINCT dst AS node, src AS inn FROM e)",
+            "ind AS (SELECT node, COUNT(*) AS ind FROM ine GROUP BY node)",
+            "s0 AS (SELECT host AS a, host AS b, CAST(1.0 AS DOUBLE) AS s "
+            "FROM n)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"t{k} AS (SELECT i1.node AS a, i2.node AS b, SUM(s.s) AS m "
+            f"FROM s{k-1} s JOIN ine i1 ON i1.inn = s.a "
+            f"JOIN ine i2 ON i2.inn = s.b GROUP BY 1, 2)")
+        ctes.append(
+            f"s{k} AS (SELECT t.a, t.b, {c} * t.m / (da.ind * db.ind) AS s "
+            f"FROM t{k} t JOIN ind da ON da.node = t.a "
+            f"JOIN ind db ON db.node = t.b WHERE t.a <> t.b "
+            f"UNION ALL SELECT host, host, 1.0 FROM n)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT a AS host_a, b AS host_b, round(s, 4) AS simrank "
+              f"FROM s{iters} WHERE a < b AND s > 0")

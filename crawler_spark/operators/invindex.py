@@ -28,7 +28,7 @@ Output is term-cardinality (~millions), 4-5 orders below corpus rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def tokens_col(text):
@@ -207,3 +207,77 @@ def postings_gap_stats(docs: DataFrame, doc_id: str = "doc_id",
                  (F.count(F.lit(1)) * 8).cast("long").alias("raw_bytes"),
                  F.round(F.sum("vbytes").cast("double")
                          / (F.count(F.lit(1)) * 8), 4).alias("ratio")))
+
+
+def proximity_rank(docs: DataFrame, terms: list[str],
+                   doc_id: str = "doc_id",
+                   text: str = "text") -> DataFrame:
+    """Minimal-cover proximity scoring (the MinCover span of Tao & Zhai,
+    SIGIR 2007): for documents containing ALL query terms, the length of
+    the smallest token window covering every distinct term at least once
+    — the ranking signal that separates "terms scattered across 5
+    paragraphs" from "terms in one sentence", which tf-based scores
+    (ix2/tx11) cannot see. Returns (doc_id, best_window, n_hits);
+    best_window = |q| exactly when the terms appear adjacent in some
+    order.
+
+    Algorithm — the positional sweep, NOT a |q|-way position self-join:
+    posexplode once, keep query-term hits, and per hit compute each
+    term's LAST position up to here with one running-max window per
+    term (all |q| windows share a single partition-by-doc sort). The
+    window ending at pos has length pos - least(last_1..last_k) + 1
+    where every last_i is non-null; the document's score is the min
+    over its hits. One shuffle on doc_id; the per-term running maxes
+    are O(|q|) state per row, so a 10^10-doc corpus pays the matched
+    postings only — the same fragment-lookup bound as phrase_search.
+    """
+    q = sorted({t.lower() for t in terms})
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text))).alias("pos", "term"))
+    hits = tok.where(F.col("term").isin(q))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lasts = [F.max(F.when(F.col("term") == t, F.col("pos"))).over(w)
+             for t in q]
+    low = lasts[0] if len(lasts) == 1 else F.least(*lasts)
+    span = (F.col("pos") - low + 1).cast("long")
+    covered = hits.select(
+        "doc_id",
+        F.when(sum(l.isNull().cast("int") for l in lasts) == 0, span)
+         .alias("span"))
+    return (covered.groupBy("doc_id")
+            .agg(F.min("span").alias("best_window"),
+                 F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .where(F.col("best_window").isNotNull()))
+
+
+def proximity_oracle_sql(terms: list[str]) -> str:
+    """DuckDB twin of proximity_rank over the documents view: identical
+    per-term running-max windows and min-span rollup."""
+    q = sorted({t.lower() for t in terms})
+    lasts = [(f"max(CASE WHEN term = '{t}' THEN pos END) "
+              f"OVER (PARTITION BY doc_id ORDER BY pos) AS l{i}")
+             for i, t in enumerate(q)]
+    least = ("l0" if len(q) == 1 else
+             "least(" + ", ".join(f"l{i}" for i in range(len(q))) + ")")
+    notnull = " AND ".join(f"l{i} IS NOT NULL" for i in range(len(q)))
+    inlist = ", ".join(f"'{t}'" for t in q)
+    return f"""
+WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(lower(text)),
+                            '\\s+'), x -> x <> '') AS w
+           FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term,
+               CAST(unnest(range(1, len(w) + 1)) AS BIGINT) - 1 AS pos
+        FROM w),
+hits AS (SELECT doc_id, term, pos FROM tok WHERE term IN ({inlist})),
+lw AS (SELECT doc_id, pos, {', '.join(lasts)} FROM hits),
+sp AS (SELECT doc_id,
+              CASE WHEN {notnull} THEN pos - {least} + 1 END AS span
+       FROM lw)
+SELECT doc_id, CAST(min(span) AS BIGINT) AS best_window,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM sp GROUP BY doc_id
+HAVING min(span) IS NOT NULL
+"""

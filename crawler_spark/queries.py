@@ -6702,3 +6702,41 @@ def st10_scd2_intervals(spark, sf_dir):
         F.coalesce(F.unix_timestamp("valid_to"), F.lit(-1)).cast("long")
          .alias("valid_to_s"),
         "version", "is_current")
+
+
+from crawler_spark.operators.invindex import proximity_oracle_sql  # noqa: E402
+from crawler_spark.operators.hostrank import simrank_oracle_sql  # noqa: E402
+
+_IX9_TERMS = ["spark", "table", "query"]
+
+
+@q("ix9_proximity_rank", proximity_oracle_sql(_IX9_TERMS))
+def ix9_proximity_rank(spark, sf_dir):
+    """Minimal-cover proximity scoring (Tao & Zhai, SIGIR 2007) for a
+    3-term query: the smallest token window covering all terms, per
+    matching document — the ranking dimension tf-based ix2/tx11 can't
+    see. One posexplode + |q| running-max windows sharing a single
+    per-doc sort; only matched postings ever shuffle. See
+    operators/invindex.proximity_rank."""
+    from crawler_spark.operators.invindex import proximity_rank
+    return proximity_rank(_t(spark, sf_dir, "documents"), _IX9_TERMS)
+
+
+@q("g25_simrank", simrank_oracle_sql(_G8_EDGES_SQL, iters=3, c=0.8))
+def g25_simrank(spark, sf_dir):
+    """SimRank structural similarity over the g8 host graph (3 unrolled
+    rounds, c=0.8): hosts are similar when their in-neighbors are — the
+    citation-context dual of g24's outlink mirror test. Pair state is
+    the honest O(n^2) of SimRank; the production path seeds candidate
+    pairs from g20/g24 (docstring). Floats follow the g1 discipline:
+    fixed iterations, identical formula order, round at the end. See
+    operators/hostrank.simrank."""
+    from crawler_spark.operators.hostrank import simrank
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    return simrank(e, iters=3, c=0.8)

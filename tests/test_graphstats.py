@@ -211,3 +211,51 @@ def test_mirror_containment_asymmetry(spark):
     assert len(r) == 1
     assert r[0]["containment"] == 1.0
     assert r[0]["jaccard"] == 0.5
+
+
+def _pure_simrank(edges, iters=3, c=0.8):
+    es = sorted(set(edges))
+    nodes = sorted({u for e in es for u in e})
+    ine = {}
+    for s, t in es:
+        ine.setdefault(t, set()).add(s)
+    s = {(a, a): 1.0 for a in nodes}
+    for _ in range(iters):
+        nxt = {(a, a): 1.0 for a in nodes}
+        for a in nodes:
+            for b in nodes:
+                if a == b or a not in ine or b not in ine:
+                    continue
+                tot = sum(s.get((u, v), 0.0)
+                          for u in ine[a] for v in ine[b])
+                if tot:
+                    nxt[(a, b)] = c * tot / (len(ine[a]) * len(ine[b]))
+        s = nxt
+    return s
+
+
+def test_simrank_matches_pure_python(spark):
+    from crawler_spark.operators.hostrank import simrank
+    edges = [("u", "a"), ("u", "b"), ("v", "a"), ("v", "b"),
+             ("w", "c"), ("u", "c"), ("a", "d"), ("b", "d")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["host_a"], r["host_b"]): r["simrank"]
+           for r in simrank(e, iters=3).collect()}
+    want = _pure_simrank(edges, iters=3)
+    for (a, b), v in want.items():
+        if a < b and v > 0:
+            assert abs(got[(a, b)] - round(v, 4)) <= 1e-4, (a, b)
+    assert set(got) == {(a, b) for (a, b), v in want.items()
+                        if a < b and v > 0}
+
+
+def test_simrank_cocited_pair_scores_high(spark):
+    """Two hosts cited by identical in-neighbor sets converge to the
+    max off-diagonal score."""
+    from crawler_spark.operators.hostrank import simrank
+    edges = [("u", "a"), ("u", "b"), ("v", "a"), ("v", "b"), ("x", "y")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["host_a"], r["host_b"]): r["simrank"]
+           for r in simrank(e, iters=2).collect()}
+    top = max(got.values())
+    assert got[("a", "b")] == top

@@ -121,3 +121,29 @@ def test_postings_gap_stats_hand_counts(spark):
     c = got["c"]
     assert (c["df"], c["max_gap"], c["varint_bytes"], c["raw_bytes"]) \
         == (1, 201, 2, 8)
+
+
+def test_proximity_rank_known_spans(spark):
+    from crawler_spark.operators.invindex import proximity_rank
+    docs = spark.createDataFrame(
+        [(1, "a b x c"),            # cover a..c = 4 (b at 1)
+         (2, "a x x b c x a b"),    # best window: a b c? positions a0 b3 c4 -> 5; a6 b7 c4 -> c4..b7=4
+         (3, "c b a"),              # adjacent any order -> 3
+         (4, "a b a b"),            # no c -> excluded
+         (5, "x y z")],             # no hits -> excluded
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           proximity_rank(docs, ["a", "b", "c"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["best_window"] == 4
+    assert out[2]["best_window"] == 4
+    assert out[3]["best_window"] == 3
+    assert out[3]["n_hits"] == 3
+    assert out[2]["n_hits"] == 5
+
+
+def test_proximity_rank_duplicate_query_terms_collapse(spark):
+    from crawler_spark.operators.invindex import proximity_rank
+    docs = spark.createDataFrame([(1, "a x a")], "doc_id long, text string")
+    out = proximity_rank(docs, ["a", "A", "a"]).collect()
+    assert len(out) == 1 and out[0]["best_window"] == 1
