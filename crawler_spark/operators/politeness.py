@@ -27,7 +27,7 @@ state-free selection suffices.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import StructField, StructType, BooleanType
 
 
@@ -262,3 +262,44 @@ def apportion_by_ip(demands: DataFrame, per_ip_cap: int,
             .select("ip", "host", "demand",
                     (F.col("base") + F.col("_extra")).cast("long")
                     .alias("alloc")))
+
+
+def ucb_host_select(history: DataFrame, host_col: str, reward: Column,
+                    k: int = 8, c: float = 1.4) -> DataFrame:
+    """UCB1 bandit allocation of the next wave's crawl budget across
+    hosts (Auer/Cesa-Bianchi/Fischer 2002): score every host by
+    mean observed reward (e.g. "fetch yielded novel outlinks" /
+    "page passed quality gates") plus the exploration bonus
+    c*sqrt(ln(T)/n_h) — hosts with few pulls keep a fat bonus, so the
+    scheduler keeps probing them instead of starving the long tail on
+    early luck. This is the principled form of the frontier's
+    explore/exploit knob that w1's static priorities and rc6's
+    latency EWMA don't model.
+
+    Input is the fetch history (one row per fetch, any reward
+    indicator column expression); output one row per host:
+    (host, n_pulls, n_rewards, mean_reward, ucb, selected) with the
+    top-k by (rounded ucb desc, host asc) flagged selected=1 — ranking
+    runs on the ROUNDED score (the an5 float discipline).
+
+    Scale shape: ONE partial-agged groupBy(host); the totals row is a
+    scalar broadcast; the top-k flag is a single host-cardinality
+    window (hosts << corpus — the g1 argument). Rewards and pulls are
+    exact BIGINTs; the only floats are the final two formulas, rounded
+    to 4 in identical operation order.
+    """
+    per = (history.groupBy(F.col(host_col).alias("host"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pulls"),
+                F.sum(reward.cast("long")).cast("long")
+                 .alias("n_rewards")))
+    tot = per.agg(F.sum("n_pulls").cast("long").alias("t"))
+    mean = F.col("n_rewards").cast("double") / F.col("n_pulls").cast("double")
+    bonus = F.lit(c) * F.sqrt(
+        F.log(F.col("t").cast("double")) / F.col("n_pulls").cast("double"))
+    scored = (per.crossJoin(F.broadcast(tot))
+              .select("host", "n_pulls", "n_rewards",
+                      F.round(mean, 4).alias("mean_reward"),
+                      F.round(mean + bonus, 4).alias("ucb")))
+    w = Window.orderBy(F.col("ucb").desc(), F.col("host"))
+    return scored.withColumn(
+        "selected", (F.row_number().over(w) <= k).cast("int"))

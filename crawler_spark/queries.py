@@ -6740,3 +6740,66 @@ def g25_simrank(spark, sf_dir):
     e = (d.select(F.col("source").alias("src"), dst.alias("dst"))
          .where(F.col("src") != F.col("dst")).distinct())
     return simrank(e, iters=3, c=0.8)
+
+
+@q("w9_ucb_host_select", """
+WITH per AS (SELECT source AS host,
+                    CAST(count(*) AS BIGINT) AS n_pulls,
+                    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_rewards
+             FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS t FROM per),
+s AS (SELECT host, n_pulls, n_rewards,
+             round(CAST(n_rewards AS DOUBLE) / CAST(n_pulls AS DOUBLE), 4)
+               AS mean_reward,
+             round(CAST(n_rewards AS DOUBLE) / CAST(n_pulls AS DOUBLE)
+                   + 1.4 * sqrt(ln(CAST(t AS DOUBLE))
+                                / CAST(n_pulls AS DOUBLE)), 4) AS ucb
+      FROM per CROSS JOIN tot)
+SELECT host, n_pulls, n_rewards, mean_reward, ucb,
+       CAST(CASE WHEN row_number() OVER (ORDER BY ucb DESC, host) <= 8
+            THEN 1 ELSE 0 END AS INT) AS selected
+FROM s
+""")
+def w9_ucb_host_select(spark, sf_dir):
+    """UCB1 bandit allocation of next-wave crawl budget across hosts
+    (Auer et al. 2002): mean reward ('fetch produced an English page'
+    as the fixture's reward indicator) plus the c*sqrt(ln T / n)
+    exploration bonus keeps under-sampled hosts probed instead of
+    starved — the principled explore/exploit knob w1's static
+    priorities lack. One partial-agged groupBy + a scalar broadcast +
+    one host-cardinality window; ranking on the ROUNDED score. See
+    operators/politeness.ucb_host_select."""
+    from crawler_spark.operators.politeness import ucb_host_select
+    d = _t(spark, sf_dir, "documents")
+    return ucb_host_select(d, "source", (F.col("lang") == "en"),
+                           k=8, c=1.4)
+
+
+@q("st11_event_sequence", """
+WITH o AS (SELECT user_id AS key, event_type, ts, event_id,
+                  lead(event_type, 1) OVER w AS t1,
+                  lead(event_type, 2) OVER w AS t2,
+                  CAST(floor(epoch(lead(ts, 2) OVER w)) AS BIGINT)
+                    - CAST(floor(epoch(ts)) AS BIGINT) AS span
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (SELECT key,
+             CASE WHEN event_type = 'click' AND t1 = 'view'
+                       AND t2 = 'purchase' AND span <= 86400
+                  THEN 1 END AS hit
+      FROM o)
+SELECT key, CAST(sum(hit) AS BIGINT) AS n_matches
+FROM m GROUP BY key HAVING sum(hit) > 0
+""")
+def st11_event_sequence(spark, sf_dir):
+    """CEP sequence detection (the MATCH_RECOGNIZE primitive Spark
+    lacks): per user, count of strictly-consecutive click->view->purchase
+    runs completing within a day. Each event becomes a candidate
+    match START via |p|-1 lead() columns sharing ONE per-key sort —
+    no self-joins, overlapping matches counted. One shuffle total.
+    See streaming/windows.event_sequences."""
+    from crawler_spark.streaming.windows import event_sequences
+    e = _t(spark, sf_dir, "events")
+    return event_sequences(e, ["click", "view", "purchase"],
+                           within_sec=86400)

@@ -10,7 +10,7 @@ parquet produces the same rows as the batch query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _ts(events: DataFrame) -> DataFrame:
@@ -118,3 +118,47 @@ def late_data_flags(events: DataFrame, ts_col: str = "ts",
            .drop("_blk", "_lmax", "_boff"))
     return (out.withColumn("late", F.col("_t") < F.col("wm") - delay_sec)
             .withColumnRenamed("_t", "t"))
+
+
+def event_sequences(events: DataFrame, pattern: list[str],
+                    key_col: str = "user_id", type_col: str = "event_type",
+                    ts_col: str = "ts", tie_col: str = "event_id",
+                    within_sec: int = 3600) -> DataFrame:
+    """Complex-event-processing sequence detection (the MATCH_RECOGNIZE /
+    Flink CEP primitive Spark lacks): per key, count occurrences of the
+    event-type pattern appearing as STRICTLY CONSECUTIVE events (no
+    interleaving — Flink's `next()` contiguity) whose total span fits in
+    `within_sec`. The crawl-side use: fetch→parse→commit funnels per
+    host, or error→retry→error escalation runs in the scheduler's event
+    log.
+
+    Algorithm: order each key's stream once; |p|-1 lead() columns over
+    that single Exchange+Sort turn every event into the candidate START
+    of a match, so matching is a per-row predicate — no self-joins, no
+    per-key iteration, and overlapping matches count (a,b,a,b,a has two
+    a,b,a matches). Output (key, n_matches > 0).
+
+    Scale shape: ONE shuffle on the key; all lead windows share the
+    sort; state per row is |pattern| columns. A 10^10-row event log
+    pays exactly one wide exchange — the same bound as st2's
+    sessionization.
+    """
+    n = len(pattern)
+    d = events.select(
+        F.col(key_col).alias("key"), F.col(type_col).alias("t0"),
+        F.col(ts_col).alias("_ts"), F.col(tie_col).alias("_tie"))
+    w = Window.partitionBy("key").orderBy("_ts", "_tie")
+    for i in range(1, n):
+        d = d.withColumn(f"t{i}", F.lead("t0", i).over(w))
+    d = d.withColumn("_span",
+                     F.unix_timestamp(F.lead("_ts", n - 1).over(w))
+                     - F.unix_timestamp("_ts"))
+    cond = F.lit(True)
+    for i, p in enumerate(pattern):
+        cond = cond & (F.col(f"t{i}") == p)
+    cond = cond & (F.col("_span") <= within_sec)
+    return (d.select("key", cond.cast("long").alias("_m"))
+            .groupBy("key").agg(F.sum("_m").cast("long")
+                                .alias("n_matches"))
+            .where(F.col("n_matches") > 0)
+            .select(F.col("key"), "n_matches"))

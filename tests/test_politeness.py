@@ -63,3 +63,26 @@ def test_seen_monotone_and_idempotent_semantics(spark, small_cfg):
     assert fetched.distinct().count() == fetched.count()
     missing = fetched.join(run.seen.select("url_canon"), "url_canon", "left_anti")
     assert missing.count() == 0
+
+
+def test_ucb_explores_undersampled_hosts(spark):
+    """A barely-pulled host outranks a well-sampled mediocre one even
+    with zero observed reward — the exploration bonus at work — while a
+    well-sampled high-reward host still tops the board."""
+    import math
+    from crawler_spark.operators.politeness import ucb_host_select
+    rows = ([("good", 1)] * 50 + [("good", 0)] * 50
+            + [("meh", 1)] * 10 + [("meh", 0)] * 90
+            + [("fresh", 0)] * 2)
+    d = spark.createDataFrame(rows, "host string, r int")
+    out = {r["host"]: r for r in
+           ucb_host_select(d, "host", F.col("r") == 1, k=2).collect()}
+    t = 202
+    exp = 0.0 + 1.4 * math.sqrt(math.log(t) / 2)
+    assert out["fresh"]["ucb"] == round(exp, 4)
+    assert out["fresh"]["mean_reward"] == 0.0
+    assert out["good"]["n_rewards"] == 50
+    # selection: good (0.5 + small bonus) and fresh (big bonus) beat meh
+    assert out["good"]["selected"] == 1
+    assert out["fresh"]["selected"] == 1
+    assert out["meh"]["selected"] == 0

@@ -253,3 +253,25 @@ def test_stream_stream_interval_join_equals_batch(spark):
                                   lag_max=300).select("event_id", "ct"),
                  ["event_id", "ct"])
     assert got == want and got
+
+
+def test_event_sequences_contiguity_overlap_and_span(spark):
+    from datetime import datetime
+    from crawler_spark.streaming.windows import event_sequences
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: a,b,a,b,a -> two overlapping a,b,a matches
+        (1, "a", T(0), 1), (1, "b", T(1), 2), (1, "a", T(2), 3),
+        (1, "b", T(3), 4), (1, "a", T(4), 5),
+        # user 2: a,x,b,a -> interleaved x breaks contiguity
+        (2, "a", T(0), 6), (2, "x", T(1), 7), (2, "b", T(2), 8),
+        (2, "a", T(3), 9),
+        # user 3: a,b,a but spanning > within_sec
+        (3, "a", T(0), 10), (3, "b", T(1), 11), (3, "a", T(50), 12),
+    ]
+    d = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = {r["key"]: r["n_matches"] for r in
+           event_sequences(d, ["a", "b", "a"],
+                           within_sec=600).collect()}
+    assert out == {1: 2}
