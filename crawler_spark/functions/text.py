@@ -374,3 +374,43 @@ def script_mix_cols(text: Column) -> Column:
         counts["cjk"].alias("n_cjk"),
         counts["arabic"].alias("n_arabic"),
         main.alias("main_script"))
+
+
+def char_entropy_col(text: Column) -> Column:
+    """Shannon character entropy of a document (nats, rounded to 4) —
+    the MassiveText-style gibberish gate: near-zero entropy is a
+    repeated-character page (keyword stuffing, progress-bar ASCII),
+    abnormally high entropy at length is binary/base64 junk that
+    survived MIME sniffing. Companion struct: (n_chars, n_distinct,
+    entropy).
+
+    Cross-engine float discipline for an ORDER-SENSITIVE float sum:
+    the per-character -p·ln(p) terms are folded over the SORTED
+    distinct-character list on both engines, so the addition order is
+    deterministic and identical — the reason this is a fold over
+    array_sort(array_distinct(...)) and not a groupBy aggregate (whose
+    combine order no engine guarantees).
+
+    Scale shape: per-row O(|charset| · n) map-side column algebra
+    (charset is bounded by the alphabet, not the document), zero
+    shuffle, zero Python; the char array is a lambda binding evaluated
+    once (NOTES fact #1 — an outer-expression reference inside the
+    count lambda would re-split the text per distinct character).
+    """
+    chars0 = F.filter(F.split(text, ""), lambda x: x != "")
+
+    def body(cs: Column) -> Column:
+        n = F.size(cs).cast("double")
+        cnts = F.transform(
+            F.array_sort(F.array_distinct(cs)),
+            lambda ch: F.size(F.filter(cs, lambda x: x == ch)))
+        ent = F.aggregate(
+            cnts, F.lit(0.0),
+            lambda acc, c: acc - (c.cast("double") / n)
+            * F.log(c.cast("double") / n))
+        return F.struct(
+            F.size(cs).cast("long").alias("n_chars"),
+            F.size(cnts).cast("long").alias("n_distinct"),
+            F.round(ent, 4).alias("entropy"))
+
+    return F.element_at(F.transform(F.array(chars0), body), 1)

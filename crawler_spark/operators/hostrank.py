@@ -1213,3 +1213,54 @@ def simrank_oracle_sql(edges_cte: str, iters: int = 3,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT a AS host_a, b AS host_b, round(s, 4) AS simrank "
               f"FROM s{iters} WHERE a < b AND s > 0")
+
+
+def katz_hosts(edges: DataFrame, iters: int = 4,
+               alpha: float = 0.1) -> DataFrame:
+    """Fixed-iteration Katz centrality (Katz 1953) over distinct
+    (src, dst) host edges: x_{t+1}(v) = 1 + alpha * Σ_{u→v} x_t(u),
+    x_0 = 1 — every incoming walk counts, damped by alpha per hop.
+    Where PageRank (g1) divides a page's vote by its out-degree, Katz
+    does not: a hub endorsing 10^4 pages passes FULL weight to each, so
+    Katz is the "reachability prestige" axis (how much of the graph
+    funnels into you) vs PageRank's "random-surfer share" — the pair
+    disagree exactly on link-farm amplification, which makes their
+    rank-divergence a spam signal on top of g21's TrustRank mass.
+
+    Fixed `iters`, no convergence test (the g1 reproducibility
+    contract); rank is deterministic and the DuckDB oracle unrolls the
+    same K iterations. Each round is one shuffle join on src + one
+    groupBy on dst at host cardinality, lineage cut per round.
+    """
+    e = edges.select("src", "dst").distinct()
+    hosts = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct().localCheckpoint(eager=True))
+    x = hosts.select("host", F.lit(1.0).alias("x"))
+    for _ in range(iters):
+        m = (e.join(x.withColumnRenamed("host", "src"), "src")
+             .groupBy(F.col("dst").alias("host"))
+             .agg(F.sum("x").alias("m")))
+        x = (hosts.join(m, "host", "left")
+             .select("host",
+                     (F.lit(1.0) + F.lit(alpha)
+                      * F.coalesce(F.col("m"), F.lit(0.0))).alias("x"))
+             .localCheckpoint(eager=True))
+    return x.select("host", F.round("x", 4).alias("katz"))
+
+
+def katz_oracle_sql(edges_cte: str, iters: int = 4,
+                    alpha: float = 0.1) -> str:
+    """DuckDB twin of katz_hosts: K iterations as chained CTEs."""
+    ctes = [f"e AS (SELECT DISTINCT src, dst FROM ({edges_cte}))",
+            "h AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+            "x0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS x FROM h)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"m{k} AS (SELECT e.dst AS host, SUM(x.x) AS m "
+            f"FROM e JOIN x{k-1} x ON x.host = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"x{k} AS (SELECT h.host, 1.0 + {alpha} * COALESCE(m.m, 0) "
+            f"AS x FROM h LEFT JOIN m{k} m USING (host))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT host, round(x, 4) AS katz FROM x{iters}")

@@ -6803,3 +6803,58 @@ def st11_event_sequence(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return event_sequences(e, ["click", "view", "purchase"],
                            within_sec=86400)
+
+
+from crawler_spark.operators.hostrank import katz_oracle_sql  # noqa: E402
+
+
+@q("g27_katz", katz_oracle_sql(_G8_EDGES_SQL, iters=4, alpha=0.1))
+def g27_katz(spark, sf_dir):
+    """Katz centrality over the g8 host graph (4 unrolled rounds,
+    alpha=0.1): undivided damped walk-counting prestige — the axis that
+    diverges from PageRank exactly where link farms amplify, making the
+    g1-vs-g27 rank gap a spam signal beside g21. Fixed iterations,
+    round at the end (the g1 float discipline); host-cardinality joins
+    with per-round lineage cuts. See operators/hostrank.katz_hosts."""
+    from crawler_spark.operators.hostrank import katz_hosts
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    return katz_hosts(e, iters=4, alpha=0.1)
+
+
+@q("tx25_char_entropy", """
+WITH s AS (SELECT doc_id,
+                  list_filter(string_split(text, ''), x -> x <> '') AS cs
+           FROM documents),
+c AS (SELECT doc_id, len(cs) AS n,
+             list_transform(list_sort(list_distinct(cs)),
+                 ch -> len(list_filter(cs, x -> x = ch))) AS cnts
+      FROM s)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(len(cnts) AS BIGINT) AS n_distinct,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(cnts, c2 -> -(CAST(c2 AS DOUBLE) / n)
+                                * ln(CAST(c2 AS DOUBLE) / n))),
+             (a, b) -> a + b), 4) AS entropy
+FROM c
+""")
+def tx25_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document — the gibberish gate
+    (repeated-char stuffing scores near 0; base64/binary residue
+    scores anomalously high for its length). The -p·ln(p) terms fold
+    over the SORTED distinct-char list on both engines, making an
+    order-sensitive float sum deterministic cross-engine (DuckDB's
+    list_reduce seeds with the first element — the prepended explicit
+    0.0 is NOTES fact #3). Map-side only, zero shuffle. See
+    functions/text.char_entropy_col."""
+    from crawler_spark.functions.text import char_entropy_col
+    d = _t(spark, sf_dir, "documents")
+    return d.withColumn("_e", char_entropy_col(F.col("text"))).select(
+        "doc_id", F.col("_e.n_chars").alias("n_chars"),
+        F.col("_e.n_distinct").alias("n_distinct"),
+        F.col("_e.entropy").alias("entropy"))

@@ -259,3 +259,24 @@ def test_simrank_cocited_pair_scores_high(spark):
            for r in simrank(e, iters=2).collect()}
     top = max(got.values())
     assert got[("a", "b")] == top
+
+
+def test_katz_matches_pure_python_and_beats_pagerank_on_farms(spark):
+    from crawler_spark.operators.hostrank import katz_hosts
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("d", "c"), ("e", "c")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["katz"] for r in katz_hosts(e, iters=3,
+                                                    alpha=0.1).collect()}
+    es = sorted(set(edges))
+    nodes = sorted({u for t in es for u in t})
+    x = {v: 1.0 for v in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            nxt[v] = 1.0 + 0.1 * sum(x[u] for u, w in es if w == v)
+        x = nxt
+    for v in nodes:
+        assert abs(got[v] - round(x[v], 4)) <= 1e-4, v
+    # c has the most inbound walk mass
+    assert max(got, key=got.get) == "c"

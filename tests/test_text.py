@@ -219,3 +219,20 @@ def test_script_mix_counts_and_dominant(spark):
     assert out[2]["main_script"] == "cyrillic"
     assert out[3]["main_script"] == "none"
     assert out[4]["main_script"] == "latin"
+
+
+def test_char_entropy_known_values(spark):
+    from crawler_spark.functions.text import char_entropy_col
+    rows = [(1, "aaaa"),        # zero entropy
+            (2, "aabbbc"),      # mixed
+            (3, "abcd")]        # uniform -> ln(4)
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["e"] for r in
+           d.select("doc_id",
+                    char_entropy_col(F.col("text")).alias("e")).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    n = 6
+    want = round(sum(-(c / n) * math.log(c / n) for c in (2, 3, 1)), 4)
+    assert out[2]["entropy"] == want
+    assert out[3]["entropy"] == round(math.log(4.0), 4)
+    assert out[3]["n_chars"] == 4
