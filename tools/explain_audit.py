@@ -594,6 +594,57 @@ CHECKS = {
     # zero Python
     "f11_soft404": (["HashAggregate", "partial_sum"],
                     ["Join", "BatchEvalPython", "ArrowEvalPython"]),
+    # clustering coeff: degree-ordered wedge joins with broadcast rank
+    # tables; never a cartesian pair generator
+    "g26_clustering_coeff": (["BroadcastHashJoin"],
+                             ["CartesianProduct", "BatchEvalPython"]),
+    # mirror detection: df-cap is a broadcast semi filter; exact verify
+    # joins the collect_set arrays — no cartesian, no Python
+    "g24_mirror_hosts": (["BroadcastHashJoin"],
+                         ["CartesianProduct", "BatchEvalPython",
+                          "ArrowEvalPython"]),
+    # tf-idf keywords: df/N join back broadcast; per-doc window (the
+    # corpus never range-partitions globally)
+    "tx24_tfidf_keywords": (["BroadcastHashJoin", "Window"],
+                            ["SortMergeJoin", "BatchEvalPython",
+                             "Exchange SinglePartition"]),
+    # script mix: strip-and-subtract integer algebra, map-side only
+    "tx26_script_detect": (["[codegen id :"],
+                           ["Exchange", "BatchEvalPython",
+                            "ArrowEvalPython"]),
+    # FIM transform: md5-coin string algebra, map-side only
+    "px12_fim_transform": (["[codegen id :"],
+                           ["Exchange", "BatchEvalPython",
+                            "ArrowEvalPython"]),
+    # SCD2: ONE hash exchange on the key; both windows share the sort;
+    # never a global single-partition window
+    "st10_scd2_intervals": (["Window"],
+                            ["Exchange SinglePartition",
+                             "BatchEvalPython", "Join"]),
+    # proximity: per-term running maxes share one per-doc sort; no
+    # position self-joins
+    "ix9_proximity_rank": (["Window"],
+                           ["SortMergeJoin", "CartesianProduct",
+                            "BatchEvalPython"]),
+    # simrank: per-round lineage cuts mean the FINAL plan reads the
+    # last checkpoint — assert the cut happened (ExistingRDD scan)
+    "g25_simrank": (["Scan ExistingRDD"],
+                    ["CartesianProduct", "BatchEvalPython"]),
+    # UCB: one partial-agged host rollup + scalar broadcast (the
+    # top-k window over hosts is host-cardinality by design)
+    "w9_ucb_host_select": (["HashAggregate", "partial_count"],
+                           ["BatchEvalPython", "SortMergeJoin"]),
+    # CEP sequence: lead() columns over ONE per-key Exchange+Sort
+    "st11_event_sequence": (["Window"],
+                            ["Exchange SinglePartition", "Join",
+                             "BatchEvalPython"]),
+    # katz: per-round lineage cuts — final plan reads the checkpoint
+    "g27_katz": (["Scan ExistingRDD"],
+                 ["CartesianProduct", "BatchEvalPython"]),
+    # char entropy: sorted-fold HOF algebra, map-side only
+    "tx25_char_entropy": (["[codegen id :"],
+                          ["Exchange", "BatchEvalPython",
+                           "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
