@@ -163,3 +163,52 @@ def scd2_intervals(changes: DataFrame, key_col: str, attr_col: str,
         F.row_number().over(w2).cast("int").alias("version"))
         .withColumn("is_current",
                     F.col("valid_to").isNull().cast("int")))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          on: str | list[str],
+                          left_lo: str = "lo_a", left_hi: str = "hi_a",
+                          right_lo: str = "lo_b", right_hi: str = "hi_b",
+                          bucket_width: float = 3600.0) -> DataFrame:
+    """Interval-INTERVAL overlap join: every (left, right) pair sharing a
+    key whose half-open intervals intersect (lo_a < hi_b AND lo_b <
+    hi_a) — the log-correlation primitive (which fetch sessions ran
+    inside which outage window; which politeness throttle overlapped
+    which latency spike) that j7's point-in-band join cannot express.
+
+    Same bucket-expansion rewrite as range_join, applied to BOTH sides:
+    each interval explodes to the integer buckets it covers, candidates
+    equi-join on (key, bucket), and the exact overlap predicate
+    re-verifies. A pair overlapping across k shared buckets would match
+    k times, so the candidate join keeps the pair iff the shared bucket
+    is the FIRST bucket both cover (greatest(lo_bkt_a, lo_bkt_b)) —
+    each true pair survives exactly once with no distinct pass at all.
+
+    Cost: O(rows × interval/width) expanded candidates on each side —
+    pick bucket_width near the median interval. One equi-shuffle per
+    side on (key, bucket); never a cartesian or an inequality
+    nested-loop. Long-tail intervals expand linearly; cap upstream if a
+    pathological source emits year-long intervals.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    wdt = float(bucket_width)
+
+    def explode_side(d: DataFrame, lo: str, hi: str) -> DataFrame:
+        lo_b = F.floor(F.col(lo) / wdt).cast("long")
+        hi_b = (F.ceil(F.col(hi) / wdt) - 1).cast("long")
+        return (d.where(F.col(hi) > F.col(lo))
+                .withColumn("_lob", lo_b)
+                .withColumn("_bkt",
+                            F.explode(F.sequence(lo_b,
+                                                 F.greatest(hi_b, lo_b)))))
+
+    a = explode_side(left, left_lo, left_hi) \
+        .withColumnRenamed("_lob", "_lob_a")
+    b = explode_side(right, right_lo, right_hi) \
+        .withColumnRenamed("_lob", "_lob_b")
+    j = a.join(b, keys + ["_bkt"])
+    return (j.where((F.col(left_lo) < F.col(right_hi))
+                    & (F.col(right_lo) < F.col(left_hi))
+                    & (F.col("_bkt")
+                       == F.greatest("_lob_a", "_lob_b")))
+            .drop("_bkt", "_lob_a", "_lob_b"))

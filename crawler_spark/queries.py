@@ -6858,3 +6858,69 @@ def tx25_char_entropy(spark, sf_dir):
         "doc_id", F.col("_e.n_chars").alias("n_chars"),
         F.col("_e.n_distinct").alias("n_distinct"),
         F.col("_e.entropy").alias("entropy"))
+
+
+@q("j9_interval_overlap", """
+WITH a AS (SELECT user_id, event_id AS a_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS lo_a,
+                  CAST(floor(epoch(ts)) + 1800 AS BIGINT) AS hi_a
+           FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id, event_id AS b_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS lo_b,
+             CAST(floor(epoch(ts)) + 900 AS BIGINT) AS hi_b
+      FROM events WHERE event_type = 'error')
+SELECT a.user_id, a.a_id, b.b_id,
+       CAST(least(hi_a, hi_b) - greatest(lo_a, lo_b) AS BIGINT)
+         AS overlap_sec
+FROM a JOIN b ON a.user_id = b.user_id
+               AND lo_a < hi_b AND lo_b < hi_a
+""")
+def j9_interval_overlap(spark, sf_dir):
+    """Interval-interval overlap join (which 30-min view sessions
+    intersected which 15-min error windows, per user) via the two-sided
+    bucket-expansion rewrite: candidates equi-join on (key, bucket) and
+    each true pair survives exactly once by the first-shared-bucket
+    rule — no cartesian, no inequality nested-loop, no distinct pass.
+    The oracle is DuckDB's plain inequality join. See
+    operators/joins.interval_overlap_join."""
+    from crawler_spark.operators.joins import interval_overlap_join
+    e = _t(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts").cast("long")
+    a = (e.where(F.col("event_type") == "view")
+         .select("user_id", F.col("event_id").alias("a_id"),
+                 t.alias("lo_a"), (t + 1800).alias("hi_a")))
+    b = (e.where(F.col("event_type") == "error")
+         .select("user_id", F.col("event_id").alias("b_id"),
+                 t.alias("lo_b"), (t + 900).alias("hi_b")))
+    out = interval_overlap_join(a, b, "user_id", bucket_width=3600.0)
+    return out.select(
+        "user_id", "a_id", "b_id",
+        (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b"))
+        .cast("long").alias("overlap_sec"))
+
+
+@q("a9_metrics_cube", """
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(grouping(source) AS INT) AS g_source,
+       CAST(grouping(lang) AS INT) AS g_lang
+FROM documents GROUP BY CUBE(source, lang)
+""")
+def a9_metrics_cube(spark, sf_dir):
+    """Full CUBE of the crawl metrics rollup — per (host, lang), per
+    host, per lang, and grand-total marginals in ONE pass (Spark plans
+    an Expand + one partial-agged exchange, not four scans); the
+    dashboard shape st5's linear ROLLUP cannot produce. Null grouping
+    keys are sentineled '<all>' with grouping() flags disambiguating a
+    real null from a marginal (the st5 comparator lesson)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.cube("source", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.grouping("source").cast("int").alias("g_source"),
+                 F.grouping("lang").cast("int").alias("g_lang"))
+            .select(F.coalesce("source", F.lit("<all>")).alias("source"),
+                    F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                    "n_docs", "sum_chars", "g_source", "g_lang"))

@@ -154,3 +154,39 @@ def test_scd2_tiebreak_on_equal_timestamps(spark):
                  key=lambda r: r["version"])
     assert [r["attr"] for r in out] == ["A", "B", "C"]
     assert out[-1]["is_current"] == 1 and out[0]["valid_to"] == 10
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    """Bucketed candidates + first-shared-bucket dedup == the O(n*m)
+    inequality join, across boundary-touching, nested, and multi-bucket
+    spans."""
+    import itertools
+    from crawler_spark.operators.joins import interval_overlap_join
+    a_rows = [(1, 1, 0, 100), (1, 2, 50, 250), (1, 3, 300, 301),
+              (2, 4, 0, 1000)]
+    b_rows = [(1, 10, 90, 110), (1, 11, 100, 200), (1, 12, 250, 260),
+              (1, 13, 301, 400), (2, 14, 999, 2500), (3, 15, 0, 10)]
+    a = spark.createDataFrame(a_rows, "k long, a_id long, lo_a long, hi_a long")
+    b = spark.createDataFrame(b_rows, "k long, b_id long, lo_b long, hi_b long")
+    got = sorted((r["a_id"], r["b_id"]) for r in
+                 interval_overlap_join(a, b, "k",
+                                       bucket_width=64.0).collect())
+    want = sorted(
+        (ai, bi)
+        for (ka, ai, la, ha), (kb, bi, lb, hb)
+        in itertools.product(a_rows, b_rows)
+        if ka == kb and la < hb and lb < ha)
+    assert got == want
+    # half-open: a3 [300,301) does not meet b13 [301,400)
+    assert (3, 13) not in got
+
+
+def test_interval_overlap_no_duplicate_pairs_across_buckets(spark):
+    """A pair sharing many buckets still emits exactly one row."""
+    from crawler_spark.operators.joins import interval_overlap_join
+    a = spark.createDataFrame([(1, 1, 0, 10_000)],
+                              "k long, a_id long, lo_a long, hi_a long")
+    b = spark.createDataFrame([(1, 2, 5, 9_999)],
+                              "k long, b_id long, lo_b long, hi_b long")
+    out = interval_overlap_join(a, b, "k", bucket_width=16.0).collect()
+    assert len(out) == 1
