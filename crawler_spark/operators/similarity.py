@@ -516,3 +516,30 @@ def adc_topk(emb: DataFrame, query_ids: list[int], topk: int = 5,
             .where(F.col("rk") <= topk)
             .select("qid", id_col, F.col("adc").cast("long").alias("adc"),
                     F.col("rk").cast("int").alias("rk")))
+
+
+def range_search(emb: DataFrame, query: DataFrame, threshold: float,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Cosine RANGE query (all neighbors with similarity >= threshold) —
+    the other half of the ANN serving API next to top-k (an1): dedup
+    radius probes, "more like this" recall sets, and safety-filter
+    blocklist expansion all want EVERYTHING above a floor, not a fixed
+    k. Filtering runs on the ROUNDED score (the an5 discipline) so the
+    kept set is bit-identical cross-engine.
+
+    Scale shape: the query batch broadcasts; ONE corpus scan serves the
+    whole batch; output is bounded by the radius, not by corpus size.
+    At 10^10 vectors the same predicate composes with the IVF cell
+    (an2) or sign-bucket (an4) pruning — scan only candidate cells,
+    threshold inside."""
+    q = F.broadcast(query.select(F.col(id_col).alias("qid"),
+                                 F.col(vec_col).alias("qvec")))
+    return (emb.crossJoin(q)
+            .where(F.col(id_col) != F.col("qid"))
+            .select("qid", F.col(id_col),
+                    F.round(cosine_col(
+                        F.col(vec_col).cast("array<double>"),
+                        F.col("qvec").cast("array<double>")), 4)
+                    .alias("cosine"))
+            .where(F.col("cosine") >= threshold))

@@ -6924,3 +6924,85 @@ def a9_metrics_cube(spark, sf_dir):
             .select(F.coalesce("source", F.lit("<all>")).alias("source"),
                     F.coalesce("lang", F.lit("<all>")).alias("lang"),
                     "n_docs", "sum_chars", "g_source", "g_lang"))
+
+
+@q("an10_range_search", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec),
+                   4) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id, cosine FROM s WHERE cosine >= 0.2
+""")
+def an10_range_search(spark, sf_dir):
+    """Cosine range query (everything within similarity >= 0.2 of a
+    3-query batch) — the fixed-radius half of the ANN serving API:
+    dedup radius probes and recall-set expansion want all neighbors
+    above a floor, not top-k. Query batch broadcasts, ONE corpus scan,
+    threshold on the ROUNDED score; at scale the predicate composes
+    with an2/an4 cell pruning. See operators/similarity.range_search."""
+    from crawler_spark.operators.similarity import range_search
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    return range_search(e, qs, threshold=0.2)
+
+
+# mm13: dHash bits from the SAME decode_byte_sums integer output mm5
+# gates — bit c is the integer cross-multiplied mean comparison
+# s_c * z_{c+1} > s_{c+1} * z_c (no float division anywhere).
+_MM13_BITS_SQL = " + ".join(
+    f"(CASE WHEN s{c} * z{c+1} > s{c+1} * z{c} THEN {1 << c} ELSE 0 END)"
+    for c in range(7))
+
+_MM13_SQL = """
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS s
+           FROM documents),
+     b AS (SELECT doc_id,
+                  list_transform(split(s, ''), ch -> ascii(ch)) AS cps,
+                  length(s) AS n
+           FROM a),
+     c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       """ + _MM5_CHUNK_COLS + """
+       FROM b),
+     h AS (SELECT doc_id, n_bytes,
+                  CAST(""" + _MM13_BITS_SQL + """ AS BIGINT) AS dhash
+           FROM c)
+SELECT doc_id, dhash,
+       CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS bucket_n,
+       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY dhash)
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM h
+"""
+
+
+@q("mm13_dhash_buckets", _MM13_SQL)
+def mm13_dhash_buckets(spark, sf_dir):
+    """Perceptual difference-hash over the media decode algebra: dHash
+    bits are adjacent-chunk MEAN comparisons from mm5's exact integer
+    chunk sums, written as cross-multiplications (s_c*z_{c+1} >
+    s_{c+1}*z_c) so no float division exists anywhere — the
+    content-addressed bucket key for near-identical media variants
+    (re-encodes, resizes) that byte-exact mm7 dedup misses. Buckets
+    roll up with one window (count + min-doc canonical keep flag).
+    The decode side is the SAME mapInPandas island mm1/mm5 share;
+    everything after is codegen. See operators/multimodal."""
+    from crawler_spark.operators.multimodal import (
+        attach_payload, decode_byte_sums,
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sums = decode_byte_sums(attach_payload(d))
+    bits = None
+    for c in range(7):
+        b = F.when(F.col(f"s{c}") * F.col(f"z{c+1}")
+                   > F.col(f"s{c+1}") * F.col(f"z{c}"),
+                   F.lit(1 << c)).otherwise(F.lit(0))
+        bits = b if bits is None else bits + b
+    h = sums.select("doc_id", bits.cast("long").alias("dhash"))
+    w = Window.partitionBy("dhash")
+    return h.select(
+        "doc_id", "dhash",
+        F.count(F.lit(1)).over(w).cast("long").alias("bucket_n"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
+        .alias("keep"))

@@ -136,3 +136,25 @@ def test_mime_sniff_matches_magic_assignment(spark):
         assert r["ext_mismatch"] == int(
             (r["ext"] == ".png") != (r["mime"] == "image/png"))
         assert r["n_bytes"] > 0
+
+
+def test_dhash_bits_match_chunk_mean_comparisons(spark):
+    """mm13's dhash equals the bit vector computed from the decode
+    twin's own chunk sums — and identical payloads share a bucket."""
+    from crawler_spark.operators.multimodal import (
+        attach_payload, decode_byte_sums,
+    )
+    rows = [(1, "abcdefgh" * 4), (2, "abcdefgh" * 4), (3, "zzzzaaaa" * 4)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sums = {r["doc_id"]: r for r in
+            decode_byte_sums(attach_payload(d.select("doc_id", "text")))
+            .collect()}
+    def dhash(r):
+        h = 0
+        for c in range(7):
+            if r[f"s{c}"] * r[f"z{c+1}"] > r[f"s{c+1}"] * r[f"z{c}"]:
+                h |= 1 << c
+        return h
+    assert dhash(sums[1]) == dhash(sums[2])
+    # identical payloads share a dhash; this differing pair separates
+    assert dhash(sums[1]) != dhash(sums[3])

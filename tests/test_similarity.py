@@ -5,6 +5,7 @@ near-duplicates and leaving small cells exact."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from crawler_spark.operators.similarity import (
     embedding_neardup_pairs, rh_planes,
@@ -149,3 +150,17 @@ def test_adc_equals_reconstruction_distance(spark):
             cv = cb[(s, code[(r["vec_id"], s)], d)]
             want += (qv[d - 1] - cv) ** 2
         assert r["adc"] == want
+
+
+def test_range_search_threshold_and_rounding(spark):
+    from crawler_spark.operators.similarity import range_search
+    rows = [(0, [1.0, 0.0]), (1, [0.6, 0.8]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]), (4, [1.0, 0.05])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.where(F.col("vec_id") == 0)
+    got = {r["vec_id"]: r["cosine"]
+           for r in range_search(e, q, threshold=0.6).collect()}
+    # cos(v0,v1)=0.6 sits exactly ON the threshold (kept: >= on rounded)
+    assert got[1] == 0.6
+    assert 4 in got and got[4] > 0.99
+    assert 2 not in got and 3 not in got and 0 not in got
