@@ -20,7 +20,7 @@ it as a vectorized pandas UDF over a frontier LEFT JOIN robots (host).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType, BooleanType, IntegerType, LongType, StringType, StructField,
     StructType,
@@ -250,3 +250,30 @@ def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
         robots_allowed_udf("path", "allow_prefixes", "deny_prefixes"),
     )
     return gated.drop("allow_prefixes", "deny_prefixes", "path")
+
+
+def meta_robots_flags(directive: Column) -> Column:
+    """Per-PAGE robots directives (<meta name="robots"> / X-Robots-Tag) —
+    the page-level gate that composes with the host-level robots.txt
+    cache (F5): robots.txt decides whether to FETCH, meta robots decides
+    whether the fetched page may be INDEXED (stored in the corpus) and
+    whether its outlinks may be FOLLOWED (admitted to the frontier).
+    The reference's spider crate honors exactly this pair of bits
+    (reference: spider respects meta robots nofollow during link
+    extraction; scan.rs delegates to website.crawl()).
+
+    Parsing follows the robots meta standard: comma-separated tokens,
+    case-insensitive, whitespace-tolerant; `none` == noindex,nofollow;
+    `all` == index,follow; unknown tokens ignored; empty/absent
+    directive defaults to index,follow (the permissive web default).
+    Returns struct(indexable INT, followable INT) — token-exact array
+    membership over ONE split, zero shuffle, zero Python.
+    """
+    toks = F.transform(F.split(F.lower(directive), ","),
+                       lambda t: F.trim(t))
+    has = lambda v: F.array_contains(toks, v)  # noqa: E731
+    noindex = has("noindex") | has("none")
+    nofollow = has("nofollow") | has("none")
+    return F.struct(
+        (~noindex).cast("int").alias("indexable"),
+        (~nofollow).cast("int").alias("followable"))

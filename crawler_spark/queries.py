@@ -7006,3 +7006,121 @@ def mm13_dhash_buckets(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("long").alias("bucket_n"),
         (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
         .alias("keep"))
+
+
+_F13_DIRECTIVE_SQL = """CASE doc_id % 11
+  WHEN 0 THEN 'noindex,nofollow'
+  WHEN 1 THEN 'NOFOLLOW'
+  WHEN 2 THEN ' NoIndex , Follow '
+  WHEN 3 THEN 'none'
+  WHEN 4 THEN 'all'
+  WHEN 5 THEN ''
+  WHEN 6 THEN 'index, nofollow'
+  ELSE 'index,follow' END"""
+
+
+@q("f13_meta_robots", f"""
+WITH a AS (SELECT doc_id, {_F13_DIRECTIVE_SQL} AS directive,
+                  CAST(ceil(len(list_filter(regexp_split_to_array(
+                       trim(text), '\\s+'), x -> x <> '')) / 8.0)
+                       AS BIGINT) AS n_links
+           FROM documents),
+b AS (SELECT doc_id, directive, n_links,
+             list_transform(string_split(lower(directive), ','),
+                            t -> trim(t)) AS toks
+      FROM a),
+c AS (SELECT doc_id, directive, n_links,
+             CASE WHEN list_contains(toks, 'noindex')
+                       OR list_contains(toks, 'none') THEN 0 ELSE 1 END
+               AS indexable,
+             CASE WHEN list_contains(toks, 'nofollow')
+                       OR list_contains(toks, 'none') THEN 0 ELSE 1 END
+               AS followable
+      FROM b)
+SELECT doc_id, directive, CAST(indexable AS INT) AS indexable,
+       CAST(followable AS INT) AS followable, n_links,
+       CAST(CASE WHEN followable = 1 THEN n_links ELSE 0 END AS BIGINT)
+         AS n_links_followed
+FROM c
+""")
+def f13_meta_robots(spark, sf_dir):
+    """Page-level robots directives (meta robots / X-Robots-Tag): the
+    indexability and link-follow gates that compose with the host-level
+    F5 robots.txt cache — robots.txt decides FETCH, meta robots decides
+    STORE and EXPAND. The fixture salts every directive form the
+    standard allows (case, whitespace, 'none', 'all', empty-default);
+    followed-link counts derive from the page's span chunking. Pure
+    token algebra over one split, zero shuffle. See
+    operators/robots.meta_robots_flags."""
+    from crawler_spark.operators.robots import meta_robots_flags
+    d = _t(spark, sf_dir, "documents")
+    directive = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("noindex,nofollow"))
+        .when(F.col("doc_id") % 11 == 1, F.lit("NOFOLLOW"))
+        .when(F.col("doc_id") % 11 == 2, F.lit(" NoIndex , Follow "))
+        .when(F.col("doc_id") % 11 == 3, F.lit("none"))
+        .when(F.col("doc_id") % 11 == 4, F.lit("all"))
+        .when(F.col("doc_id") % 11 == 5, F.lit(""))
+        .when(F.col("doc_id") % 11 == 6, F.lit("index, nofollow"))
+        .otherwise(F.lit("index,follow")))
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    n_links = F.ceil(F.size(words) / 8.0).cast("long")
+    out = (d.select("doc_id", directive.alias("directive"),
+                    n_links.alias("n_links"))
+           .withColumn("_f", meta_robots_flags(F.col("directive"))))
+    return out.select(
+        "doc_id", "directive",
+        F.col("_f.indexable").alias("indexable"),
+        F.col("_f.followable").alias("followable"), "n_links",
+        F.when(F.col("_f.followable") == 1, F.col("n_links"))
+         .otherwise(F.lit(0)).cast("long").alias("n_links_followed"))
+
+
+@q("p8_rel_canonical", """
+WITH d AS (SELECT doc_id FROM documents),
+m AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 AND doc_id % 20 <> 0
+                  THEN doc_id - (doc_id % 20) ELSE doc_id END
+               AS canonical_id,
+             CAST(CASE WHEN doc_id % 5 = 0 AND doc_id % 20 <> 0
+                  THEN (doc_id % 20) // 5 ELSE 0 END AS INT) AS hops
+      FROM d)
+SELECT doc_id, CAST(canonical_id AS BIGINT) AS canonical_id, hops,
+       CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS INT)
+         AS is_canonical,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         AS n_cluster
+FROM m
+""")
+def p8_rel_canonical(spark, sf_dir):
+    """rel=canonical collapse: pages declaring a canonical URL resolve
+    through declaration CHAINS (a canonical target may itself declare
+    one — 15→10→5→0 in the fixture) to the terminal canonical via the
+    SAME pointer-doubling operator the 3xx resolver uses (g6), then
+    cluster sizes roll up with one window — the pre-dedup URL-identity
+    signal that saves dd1-dd10 from even seeing declared duplicates.
+    The oracle is the chain's closed form (doc - doc%20 at stride 5),
+    so the log-round engine path is checked against exact arithmetic.
+    See operators/hostrank.resolve_redirects."""
+    from crawler_spark.operators.hostrank import resolve_redirects
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    declaring = d.where((F.col("doc_id") % 5 == 0)
+                        & (F.col("doc_id") % 20 != 0))
+    edges = declaring.select(
+        F.col("doc_id").cast("string").alias("src"),
+        (F.col("doc_id") - 5).cast("string").alias("dst"))
+    res = resolve_redirects(edges, rounds=4).select(
+        F.col("src").cast("long").alias("doc_id"),
+        F.col("final").cast("long").alias("_canon"),
+        F.col("hops").alias("_hops"))
+    m = (d.join(res, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce("_canon", F.col("doc_id")).cast("long")
+                  .alias("canonical_id"),
+                 F.coalesce("_hops", F.lit(0)).cast("int").alias("hops")))
+    w = Window.partitionBy("canonical_id")
+    return m.select(
+        "doc_id", "canonical_id", "hops",
+        (F.col("doc_id") == F.col("canonical_id")).cast("int")
+        .alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_cluster"))

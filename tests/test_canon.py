@@ -43,3 +43,23 @@ def test_udf_matches_pure_fn(spark):
     df2 = spark.createDataFrame(urls, "u string")
     got2 = [r["h"] for r in df2.select(host_col(F.col("u")).alias("h")).collect()]
     assert got2 == [host_of(u[0]) for u in urls]
+
+
+def test_rel_canonical_chain_collapse(spark):
+    """Canonical declarations chain (30->25->20 terminal): every member
+    resolves to the terminal; non-declaring docs are self-canonical."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.hostrank import resolve_redirects
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    declaring = docs.where((F.col("doc_id") % 5 == 0)
+                           & (F.col("doc_id") % 20 != 0))
+    edges = declaring.select(
+        F.col("doc_id").cast("string").alias("src"),
+        (F.col("doc_id") - 5).cast("string").alias("dst"))
+    res = {int(r["src"]): (int(r["final"]), r["hops"], r["resolved"])
+           for r in resolve_redirects(edges, rounds=4).collect()}
+    assert res[35] == (20, 3, 1)
+    assert res[30] == (20, 2, 1)
+    assert res[25] == (20, 1, 1)
+    assert res[15] == (0, 3, 1)
+    assert 20 not in res and 0 not in res     # terminals declare nothing

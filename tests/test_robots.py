@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from crawler_spark.operators.robots import parse_robots, robots_allowed, path_of
 
 BODY = """
@@ -144,3 +146,26 @@ def test_e2e_crawl_with_named_agent_matches_oracle(spark, small_cfg):
                          respect_robots_txt=True)
     want2 = run_oracle(spec2, gen_pages(small_cfg), robots_src)
     assert want.seen != want2.seen
+
+
+def test_meta_robots_directive_forms(spark):
+    from crawler_spark.operators.robots import meta_robots_flags
+    rows = [(1, "noindex,nofollow"), (2, "NOFOLLOW"),
+            (3, " NoIndex , Follow "), (4, "none"), (5, "all"),
+            (6, ""), (7, "index, nofollow"), (8, "index,follow"),
+            (9, "noarchive,nosnippet"),      # unknown tokens ignored
+            (10, "nonefoo")]                 # 'none' must match exactly
+    d = spark.createDataFrame(rows, "i long, dir string")
+    out = {r["i"]: (r["f"]["indexable"], r["f"]["followable"])
+           for r in d.select("i", meta_robots_flags(F.col("dir"))
+                             .alias("f")).collect()}
+    assert out[1] == (0, 0)
+    assert out[2] == (1, 0)
+    assert out[3] == (0, 1)
+    assert out[4] == (0, 0)
+    assert out[5] == (1, 1)
+    assert out[6] == (1, 1)
+    assert out[7] == (1, 0)
+    assert out[8] == (1, 1)
+    assert out[9] == (1, 1)
+    assert out[10] == (1, 1)
