@@ -543,3 +543,90 @@ def range_search(emb: DataFrame, query: DataFrame, threshold: float,
                         F.col("qvec").cast("array<double>")), 4)
                     .alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def mips_topk(emb: DataFrame, query: DataFrame, k: int = 10,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Maximum-inner-product top-k (the retrieval objective for
+    dual-encoder rerankers and reward models, where vector NORM carries
+    signal and cosine is the wrong order). Same one-scan shape as
+    brute_force_topk: query batch broadcasts, one corpus pass, per-query
+    window on the ROUNDED score so the kept set is bit-stable
+    cross-engine.
+
+    Scale path: MIPS does not admit metric pruning directly — reduce it
+    to cosine via `augment_for_mips` (Bachrach et al., RecSys 2014:
+    append sqrt(M^2-|x|^2) to corpus vectors, 0 to queries; all
+    augmented corpus norms equal M, so cosine order == dot order) and
+    feed the augmented vectors to the IVF/LSH index paths (an2/an4).
+    Property-tested equal to this exact scan in test_similarity."""
+    from pyspark.sql import Window
+    q = F.broadcast(query.select(F.col(id_col).alias("qid"),
+                                 F.col(vec_col).alias("qvec")))
+    scored = (emb.crossJoin(q)
+              .where(F.col(id_col) != F.col("qid"))
+              .select("qid", F.col(id_col),
+                      F.round(dot_col(
+                          F.col(vec_col).cast("array<double>"),
+                          F.col("qvec").cast("array<double>")), 4)
+                      .alias("dot")))
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def augment_for_mips(emb: DataFrame, vec_col: str = "embedding",
+                     is_query: bool = False) -> DataFrame:
+    """MIPS->cosine reduction (norm augmentation): corpus vectors gain a
+    coordinate sqrt(M^2 - |x|^2) where M = max corpus norm (one scalar
+    agg — bounded driver traffic); query vectors gain a literal 0. All
+    augmented corpus norms equal M, so cosine ranking of the augmented
+    space IS inner-product ranking of the original. Output replaces
+    `vec_col` with the (dim+1)-wide array<double>."""
+    v = F.col(vec_col).cast("array<double>")
+    if is_query:
+        aug = F.concat(v, F.array(F.lit(0.0).cast("double")))
+        return emb.withColumn(vec_col, aug)
+    mx = emb.select(F.max(norm_col(v)).alias("m")).collect()[0]["m"]
+    extra = F.sqrt(F.greatest(F.lit(float(mx) ** 2) - dot_col(v, v),
+                              F.lit(0.0)))
+    return emb.withColumn(vec_col, F.concat(v, F.array(extra)))
+
+
+def knn_graph(emb: DataFrame, k: int = 5, cell_col: str | None = None,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """k-NN graph construction (the build step of graph ANN indexes —
+    HNSW base layer, NN-descent seed — and of graph-based corpus
+    curation like SemDeDup cluster seeding): every node's top-k cosine
+    neighbors, plus the MUTUAL flag (dst also ranks src in its own
+    top-k) used for edge symmetrization. Ranking runs on the ROUNDED
+    score (an1 discipline).
+
+    Scale shape: brute all-pairs is O(n^2) — pass `cell_col` (an IVF
+    coarse label, an2/km1) to restrict pair generation to within-cell,
+    the standard blocked kNN-graph build; each cell's pair set shuffles
+    on the cell key only. The mutual flag is one self-join of the edge
+    list on the reversed key — edges, not vectors, so it stays cheap."""
+    from pyspark.sql import Window
+    a = emb.select(F.col(id_col).alias("src"),
+                   F.col(vec_col).cast("array<double>").alias("va"),
+                   *([F.col(cell_col).alias("ca")] if cell_col else []))
+    b = emb.select(F.col(id_col).alias("dst"),
+                   F.col(vec_col).cast("array<double>").alias("vb"),
+                   *([F.col(cell_col).alias("cb")] if cell_col else []))
+    joined = (a.join(b, F.col("ca") == F.col("cb")) if cell_col
+              else a.crossJoin(b))
+    scored = (joined.where(F.col("src") != F.col("dst"))
+              .select("src", "dst",
+                      F.round(cosine_col(F.col("va"), F.col("vb")), 4)
+                      .alias("cosine")))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
+    edges = (scored.withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= k))
+    rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    mutual = (edges.join(rev.withColumn("_m", F.lit(1)).distinct(),
+                         ["src", "dst"], "left")
+              .select("src", "dst", "cosine", "rnk",
+                      F.coalesce("_m", F.lit(0)).cast("int")
+                      .alias("mutual")))
+    return mutual

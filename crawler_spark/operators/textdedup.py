@@ -598,3 +598,37 @@ def cdc_chunk_hashes(wh: Column, k: int = 4, mask: int = 16) -> Column:
                 lambda e: chunks_from(w, e)), 1)), 1)
 
     return F.element_at(F.transform(F.array(wh), body), 1)
+
+
+def edit_distance_pairs(docs: DataFrame, k: int = 3, prefix_len: int = 8,
+                        cap_len: int = 64, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Bounded-edit-distance near-dup pairs: the character-level dedup
+    signal MinHash misses (single-typo mirrors, OCR one-off variants,
+    boilerplate with one token swapped). Classic blocked ED-join shape
+    (Gravano et al., VLDB 2001): candidates must share the normalized
+    `prefix_len`-char prefix AND differ in length by <= k (both are
+    NECESSARY conditions for edit distance <= k when edits sit past the
+    prefix), then the O(len^2) Levenshtein verify runs ONLY on the
+    blocked candidates, over the `cap_len`-char normalized prefix.
+
+    Scale shape: blocking is one equi-join on the prefix key (hot
+    prefixes are template clusters — cap upstream like dd3's
+    max_bucket); the quadratic verify never sees unblocked pairs, and
+    `cap_len` bounds the per-pair cost constant. Emits
+    (id_a, id_b, dist) for dist <= k, id_a < id_b."""
+    n = F.substring(normalize_text(F.col(text_col)), 1, cap_len)
+    d = docs.select(F.col(id_col).alias("id"), n.alias("norm"),
+                    F.length(n).alias("len"),
+                    F.substring(n, 1, prefix_len).alias("blk"))
+    a = d.select(F.col("id").alias("id_a"), F.col("norm").alias("norm_a"),
+                 F.col("len").alias("len_a"), "blk")
+    b = d.select(F.col("id").alias("id_b"), F.col("norm").alias("norm_b"),
+                 F.col("len").alias("len_b"), "blk")
+    cand = (a.join(b, "blk")
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.abs(F.col("len_a") - F.col("len_b")) <= k)))
+    return (cand.select("id_a", "id_b",
+                        F.levenshtein("norm_a", "norm_b").cast("int")
+                        .alias("dist"))
+            .where(F.col("dist") <= k))

@@ -7124,3 +7124,135 @@ def p8_rel_canonical(spark, sf_dir):
         (F.col("doc_id") == F.col("canonical_id")).cast("int")
         .alias("is_canonical"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_cluster"))
+
+
+@q("dd17_edit_distance", """
+WITH base AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                1, 64) AS norm
+  FROM documents),
+corpus AS (
+  SELECT doc_id AS id, norm FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS id,
+         substr(norm, 1, 12) || '#' || substr(norm, 14, 64) AS norm
+  FROM base WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS id,
+         substr(norm, 1, 20) || substr(norm, 23, 64) AS norm
+  FROM base WHERE doc_id % 9 = 3),
+pre AS (
+  SELECT id,
+         substr(trim(regexp_replace(lower(norm), '\\s+', ' ', 'g')),
+                1, 64) AS n
+  FROM corpus),
+d AS (SELECT id, n, length(n) AS len, substr(n, 1, 8) AS blk FROM pre),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb
+  FROM d a JOIN d b ON a.blk = b.blk
+  WHERE a.id < b.id AND abs(a.len - b.len) <= 3),
+v AS (SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS dist
+      FROM cand)
+SELECT id_a, id_b, dist,
+       CAST(CASE WHEN id_b - id_a IN (1000000, 2000000) THEN 1 ELSE 0 END
+            AS INT) AS injected
+FROM v WHERE dist <= 3
+""")
+def dd17_edit_distance(spark, sf_dir):
+    """Blocked edit-distance near-dup join (Gravano-style prefix+length
+    blocking, Levenshtein verify only on candidates) — the char-level
+    dedup axis next to dd3's token-level MinHash: one-typo mirrors and
+    OCR variants hash to different shingle sets but sit at dist 1-2.
+    The fixture injects two variant classes per ninth doc (one
+    substitution at char 13; a two-char deletion at 21-22, which may
+    cascade one whitespace collapse — why k=3): the gate proves the
+    blocking RETAINS every injected pair (prefix-8 untouched, len diff
+    <= 3) while the verify prices only blocked candidates. `injected`
+    separates planted from natural word-salad collisions.
+    See operators/textdedup.edit_distance_pairs."""
+    from crawler_spark.operators.textdedup import (
+        edit_distance_pairs, normalize_text,
+    )
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id",
+                    F.substring(normalize_text(F.col("text")), 1, 64)
+                    .alias("norm"))
+    v1 = (base.where(F.col("doc_id") % 9 == 0)
+          .select((F.col("doc_id") + 1000000).alias("id"),
+                  F.concat(F.substring("norm", 1, 12), F.lit("#"),
+                           F.substring("norm", 14, 64)).alias("norm")))
+    v2 = (base.where(F.col("doc_id") % 9 == 3)
+          .select((F.col("doc_id") + 2000000).alias("id"),
+                  F.concat(F.substring("norm", 1, 20),
+                           F.substring("norm", 23, 64)).alias("norm")))
+    corpus = base.select(F.col("doc_id").alias("id"), "norm") \
+                 .unionByName(v1).unionByName(v2)
+    pairs = edit_distance_pairs(corpus, k=3, prefix_len=8, cap_len=64,
+                                id_col="id", text_col="norm")
+    return pairs.select(
+        "id_a", "id_b", "dist",
+        (F.col("id_b") - F.col("id_a")).isin(1000000, 2000000)
+        .cast("int").alias("injected"))
+
+
+@q("an11_mips_topk", """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id IN (3, 4, 5)),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_inner_product(e.embedding::DOUBLE[], q.qvec), 4) AS dot
+  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id, dot, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY dot DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 8
+""")
+def an11_mips_topk(spark, sf_dir):
+    """Maximum-inner-product top-8 for a 3-query batch — the retrieval
+    order for dual-encoder scorers where norm carries signal (reward
+    models, popularity-weighted retrieval) and cosine is wrong. Exact
+    one-scan baseline; the scale path is the norm-augmentation
+    reduction to cosine (augment_for_mips) feeding the an2/an4 index
+    plumbing, property-tested order-equal in test_similarity.
+    See operators/similarity.mips_topk."""
+    from crawler_spark.operators.similarity import mips_topk
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(3, 4, 5))
+    return mips_topk(e, qs, k=8)
+
+
+@q("an12_knn_graph", """
+WITH scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS cosine
+  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+edges AS (
+  SELECT src, dst, cosine, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY cosine DESC, dst) AS rnk
+    FROM scored)
+  WHERE rnk <= 4),
+mut AS (
+  SELECT e.src, e.dst, e.cosine, e.rnk,
+         CAST(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS mutual
+  FROM edges e LEFT JOIN (SELECT DISTINCT dst AS src, src AS dst
+                          FROM edges) r
+    ON e.src = r.src AND e.dst = r.dst)
+SELECT src, dst, cosine, rnk, mutual FROM mut
+""")
+def an12_knn_graph(spark, sf_dir):
+    """k-NN graph build (k=4) over the embedding corpus with the mutual
+    (symmetrization) flag — the base-layer construction step of graph
+    ANN indexes (HNSW/NN-descent seeds) and of SemDeDup-style cluster
+    curation. Ranking on the ROUNDED cosine (an1 discipline); the
+    mutual flag is one edge-list self-join on the reversed key —
+    edges, not vectors. Brute all-pairs here; at scale pass cell_col
+    (km1 coarse labels) to block pair generation within IVF cells.
+    See operators/similarity.knn_graph."""
+    from crawler_spark.operators.similarity import knn_graph
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_graph(e, k=4)

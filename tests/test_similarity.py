@@ -164,3 +164,73 @@ def test_range_search_threshold_and_rounding(spark):
     assert got[1] == 0.6
     assert 4 in got and got[4] > 0.99
     assert 2 not in got and 3 not in got and 0 not in got
+
+
+def test_mips_order_differs_from_cosine_when_norms_vary(spark):
+    # corpus: v1 aligned with q but tiny norm; v2 slightly off-axis but
+    # huge norm -> cosine prefers v1, MIPS must prefer v2.
+    from crawler_spark.operators.similarity import brute_force_topk, mips_topk
+    rows = [
+        (0, [1.0, 0.0, 0.0]),            # query
+        (1, [0.01, 0.0, 0.0]),           # perfect cosine, tiny dot
+        (2, [5.0, 2.0, 0.0]),            # cosine ~0.93, dot 5.0
+        (3, [0.0, 1.0, 0.0]),            # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 0)
+    mips = [r["vec_id"] for r in
+            mips_topk(emb, q, k=3).orderBy("rnk").collect()]
+    cos = [r["vec_id"] for r in
+           brute_force_topk(emb, q, k=3).orderBy("rnk").collect()]
+    assert mips[0] == 2 and cos[0] == 1
+    assert mips != cos
+
+
+def test_mips_augmentation_preserves_order(spark):
+    # cosine top-k over the augmented space == exact MIPS top-k
+    from crawler_spark.operators.similarity import (
+        augment_for_mips, brute_force_topk, mips_topk,
+    )
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8) * rng.uniform(0.1, 5)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {(r["qid"], r["rnk"]): r["vec_id"]
+             for r in mips_topk(emb, q, k=5).collect()}
+    aug_c = augment_for_mips(emb)
+    aug_q = augment_for_mips(q, is_query=True)
+    via_cos = {(r["qid"], r["rnk"]): r["vec_id"]
+               for r in brute_force_topk(aug_c, aug_q, k=5).collect()}
+    assert exact == via_cos
+
+
+def test_knn_graph_mutual_flag_is_symmetric_membership(spark):
+    from crawler_spark.operators.similarity import knn_graph
+    rng = np.random.default_rng(13)
+    rows = [(i, int(i % 2), [float(x) for x in rng.normal(size=8)])
+            for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    edges = knn_graph(emb, k=3).collect()
+    eset = {(r["src"], r["dst"]) for r in edges}
+    for r in edges:
+        assert r["mutual"] == (1 if (r["dst"], r["src"]) in eset else 0)
+    # per-node out-degree is exactly k
+    from collections import Counter
+    deg = Counter(s for s, _ in eset)
+    assert all(v == 3 for v in deg.values())
+
+
+def test_knn_graph_cell_blocking_restricts_pairs(spark):
+    from crawler_spark.operators.similarity import knn_graph
+    rng = np.random.default_rng(17)
+    rows = [(i, int(i % 3), [float(x) for x in rng.normal(size=8)])
+            for i in range(18)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    blocked = knn_graph(emb, k=2, cell_col="label").collect()
+    cell = {r[0]: r[1] for r in rows}
+    assert blocked
+    for r in blocked:
+        assert cell[r["src"]] == cell[r["dst"]]

@@ -325,3 +325,50 @@ def test_cdc_chunks_are_insert_stable(spark):
              .collect()}
     shared = got[0][:-1]          # all closed chunks of the original
     assert got[1][:len(shared)] == shared
+
+
+def test_edit_distance_pairs_blocking_is_lossless_for_small_k(spark):
+    # every true dist<=k pair whose edits sit past the prefix must
+    # survive blocking; far pairs and long-prefix-divergent pairs drop.
+    from crawler_spark.operators.textdedup import edit_distance_pairs
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # dist 3 to 1
+        (3, "the quick brown fox jumps over a lazy dog"),     # 1-word swap
+        (4, "completely unrelated text that shares nothing"),
+        (5, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_pairs(df, k=3).collect()}
+    assert got[(1, 5)] == 0
+    assert got[(1, 2)] == 3
+    assert (1, 4) not in got and (2, 4) not in got
+    # dist values are true Levenshtein (python reference)
+    def lev(a, b):
+        import numpy as np
+        m = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                       prev + (ca != cb))
+        return int(m[-1])
+    texts = {i: t for i, t in rows}
+    for (ia, ib), d in got.items():
+        assert d == lev(texts[ia][:64], texts[ib][:64])
+
+
+def test_edit_distance_pairs_normalization_and_cap(spark):
+    # case/whitespace variants are dist 0 after normalization; edits
+    # beyond cap_len are invisible by design.
+    from crawler_spark.operators.textdedup import edit_distance_pairs
+    long_a = "prefix shared " + "x" * 80
+    long_b = "prefix shared " + "x" * 60 + "y" * 40   # differs past cap 64
+    rows = [(1, "Hello   World"), (2, "hello world"),
+            (3, long_a), (4, long_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_pairs(df, k=2, cap_len=64).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(3, 4)] == 0

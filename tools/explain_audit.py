@@ -645,6 +645,19 @@ CHECKS = {
     "tx25_char_entropy": (["[codegen id :"],
                           ["Exchange", "BatchEvalPython",
                            "ArrowEvalPython"]),
+    # blocked ED-join: prefix-key equi-join (shuffle on blk), Levenshtein
+    # verify codegen-side on candidates only — never a cartesian
+    "dd17_edit_distance": (["levenshtein"],
+                           ["CartesianProduct", "BatchEvalPython",
+                            "ArrowEvalPython"]),
+    # MIPS: broadcast query batch over one corpus scan (BNLJ, no cartesian)
+    "an11_mips_topk": (["BroadcastNestedLoopJoin"],
+                       ["CartesianProduct", "BatchEvalPython"]),
+    # kNN graph: mutual flag joins EDGES (n*k rows, key-shuffled — NOT
+    # broadcast: at 10^10 nodes the edge list dwarfs the driver), and the
+    # all-pairs scorer is the broadcast-NL corpus scan, never a cartesian
+    "an12_knn_graph": (["Window"],
+                       ["CartesianProduct", "BatchEvalPython"]),
 }
 
 def plan_text(df) -> str:
