@@ -658,6 +658,31 @@ CHECKS = {
     # all-pairs scorer is the broadcast-NL corpus scan, never a cartesian
     "an12_knn_graph": (["Window"],
                        ["CartesianProduct", "BatchEvalPython"]),
+    # interval-overlap: two-sided bucket-expansion EQUI-join — the per-key
+    # inequality nested-loop/cartesian must never appear (j8 discipline)
+    "j9_interval_overlap": ([], ["BroadcastNestedLoopJoin",
+                                 "CartesianProduct", "BatchEvalPython",
+                                 "ArrowEvalPython"]),
+    # CUBE marginals: ONE Expand + one partial-agged exchange, not four
+    # scans of the corpus; never Python
+    "a9_metrics_cube": (["Expand", "partial_count"],
+                        ["BatchEvalPython", "ArrowEvalPython", "Join"]),
+    # range search: broadcast query batch over ONE corpus scan (BNLJ is
+    # the broadcast form), never a shuffled cartesian
+    "an10_range_search": (["BroadcastNestedLoopJoin"],
+                          ["CartesianProduct", "BatchEvalPython"]),
+    # dHash buckets: decode island is the shared mapInPandas kernel; the
+    # bit algebra + bucket window are JVM-side (no per-row Python)
+    "mm13_dhash_buckets": (["MapInPandas", "Window"],
+                           ["BatchEvalPython"]),
+    # meta robots: pure token algebra over one split — map-side only
+    "f13_meta_robots": (["[codegen id :"],
+                        ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
+    # rel=canonical collapse: pointer doubling's final plan reads the
+    # per-round lineage cuts; cluster rollup is one keyed window
+    "p8_rel_canonical": (["Window"],
+                         ["CartesianProduct", "BatchEvalPython",
+                          "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
