@@ -1264,3 +1264,52 @@ def katz_oracle_sql(edges_cte: str, iters: int = 4,
             f"AS x FROM h LEFT JOIN m{k} m USING (host))")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT host, round(x, 4) AS katz FROM x{iters}")
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman-Girvan modularity contributions over the
+    undirected simple host graph: Q_c = e_c/m - (d_c/(2m))^2, so that
+    sum(q_contrib) is the partition's modularity Q — the standard
+    quality score for a community assignment (Newman, PNAS 2006). Run
+    over lpa_communities' labels it tells a crawl scheduler whether the
+    detected site-networks are real (dense inside, sparse outside) or
+    an artifact worth ignoring when allocating per-"site" budget.
+
+    `labels` is (host, community). Returns one row per community:
+    (community, n_hosts, e_in, d_sum, q_contrib rounded 4).
+
+    Scale shape: the undirected simple edge set is one distinct at edge
+    cardinality; degrees are one partial-agged shuffle; e_c needs the
+    edge list joined to labels TWICE (host-keyed equi-joins — labels
+    are host-cardinality, 2-3 orders below edges, so AQE broadcasts
+    them); rollups are community-cardinality. The only scalar (m) is a
+    one-row broadcast. No window, no iteration — the iterative cost
+    lives in the label producer."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (e.select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+           .distinct())
+    m = und.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    deg = (und.select(F.col("a").alias("host"))
+           .unionByName(und.select(F.col("b").alias("host")))
+           .groupBy("host").agg(F.count(F.lit(1)).alias("d")))
+    dc = (labels.join(deg, "host")
+          .groupBy("community")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"),
+               F.sum("d").cast("long").alias("d_sum")))
+    la = labels.select(F.col("host").alias("a"),
+                       F.col("community").alias("_ca"))
+    lb = labels.select(F.col("host").alias("b"),
+                       F.col("community").alias("_cb"))
+    ec = (und.join(la, "a").join(lb, "b")
+          .where(F.col("_ca") == F.col("_cb"))
+          .groupBy(F.col("_ca").alias("community"))
+          .agg(F.count(F.lit(1)).cast("long").alias("e_in")))
+    half = F.col("d_sum") / (2 * F.col("m"))
+    return (dc.join(ec, "community", "left")
+            .crossJoin(F.broadcast(m))
+            .select("community", "n_hosts",
+                    F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+                    "d_sum",
+                    F.round(F.coalesce("e_in", F.lit(0)) / F.col("m")
+                            - half * half, 4).alias("q_contrib")))

@@ -120,3 +120,45 @@ def dsir_logweights(docs: DataFrame, is_target, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_words"),
                  F.round(F.sum("lr"), 4).alias("logweight")))
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's
+    distinct word n-grams appear in NO other document — the
+    memorization/boilerplate axis (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" measure near-dup damage
+    through exactly this repeated-n-gram lens; Carlini et al. 2023 use
+    corpus n-gram frequency as the memorization-risk proxy). Low
+    novelty = templated/duplicated text that inflates memorization;
+    the px1-style gates compose it as a keep predicate.
+
+    Output: (id, n_grams, n_novel, novelty) where n_grams counts the
+    doc's DISTINCT n-grams, n_novel those with corpus df == 1, and
+    novelty = round(n_novel / n_grams, 4). Docs shorter than n words
+    contribute their whole text as one gram (the shingles_from_words
+    contract, shared with dd3/dd4).
+
+    Scale shape (100 TB): grams are per-doc DISTINCT before they ever
+    hit the wire (array_distinct map-side — a boilerplate line repeated
+    1000x inside one doc is one row); df is ONE partial-agged shuffle
+    on gram; the join back to (doc, gram) is the same equi-shuffle
+    reused by Catalyst (both sides hash on gram). Per-doc rollup is an
+    even doc_id-keyed agg. No driver state, no window, no skew hazard
+    beyond the Zipf gram head that map-side combine absorbs.
+    See textdedup.shingles_from_words for the gram contract."""
+    from crawler_spark.operators.textdedup import words_col, \
+        shingles_from_words
+    bound = F.transform(F.array(words_col(F.col(text_col))),
+                        lambda w: shingles_from_words(w, n))
+    grams = docs.select(F.col(id_col).alias("_id"),
+                        F.explode(F.element_at(bound, 1)).alias("gram"))
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    return (grams.join(df, "gram")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum((F.col("_df") == 1).cast("long")).cast("long")
+                  .alias("n_novel"))
+            .select(F.col("_id").alias(id_col), "n_grams", "n_novel",
+                    F.round(F.col("n_novel") / F.col("n_grams"), 4)
+                     .alias("novelty")))

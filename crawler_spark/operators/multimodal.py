@@ -260,3 +260,50 @@ def frame_byte_sums(df: DataFrame, every_n: int = 2, n_frames: int = 8,
 
     return df.withColumn(bin_col, F.col(bin_col).cast("binary")) \
              .mapInPandas(_sums, out_schema)
+
+
+# Standard training aspect-ratio buckets (NovelAI/SDXL-style bucketed
+# batching): (name, bw, bh). _ASPECT_LCM is the lcm of the bh values so
+# the nearest-ratio test stays in EXACT integer arithmetic: for a given
+# (w, h), err(bucket) = |w*bh - h*bw| * (LCM/bh) is proportional to
+# |w/h - bw/bh| with a bucket-independent factor (h * LCM) — so argmin
+# over buckets is the true nearest ratio, no float division anywhere.
+ASPECT_BUCKETS: list[tuple[str, int, int]] = [
+    ("1:1", 1, 1), ("4:3", 4, 3), ("3:2", 3, 2), ("16:9", 16, 9),
+    ("9:16", 9, 16), ("3:4", 3, 4), ("2:3", 2, 3),
+]
+_ASPECT_LCM = 144
+
+
+def _aspect_errs(w, h, mk):
+    """Shared err-term builder: mk(bw, bh) -> engine/SQL term."""
+    return [(name, mk(bw, bh)) for name, bw, bh in ASPECT_BUCKETS]
+
+
+def aspect_bucket_col(w: F.Column, h: F.Column) -> F.Column:
+    """Nearest standard aspect bucket for integer (w, h) — ties go to
+    the earliest bucket in ASPECT_BUCKETS order. Pure codegen integer
+    algebra, map-side."""
+    errs = _aspect_errs(
+        w, h, lambda bw, bh: F.abs(w * F.lit(bh) - h * F.lit(bw))
+        * F.lit(_ASPECT_LCM // bh))
+    best = F.least(*[e for _, e in errs])
+    out = None
+    for name, e in reversed(errs):
+        cond = e == best
+        out = F.when(cond, F.lit(name)) if out is None \
+            else F.when(cond, F.lit(name)).otherwise(out)
+    # reversed + overwrite-by-earlier gives first-match-wins
+    return out
+
+
+def aspect_bucket_sql(w: str, h: str) -> str:
+    """DuckDB twin of `aspect_bucket_col` (same err terms, same
+    first-match tie-break via an ordered CASE over err = min)."""
+    errs = _aspect_errs(
+        w, h, lambda bw, bh: f"abs(({w})*{bh} - ({h})*{bw})"
+        f"*{_ASPECT_LCM // bh}")
+    least = "least(" + ", ".join(e for _, e in errs) + ")"
+    cases = " ".join(f"WHEN {e} = {least} THEN '{name}'"
+                     for name, e in errs)
+    return f"CASE {cases} END"

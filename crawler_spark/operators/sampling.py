@@ -390,3 +390,30 @@ def fim_transform(df: DataFrame, text_col: str = "text",
         F.length(mid).cast("long").alias("len_middle"),
         F.length(suf).cast("long").alias("len_suffix"),
         F.md5(F.encode(out, "UTF-8")).alias("out_md5"))
+
+
+def curriculum_order(df: DataFrame, phase: Column, key: Column,
+                     id_col: str = "doc_id",
+                     n_blocks: int = 32) -> DataFrame:
+    """Curriculum training order: a GLOBAL sample position for every
+    row such that phases come out in ascending order (easy -> hard, the
+    curriculum-learning schedule of Bengio et al., ICML 2009) while
+    rows WITHIN a phase stream in content-stable shuffled order (the
+    px8 md5-coin discipline — correlated neighbors from crawl locality
+    must not land adjacent in the training stream).
+
+    Output: df + (phase INT, pos BIGINT), pos a dense 1-based global
+    rank over (phase, md5(key), id).
+
+    Scale shape: this is exactly ONE `global_rank` — range-partition by
+    (phase, coin) into ordered blocks, rank block-locally in parallel,
+    broadcast the n_blocks-row exclusive-cumsum offsets back. No
+    single-task window, no driver materialization; the phase column
+    rides along as the leading sort key, so phase boundaries fall
+    wherever the sampled range boundaries land — correctness never
+    depends on phases being partition-aligned."""
+    z = (df.withColumn("phase", phase.cast("int"))
+         .withColumn("_mk", F.md5(key)))
+    out = global_rank(z, [F.col("phase"), F.col("_mk"), F.col(id_col)],
+                      n_blocks=n_blocks, out_col="pos")
+    return out.drop("_mk")

@@ -150,3 +150,48 @@ def scope_filter(df: DataFrame, host: Column, seed_hosts: list[str],
         return h.map(lambda x: _scope_ok_set(x, s, k, subdomains, tld))
 
     return df.where(_ok(host))
+
+
+def trap_signals(path: Column) -> Column:
+    """Crawler-trap signals from a URL path — the per-URL gate against
+    infinite URL spaces (calendar pages, session-id mazes, cyclically
+    repeating directory structures) that robots.txt and the f9 template
+    miner only catch after the budget is already burned. Classic
+    heuristics (Heydon & Najork's Mercator reports path cycles as the
+    canonical trap; see also the IRLbot "spider trap" budget rules):
+
+      depth        — number of path segments,
+      n_rep_pairs  — adjacent segment PAIRS seen more than once
+                     ("/a/b/a/b" -> the cycle signature),
+      rep_ratio    — 1 - distinct_segments/segments, rounded 4,
+      is_trap      — depth >= 8 OR n_rep_pairs >= 2 OR rep_ratio >= 0.5.
+
+    Pure let-bound HOF algebra over one split — map-side, zero shuffle,
+    no Python; safe to run on every frontier candidate every wave.
+    Returns a struct (depth, n_rep_pairs, rep_ratio, is_trap)."""
+    def build(segs: Column) -> Column:
+        n = F.size(segs)
+        pairs = F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(segs, i), F.lit("/"),
+                               F.element_at(segs, i + 1)))
+        n_rep_pairs = F.when(
+            n >= 2,
+            F.size(pairs) - F.size(F.array_distinct(pairs))
+        ).otherwise(F.lit(0)).cast("int")
+        rep_ratio = F.when(
+            n > 0,
+            F.round(1.0 - F.size(F.array_distinct(segs)) / n, 4)
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n.cast("int").alias("depth"),
+            n_rep_pairs.alias("n_rep_pairs"),
+            rep_ratio.alias("rep_ratio"),
+            ((n >= 8) | (n_rep_pairs >= 2) | (rep_ratio >= 0.5))
+            .cast("int").alias("is_trap"))
+
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    # let-bind via single-element transform (NOTES fact #1): the split
+    # evaluates once per row, not once per signal
+    bound = F.transform(F.array(segs), lambda s: build(s))
+    return F.element_at(bound, 1)

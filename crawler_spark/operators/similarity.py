@@ -630,3 +630,122 @@ def knn_graph(emb: DataFrame, k: int = 5, cell_col: str | None = None,
                       F.coalesce("_m", F.lit(0)).cast("int")
                       .alias("mutual")))
     return mutual
+
+
+def mmr_rerank(emb: DataFrame, query: DataFrame, shortlist_k: int = 8,
+               picks: int = 4, lam: float = 0.7, mu: float = 0.3,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick `picks` results from the top-`shortlist_k`
+    relevance shortlist, each round taking argmax of
+    lam*rel(c) - mu*max_{s in selected} sim(c, s) — the diversity
+    selector that keeps a near-dup-heavy corpus from filling all k
+    retrieval slots with the same passage (RAG serving and SemDeDup-
+    style exemplar picks both end in exactly this step).
+
+    lam/mu are SEPARATE parameters (not mu = 1-lam) so both engines
+    hash-agree: Python's 1-0.7 is 0.30000000000000004, a different
+    double than the SQL literal 0.3.
+
+    Returns (qid, vec_id, pick, mmr): pick 1 is pure relevance, pick
+    t's mmr is round(lam*rel - mu*maxsim, 4) over ROUNDED rel/sim
+    inputs (the an1 discipline), tie-broken by vec_id.
+
+    Scale shape: the shortlist is one brute/IVF top-k (broadcast query
+    batch, one corpus scan); everything after runs on q*k rows — the
+    candidate-pair sim table is q*k*(k-1) rows built by two id-joins
+    back to the vectors, checkpointed once; each greedy round is a
+    left-anti + equi-join + partial-agged max + per-qid window over
+    <= k rows. Driver never sees data; rounds are O(picks), not O(n)."""
+    from pyspark.sql import Window
+    cands = brute_force_topk(emb, query, k=shortlist_k,
+                             vec_col=vec_col, id_col=id_col) \
+        .select("qid", id_col, F.col("cosine").alias("rel")) \
+        .localCheckpoint(eager=True)
+    va = emb.select(F.col(id_col).alias("_a"),
+                    F.col(vec_col).cast("array<double>").alias("_va"))
+    vb = emb.select(F.col(id_col).alias("_b"),
+                    F.col(vec_col).cast("array<double>").alias("_vb"))
+    ca = cands.select("qid", F.col(id_col).alias("_a"))
+    cb = cands.select("qid", F.col(id_col).alias("_b"))
+    sims = (ca.join(cb, "qid")
+            .where(F.col("_a") != F.col("_b"))
+            .join(va, "_a").join(vb, "_b")
+            .select("qid", "_a", "_b",
+                    F.round(cosine_col(F.col("_va"), F.col("_vb")), 4)
+                     .alias("sim"))
+            .localCheckpoint(eager=True))
+    w = Window.partitionBy("qid").orderBy(F.desc("mmr"), F.col(id_col))
+    sel = (cands.withColumn("mmr", F.col("rel"))
+           .withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select("qid", id_col, F.lit(1).cast("int").alias("pick"),
+                   "mmr"))
+    for t in range(2, picks + 1):
+        rem = cands.join(sel.select("qid", id_col), ["qid", id_col],
+                         "left_anti")
+        ms = (rem.select("qid", F.col(id_col).alias("_a"), "rel")
+              .join(sel.select("qid", F.col(id_col).alias("_b")), "qid")
+              .join(sims, ["qid", "_a", "_b"])
+              .groupBy("qid", "_a")
+              .agg(F.max("rel").alias("rel"),
+                   F.max("sim").alias("maxsim")))
+        nxt = (ms.select("qid", F.col("_a").alias(id_col),
+                         F.round(F.lit(lam) * F.col("rel")
+                                 - F.lit(mu) * F.col("maxsim"), 4)
+                          .alias("mmr"))
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1)
+               .select("qid", id_col, F.lit(t).cast("int").alias("pick"),
+                       "mmr"))
+        sel = sel.unionByName(nxt).localCheckpoint(eager=True)
+    return sel
+
+
+def mmr_oracle_sql(qids: list[int], shortlist_k: int = 8, picks: int = 4,
+                   lam: float = 0.7, mu: float = 0.3) -> str:
+    """DuckDB twin of `mmr_rerank` over the embeddings view: the same
+    shortlist, pair-sim table, and unrolled greedy rounds."""
+    inq = ", ".join(str(q) for q in qids)
+    mexpr = f"round({lam!r}*rel - {mu!r}*maxsim, 4)"
+    ctes = [f"""q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+       FROM embeddings WHERE vec_id IN ({inq}))""",
+            """sc AS (SELECT q.qid, e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4)
+         AS rel
+       FROM embeddings e, q WHERE e.vec_id <> q.qid)""",
+            f"""cand AS (SELECT qid, vec_id, rel FROM (
+       SELECT *, row_number() OVER (PARTITION BY qid
+                                    ORDER BY rel DESC, vec_id) AS rnk
+       FROM sc) WHERE rnk <= {shortlist_k})""",
+            """sims AS (SELECT a.qid, a.vec_id AS sa, b.vec_id AS sb,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 4) AS sim
+       FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+       JOIN embeddings ea ON ea.vec_id = a.vec_id
+       JOIN embeddings eb ON eb.vec_id = b.vec_id)""",
+            """sel1 AS (SELECT qid, vec_id, 1 AS pick, rel AS mmr FROM (
+       SELECT *, row_number() OVER (PARTITION BY qid
+                                    ORDER BY rel DESC, vec_id) AS rnk
+       FROM cand) WHERE rnk = 1)"""]
+    for t in range(2, picks + 1):
+        prev = f"sel{t-1}"
+        ctes.append(f"""r{t} AS (SELECT c.qid, c.vec_id, max(c.rel) AS rel,
+       max(s.sim) AS maxsim
+       FROM cand c
+       JOIN sims s ON s.qid = c.qid AND s.sa = c.vec_id
+       JOIN {prev} p ON p.qid = s.qid AND p.vec_id = s.sb
+       WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                         WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+       GROUP BY c.qid, c.vec_id)""")
+        ctes.append(f"""pk{t} AS (SELECT qid, vec_id, {t} AS pick, mmr FROM (
+       SELECT qid, vec_id, {mexpr} AS mmr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY {mexpr} DESC, vec_id) AS rnk
+       FROM r{t}) WHERE rnk = 1)""")
+        ctes.append(f"""sel{t} AS (SELECT qid, vec_id, pick, mmr FROM {prev}
+       UNION ALL SELECT qid, vec_id, pick, mmr FROM pk{t})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT qid, vec_id, CAST(pick AS INT) AS pick, mmr "
+              f"FROM sel{picks}")

@@ -7256,3 +7256,262 @@ def an12_knn_graph(spark, sf_dir):
     from crawler_spark.operators.similarity import knn_graph
     e = _t(spark, sf_dir, "embeddings")
     return knn_graph(e, k=4)
+
+
+@q("tx27_ngram_novelty", """
+WITH sh AS (""" + _SHINGLE_SQL + """),
+g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+             4) AS novelty
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+""")
+def tx27_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the fraction of a doc's distinct
+    word trigrams that no other document shares — the memorization/
+    boilerplate axis of Lee et al. 2022 (repeated n-grams are what
+    near-dup training data burns compute re-learning) as a per-doc
+    keep signal. Grams are per-doc DISTINCT map-side before the ONE
+    df shuffle; the join back reuses the same gram hashing. See
+    operators/langmodel.ngram_novelty."""
+    from crawler_spark.operators.langmodel import ngram_novelty
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+@q("j10_bloom_prune_join", """
+WITH dim AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5('0:' || user_id), 1, 8))::BIGINT % 64
+         AS pos FROM dim
+  UNION
+  SELECT ('0x' || substr(md5('1:' || user_id), 1, 8))::BIGINT % 64
+  FROM dim),
+u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+p AS (SELECT user_id, n_events FROM u
+      WHERE ('0x' || substr(md5('0:' || user_id), 1, 8))::BIGINT % 64
+              IN (SELECT pos FROM bits)
+        AND ('0x' || substr(md5('1:' || user_id), 1, 8))::BIGINT % 64
+              IN (SELECT pos FROM bits))
+SELECT p.user_id, p.n_events,
+       CAST(d.user_id IS NOT NULL AS INT) AS in_dim,
+       CAST(CASE WHEN d.user_id IS NOT NULL THEN p.user_id % 5 ELSE -1 END
+            AS INT) AS segment
+FROM p LEFT JOIN dim d USING (user_id)
+""")
+def j10_bloom_prune_join(spark, sf_dir):
+    """Bloom-pruned fact-dim join: the runtime row-level filter that
+    bounds shuffle volume when a 10^10-row fact joins a small dim —
+    fact rows whose key cannot be in the dim are dropped MAP-SIDE by a
+    packed-bitmask test before any wire traffic (Spark 3.3's bloom
+    join rewrite, made explicit so the prune also guards the
+    aggregation placed before the join). The filter is deliberately
+    tiny (m=64, k=2) so Bloom FALSE POSITIVES survive the prune and
+    sit under the hash gate: in_dim separates true matches from FPs
+    the exact join would drop. See operators/joins.bloom_prune_join."""
+    from crawler_spark.operators.joins import bloom_prune_join
+    e = _t(spark, sf_dir, "events")
+    dim = e.select("user_id").where(F.col("user_id") % 37 == 0).distinct()
+    pruned = bloom_prune_join(e.select("user_id"), dim, "user_id",
+                              m=64, k=2)
+    agg = (pruned.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    d2 = dim.withColumn("_in", F.lit(1))
+    return (agg.join(F.broadcast(d2), "user_id", "left")
+            .select("user_id", "n_events",
+                    F.col("_in").isNotNull().cast("int").alias("in_dim"),
+                    F.when(F.col("_in").isNotNull(),
+                           F.col("user_id") % 5)
+                     .otherwise(F.lit(-1)).cast("int").alias("segment")))
+
+
+@q("px13_curriculum", """
+WITH z AS (SELECT doc_id,
+                  CAST(least(3, n_chars // 400) AS INT) AS phase,
+                  md5('cur/' || doc_id) AS mk
+           FROM documents)
+SELECT doc_id, phase,
+       CAST(row_number() OVER (ORDER BY phase, mk, doc_id) AS BIGINT) AS pos
+FROM z
+""")
+def px13_curriculum(spark, sf_dir):
+    """Curriculum training order (Bengio et al. 2009): 4 length-band
+    phases stream easy->hard, rows WITHIN a phase in content-stable
+    md5-shuffled order (crawl-locality decorrelation, the px8
+    discipline). The global position comes from the DISTRIBUTED
+    global_rank (block-local ranks + broadcast offset cumsum) — the
+    oracle's single-partition ORDER BY window is exactly what the
+    engine must never plan. See operators/sampling.curriculum_order."""
+    from crawler_spark.operators.sampling import curriculum_order
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = curriculum_order(
+        d, F.least(F.lit(3), F.floor(F.col("n_chars") / 400)),
+        F.concat(F.lit("cur/"), F.col("doc_id")), n_blocks=16)
+    return out.select("doc_id", "phase", "pos")
+
+
+@q("g28_modularity", """
+WITH lab AS (""" + lpa_oracle_sql(_G13_EDGES_SQL, iters=4) + """),
+e0 AS (SELECT DISTINCT src, dst FROM (""" + _G13_EDGES_SQL + """)
+       WHERE src <> dst),
+up AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e0),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM up),
+deg AS (SELECT h AS host, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS h FROM up UNION ALL SELECT b AS h FROM up)
+        GROUP BY 1),
+dc AS (SELECT l.community, CAST(count(*) AS BIGINT) AS n_hosts,
+              CAST(sum(deg.d) AS BIGINT) AS d_sum
+       FROM lab l JOIN deg ON deg.host = l.host GROUP BY 1),
+ec AS (SELECT la.community, CAST(count(*) AS BIGINT) AS e_in
+       FROM up JOIN lab la ON la.host = up.a
+               JOIN lab lb ON lb.host = up.b
+       WHERE la.community = lb.community GROUP BY 1)
+SELECT dc.community, dc.n_hosts, COALESCE(ec.e_in, 0) AS e_in, dc.d_sum,
+       round(COALESCE(ec.e_in, 0) / mm.m
+             - (dc.d_sum / (2 * mm.m)) * (dc.d_sum / (2 * mm.m)), 4)
+         AS q_contrib
+FROM dc LEFT JOIN ec USING (community) CROSS JOIN mm
+""")
+def g28_modularity(spark, sf_dir):
+    """Newman modularity per g14 community — the quality gate on the
+    community structure itself (is the detected "site network" dense
+    inside and sparse outside, or an LPA artifact?). sum(q_contrib) is
+    the partition's Q. Labels re-derive from the same g13 sparse graph;
+    the oracle nests the unrolled LPA CTE so label assignment AND the
+    modularity algebra both sit under the hash gate. See
+    operators/hostrank.modularity."""
+    from crawler_spark.operators.hostrank import lpa_communities, modularity
+    d = _t(spark, sf_dir, "documents")
+    h = lambda c: F.concat(F.lit("h"), (c % 211).cast("string"))  # noqa: E731
+    e1 = (d.where(F.col("doc_id") % 2 == 0)
+          .select(h(F.col("doc_id")).alias("src"),
+                  h(F.col("doc_id") * 13 + 5).alias("dst")))
+    e2 = (d.where(F.col("doc_id") % 5 == 0)
+          .select(h(F.col("doc_id") * 17 + 3).alias("src"),
+                  h(F.col("doc_id") * 29 + 11).alias("dst")))
+    edges = e1.unionByName(e2)
+    labels = lpa_communities(edges, iters=4)
+    return modularity(edges, labels)
+
+
+from crawler_spark.operators.multimodal import aspect_bucket_sql  # noqa: E402
+
+
+@q("mm14_aspect_buckets", """
+WITH d AS (SELECT doc_id,
+                  CAST(160 + (doc_id * 37) % 800 AS BIGINT) AS width,
+                  CAST(90 + (doc_id * 53) % 900 AS BIGINT) AS height
+           FROM documents),
+b AS (SELECT doc_id, width, height,
+             """ + aspect_bucket_sql("width", "height") + """ AS bucket,
+             md5('ab/' || doc_id) AS mk
+      FROM d)
+SELECT doc_id, width, height, bucket,
+       CAST((row_number() OVER (PARTITION BY bucket ORDER BY mk, doc_id)
+             - 1) // 32 + 1 AS BIGINT) AS batch_id
+FROM b
+""")
+def mm14_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio bucketed batching for image training (the NovelAI/
+    SDXL bucketing scheme): each media item goes to its nearest
+    standard aspect bucket by EXACT integer cross-multiplication (no
+    float ratios), then gets a batch id from a content-stable shuffled
+    rank within its bucket, 32 items per batch — so every training
+    batch crops/pads to ONE shape. Dims derive deterministically from
+    doc_id (the metadata path: bucketing needs width/height, never
+    pixels). The per-bucket rank is the DISTRIBUTED keyed_global_rank
+    — a handful of buckets over 10^9 images is exactly the few-huge-
+    keys regime where a naive per-key window collapses to one task per
+    bucket. See operators/multimodal.aspect_bucket_col."""
+    from crawler_spark.operators.multimodal import aspect_bucket_col
+    from crawler_spark.operators.sampling import keyed_global_rank
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    dims = d.select(
+        "doc_id",
+        (160 + (F.col("doc_id") * 37) % 800).cast("long").alias("width"),
+        (90 + (F.col("doc_id") * 53) % 900).cast("long").alias("height"))
+    z = (dims
+         .withColumn("bucket", aspect_bucket_col(F.col("width"),
+                                                 F.col("height")))
+         .withColumn("_mk", F.md5(F.concat(F.lit("ab/"), F.col("doc_id")))))
+    ranked = keyed_global_rank(z, ["bucket"],
+                               [F.col("_mk"), F.col("doc_id")],
+                               n_blocks=16, out_col="_rn")
+    return ranked.select(
+        "doc_id", "width", "height", "bucket",
+        (F.floor((F.col("_rn") - 1) / 32) + 1).cast("long")
+        .alias("batch_id"))
+
+
+@q("f14_trap_segments", """
+WITH d AS (SELECT doc_id,
+                  list_transform(range(0, 2 + doc_id % 4),
+                    i -> 's' || CAST((doc_id * (i + 3) + i) % 11 AS VARCHAR))
+                    AS base
+           FROM documents),
+s AS (SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN list_concat(base, base)
+                  ELSE base END AS segs
+      FROM d),
+m AS (SELECT doc_id, len(segs) AS n,
+             len(list_transform(range(0, len(segs) - 1),
+                                i -> segs[i+1] || '/' || segs[i+2]))
+             - len(list_distinct(list_transform(range(0, len(segs) - 1),
+                                i -> segs[i+1] || '/' || segs[i+2])))
+               AS n_rep_pairs,
+             round(1.0 - len(list_distinct(segs)) * 1.0 / len(segs), 4)
+               AS rep_ratio
+      FROM s)
+SELECT doc_id, CAST(n AS INT) AS depth,
+       CAST(n_rep_pairs AS INT) AS n_rep_pairs, rep_ratio,
+       CAST(n >= 8 OR n_rep_pairs >= 2 OR rep_ratio >= 0.5 AS INT) AS is_trap
+FROM m
+""")
+def f14_trap_segments(spark, sf_dir):
+    """Crawler-trap gate from URL path structure (Mercator's path-cycle
+    traps; IRLbot's budget rules): depth, repeated adjacent segment
+    PAIRS (the "/a/b/a/b" cycle signature), and segment repetition
+    ratio, combined into an is_trap admission gate. The fixture
+    synthesizes paths from doc_id with every 13th doc a cycle trap
+    (path doubled). Pure let-bound HOF algebra over one split —
+    map-side, zero shuffle, priced per frontier candidate per wave.
+    See operators/scope.trap_signals."""
+    from crawler_spark.operators.scope import trap_signals
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    seg = F.transform(
+        F.sequence(F.lit(0), (1 + F.col("doc_id") % 4).cast("int")),
+        lambda i: F.concat(F.lit("s"),
+                           ((F.col("doc_id") * (i + 3) + i) % 11)
+                           .cast("string")))
+    segs = F.when(F.col("doc_id") % 13 == 0, F.concat(seg, seg)) \
+            .otherwise(seg)
+    path = F.concat(F.lit("/"), F.array_join(segs, "/"))
+    out = d.select("doc_id", trap_signals(path).alias("_t"))
+    return out.select(
+        "doc_id", F.col("_t.depth").alias("depth"),
+        F.col("_t.n_rep_pairs").alias("n_rep_pairs"),
+        F.col("_t.rep_ratio").alias("rep_ratio"),
+        F.col("_t.is_trap").alias("is_trap"))
+
+
+from crawler_spark.operators.similarity import mmr_oracle_sql  # noqa: E402
+
+
+@q("an13_mmr_rerank", mmr_oracle_sql([3, 4, 5], shortlist_k=8, picks=4))
+def an13_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (Carbonell & Goldstein 1998) of the
+    an1 shortlist: 4 greedy picks from the top-8, each maximizing
+    0.7*relevance - 0.3*max-sim-to-selected — the anti-redundancy
+    selector RAG serving puts after ANN retrieval, and the exemplar
+    picker SemDeDup-style curation ends with. The greedy argmax rounds
+    run as per-qid windows over the k-row shortlist; the oracle
+    unrolls the identical rounds. See operators/similarity.mmr_rerank."""
+    from crawler_spark.operators.similarity import mmr_rerank
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(3, 4, 5))
+    return mmr_rerank(e, qs, shortlist_k=8, picks=4)

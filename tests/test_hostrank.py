@@ -457,3 +457,44 @@ def test_hyperanf_linear_counting_accuracy(spark):
         row = rows[("hub", r)]
         lc = 256 * math.log(256 / row.zero_regs)
         assert abs(lc - n) <= max(3, 0.15 * n), (r, lc, n)
+
+
+def test_modularity_two_cliques(spark):
+    """Two disjoint triangles labelled by component: each contributes
+    3/6 - (6/12)^2 = 0.25; Q = 0.5."""
+    from crawler_spark.operators.hostrank import modularity
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(tri1 + tri2, "src string, dst string")
+    labels = spark.createDataFrame(
+        [(h, "c1") for h in "abc"] + [(h, "c2") for h in "xyz"],
+        "host string, community string")
+    out = {r["community"]: r for r in modularity(edges, labels).collect()}
+    for c in ("c1", "c2"):
+        assert out[c]["n_hosts"] == 3 and out[c]["e_in"] == 3
+        assert out[c]["d_sum"] == 6 and out[c]["q_contrib"] == 0.25
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community -> Q = 1 - 1 = 0 (the null model)."""
+    from crawler_spark.operators.hostrank import modularity
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    labels = spark.createDataFrame([(h, "all") for h in "abcd"],
+                                   "host string, community string")
+    row = modularity(edges, labels).collect()[0]
+    assert row["q_contrib"] == 0.0 and row["e_in"] == 3
+
+
+def test_modularity_ignores_direction_and_duplicates(spark):
+    """Reciprocal/duplicate directed edges collapse to one undirected
+    edge before any counting."""
+    from crawler_spark.operators.hostrank import modularity
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")],
+        "src string, dst string")
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1")], "host string, community string")
+    row = modularity(edges, labels).collect()[0]
+    assert row["e_in"] == 1 and row["d_sum"] == 2
+    assert row["q_contrib"] == 0.0  # 1/1 - (2/2)^2

@@ -190,3 +190,32 @@ def test_interval_overlap_no_duplicate_pairs_across_buckets(spark):
                               "k long, b_id long, lo_b long, hi_b long")
     out = interval_overlap_join(a, b, "k", bucket_width=16.0).collect()
     assert len(out) == 1
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    """Every fact key present in the dim survives the prune (Bloom
+    soundness), and a sparse dim prunes most of a wide fact."""
+    from crawler_spark.operators.joins import bloom_prune_join
+    fact = spark.createDataFrame([(i,) for i in range(500)], "key long")
+    dim = spark.createDataFrame([(i,) for i in range(0, 500, 50)],
+                                "key long")
+    got = {r["key"] for r in
+           bloom_prune_join(fact, dim, "key", m=1024, k=4).collect()}
+    assert {i for i in range(0, 500, 50)} <= got
+    assert len(got) < 500  # the prune actually pruned
+
+
+def test_bloom_prune_exact_join_equals_plain_join(spark):
+    """Prune-then-join == plain join: false positives are dropped by
+    the exact join, false negatives cannot exist."""
+    from crawler_spark.operators.joins import bloom_prune_join
+    fact = spark.createDataFrame([(i, i % 7) for i in range(300)],
+                                 "key long, v int")
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(0, 300, 13)],
+                                "key long, attr string")
+    pruned = bloom_prune_join(fact, dim, "key", m=64, k=2).drop("maybe")
+    via_prune = sorted((r["key"], r["v"], r["attr"]) for r in
+                       pruned.join(dim, "key").collect())
+    plain = sorted((r["key"], r["v"], r["attr"]) for r in
+                   fact.join(dim, "key").collect())
+    assert via_prune == plain

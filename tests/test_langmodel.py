@@ -108,3 +108,29 @@ def test_dsir_matches_python_reference(spark):
            for r in dsir_logweights(df, is_target=F.col("tgt"),
                                     buckets=B).collect()}
     assert got == want
+
+
+def test_ngram_novelty_golden(spark):
+    """Duplicated docs score 0 novelty, a unique doc 1.0, and a short
+    doc contributes its whole text as one gram."""
+    from crawler_spark.operators.langmodel import ngram_novelty
+    rows = [(1, "a b c d"), (2, "a b c d"),   # identical: all grams df=2
+            (3, "x y z w v"),                  # unique grams
+            (4, "p q")]                        # short: whole-text gram
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(d, n=3).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[1]["n_grams"] == 2           # 'a b c', 'b c d'
+    assert out[3]["novelty"] == 1.0 and out[3]["n_novel"] == 3
+    assert out[4]["n_grams"] == 1 and out[4]["novelty"] == 1.0
+
+
+def test_ngram_novelty_in_doc_repeats_count_once(spark):
+    """A gram repeated INSIDE one doc is one row (per-doc distinct):
+    it stays novel if no other doc shares it."""
+    from crawler_spark.operators.langmodel import ngram_novelty
+    d = spark.createDataFrame([(1, "m n o m n o m n o")],
+                              "doc_id long, text string")
+    row = ngram_novelty(d, n=3).collect()[0]
+    # distinct grams of the cycle: 'm n o','n o m','o m n' -> all df=1
+    assert row["n_grams"] == 3 and row["novelty"] == 1.0

@@ -158,3 +158,31 @@ def test_dhash_bits_match_chunk_mean_comparisons(spark):
     assert dhash(sums[1]) == dhash(sums[2])
     # identical payloads share a dhash; this differing pair separates
     assert dhash(sums[1]) != dhash(sums[3])
+
+
+def test_aspect_bucket_nearest_and_ties(spark):
+    from crawler_spark.operators.multimodal import (
+        ASPECT_BUCKETS, _ASPECT_LCM, aspect_bucket_col,
+    )
+    dims = [(100, 100), (400, 300), (1600, 900), (899, 1600),
+            (720, 480), (333, 500), (7, 5)]
+    d = spark.createDataFrame([(w, h) for w, h in dims],
+                              "width long, height long")
+    got = {(r["width"], r["height"]): r["b"] for r in
+           d.select("width", "height",
+                    aspect_bucket_col(F.col("width"),
+                                      F.col("height")).alias("b"))
+            .collect()}
+
+    def expect(w, h):
+        errs = [(abs(w * bh - h * bw) * (_ASPECT_LCM // bh), name)
+                for name, bw, bh in ASPECT_BUCKETS]
+        m = min(e for e, _ in errs)
+        return next(name for e, name in errs if e == m)
+
+    for w, h in dims:
+        assert got[(w, h)] == expect(w, h), (w, h)
+    assert got[(100, 100)] == "1:1"
+    assert got[(400, 300)] == "4:3"
+    assert got[(1600, 900)] == "16:9"
+    assert got[(899, 1600)] == "9:16"

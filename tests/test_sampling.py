@@ -322,3 +322,23 @@ def test_fim_transform_partition_invariant(spark):
     r1 = sorted(map(tuple, fim_transform(d1, "text", "doc_id").collect()))
     r8 = sorted(map(tuple, fim_transform(d8, "text", "doc_id").collect()))
     assert r1 == r8
+
+
+def test_curriculum_order_matches_sequential_oracle(spark):
+    """Distributed curriculum rank == the single-window sequential
+    order; phases non-decreasing along pos; positions dense 1..n."""
+    from crawler_spark.operators.sampling import curriculum_order
+    import hashlib
+    rows = [(i, (i * 131) % 1000) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = curriculum_order(
+        d, F.least(F.lit(3), F.floor(F.col("n_chars") / 250)),
+        F.concat(F.lit("t/"), F.col("doc_id")), n_blocks=8).collect()
+    got = sorted(((r["pos"], r["doc_id"], r["phase"]) for r in out))
+    assert [p for p, _, _ in got] == list(range(1, 201))
+    phases = [ph for _, _, ph in got]
+    assert phases == sorted(phases)
+    want = sorted(
+        (min(3, nc // 250), hashlib.md5(f"t/{i}".encode()).hexdigest(), i)
+        for i, nc in rows)
+    assert [i for _, _, i in [w for w in want]] == [d for _, d, _ in got]

@@ -97,3 +97,20 @@ def test_scope_filter_strategies_agree(spark):
         for h in hosts:
             assert sc._scope_ok_set(h, frozenset(seeds), keys, sub, tld) \
                 == sc.scope_ok(h, seedset, sub, tld), (h, sub, tld)
+
+
+def test_trap_signals_cycle_and_clean(spark):
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.scope import trap_signals
+    rows = [(1, "/a/b/a/b/a/b"), (2, "/x/y/z"), (3, "/a/a/a"),
+            (4, "/s1/s2/s3/s4/s5/s6/s7/s8"), (5, "/")]
+    d = spark.createDataFrame(rows, "id long, path string")
+    out = {r["id"]: r["_t"] for r in
+           d.select("id", trap_signals(F.col("path")).alias("_t"))
+            .collect()}
+    # /a/b/a/b/a/b: pairs a/b,b/a,a/b,b/a,a/b -> 5 total, 2 distinct
+    assert out[1]["n_rep_pairs"] == 3 and out[1]["is_trap"] == 1
+    assert out[2] == (3, 0, 0.0, 0)
+    assert out[3]["rep_ratio"] == 0.6667 and out[3]["is_trap"] == 1
+    assert out[4]["depth"] == 8 and out[4]["is_trap"] == 1
+    assert out[5]["depth"] == 0 and out[5]["is_trap"] == 0

@@ -234,3 +234,39 @@ def test_knn_graph_cell_blocking_restricts_pairs(spark):
     assert blocked
     for r in blocked:
         assert cell[r["src"]] == cell[r["dst"]]
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    from crawler_spark.operators.similarity import mmr_rerank
+    rng = np.random.default_rng(7)
+    vecs = {i: rng.normal(size=6) for i in range(20)}
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 0)
+    got = {(r["qid"], r["pick"]): (r["vec_id"], r["mmr"]) for r in
+           mmr_rerank(emb, q, shortlist_k=6, picks=3).collect()}
+
+    def cos(a, b):
+        return round(float(np.dot(a, b)
+                           / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+
+    rel = sorted(((cos(vecs[0], vecs[i]), i) for i in vecs if i != 0),
+                 key=lambda t: (-t[0], t[1]))[:6]
+    cand = {i: r for r, i in rel}
+    sel = [min(cand, key=lambda i: (-cand[i], i))]
+    picks = {1: (sel[0], cand[sel[0]])}
+    for t in (2, 3):
+        best = None
+        for i in cand:
+            if i in sel:
+                continue
+            maxsim = max(cos(vecs[i], vecs[s]) for s in sel)
+            mmr = round(0.7 * cand[i] - 0.3 * maxsim, 4)
+            key = (-mmr, i)
+            if best is None or key < best[0]:
+                best = (key, i, mmr)
+        sel.append(best[1])
+        picks[t] = (best[1], best[2])
+    for t in (1, 2, 3):
+        assert got[(0, t)] == picks[t], t
+    assert len({v for v, _ in picks.values()}) == 3  # distinct picks

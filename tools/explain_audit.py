@@ -683,6 +683,44 @@ CHECKS = {
     "p8_rel_canonical": (["Window"],
                          ["CartesianProduct", "BatchEvalPython",
                           "ArrowEvalPython"]),
+    # n-gram novelty: per-doc-distinct grams map-side, ONE partial-agged
+    # df shuffle, gram-keyed join back; never a window or cartesian
+    "tx27_ngram_novelty": (["HashAggregate", "partial_count"],
+                           ["BatchEvalPython", "ArrowEvalPython",
+                            "Window", "CartesianProduct"]),
+    # bloom-pruned join: probe is codegen bit algebra (packed-mask
+    # literal), survivors agg then broadcast-join the dim — no Python,
+    # no shuffle join, no cartesian
+    "j10_bloom_prune_join": (["BroadcastHashJoin"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct", "SortMergeJoin"]),
+    # curriculum: distributed global_rank (range-partitioned block
+    # windows + broadcast offsets) — the oracle's global ORDER BY window
+    # must never appear as a single-partition data window
+    "px13_curriculum": (["Window", "BroadcastHashJoin"],
+                        ["BatchEvalPython", "ArrowEvalPython",
+                         "SortMergeJoin"]),
+    # modularity: labels come from checkpointed LPA rounds (ExistingRDD
+    # scan); scalar m is a one-row broadcast, never a data cartesian
+    "g28_modularity": (["Scan ExistingRDD"],
+                       ["BatchEvalPython", "ArrowEvalPython",
+                        "CartesianProduct"]),
+    # aspect buckets: keyed_global_rank block windows + broadcast
+    # offsets; the few-huge-buckets regime must never plan one task per
+    # bucket key over the data (no single-partition exchange)
+    "mm14_aspect_buckets": (["Window", "BroadcastHashJoin"],
+                            ["BatchEvalPython", "ArrowEvalPython",
+                             "Exchange SinglePartition",
+                             "SortMergeJoin"]),
+    # trap gate: let-bound HOF algebra over one split — map-side only
+    "f14_trap_segments": (["[codegen id :"],
+                          ["Exchange", "BatchEvalPython",
+                           "ArrowEvalPython"]),
+    # MMR: greedy rounds end in a checkpointed union (ExistingRDD); the
+    # shortlist/pair tables are broadcast-scale joins, never cartesian
+    "an13_mmr_rerank": (["Scan ExistingRDD"],
+                        ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct"]),
 }
 
 def plan_text(df) -> str:
