@@ -281,3 +281,44 @@ SELECT doc_id, CAST(min(span) AS BIGINT) AS best_window,
 FROM sp GROUP BY doc_id
 HAVING min(span) IS NOT NULL
 """
+
+
+def rrf_fusion(runs: list[DataFrame], id_col: str = "doc_id",
+               score_col: str = "score", k_list: int = 50,
+               c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    — the standard hybrid-retrieval combiner: each run contributes
+    1/(c + rank) for ids inside its top-`k_list`, summed across runs.
+    The fusion modern search stacks put between a lexical ranker
+    (tx11/ix7) and a dense ANN ranker (an1/an2): rank-based, so the
+    incomparable score scales never need calibration.
+
+    Output: (id, r0..r{n-1} INT with -1 for "not in this run's list",
+    rrf DOUBLE rounded 6). The rrf sum is written in fixed run order —
+    cross-engine floats stay bit-stable because the addition order is
+    textual, never data-dependent.
+
+    Scale shape: each run's top-k comes from orderBy(...).limit(k) —
+    TakeOrderedAndProject, per-partition heaps, no global sort. The
+    within-list rank window then runs over k_list rows (k-bounded by
+    construction — the same deliberately-tiny SinglePartition the px3
+    offset table uses). Fusion joins are k-row full-outers."""
+    ranked = []
+    for i, r in enumerate(runs):
+        top = r.orderBy(F.desc(score_col), id_col).limit(k_list)
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        ranked.append(top.withColumn(f"r{i}", F.row_number().over(w)
+                                     .cast("int"))
+                      .select(id_col, f"r{i}"))
+    out = ranked[0]
+    for nxt in ranked[1:]:
+        out = out.join(nxt, id_col, "full_outer")
+    term = None
+    for i in range(len(runs)):
+        t = F.coalesce(1.0 / (F.lit(c) + F.col(f"r{i}")), F.lit(0.0))
+        term = t if term is None else term + t
+    return out.select(
+        id_col,
+        *[F.coalesce(F.col(f"r{i}"), F.lit(-1)).cast("int").alias(f"r{i}")
+          for i in range(len(runs))],
+        F.round(term, 6).alias("rrf"))

@@ -272,3 +272,38 @@ def bloom_prune_join(fact: DataFrame, dim: DataFrame, key_col: str,
     return (probed.where(pred)
             .drop("_mask", *[f"_bp{j}" for j in range(k)])
             .withColumn("maybe", F.lit(1)))
+
+
+def changelog_merge(base: DataFrame, changes: DataFrame, key_col: str,
+                    val_col: str, ver_col: str,
+                    op_col: str) -> DataFrame:
+    """CDC apply / MERGE INTO semantics over a snapshot: `changes` rows
+    are (key, op 'u'|'d', val, version); per key the LATEST version
+    wins (version desc, ties broken op-ascending so a delete beats an
+    upsert at the same version — the conservative lakehouse rule). A
+    winning 'u' upserts (update or insert), a winning 'd' deletes, keys
+    without changes pass through. This is the maintenance primitive the
+    snapshot store (plans/tableio) runs between crawl epochs when an
+    external system feeds corrections — rc3's diff is its read twin.
+
+    Output: base columns with `val_col` updated, plus src
+    ('base'|'upsert') marking provenance.
+
+    Scale shape: ONE changelog-cardinality shuffle for the
+    latest-version window (keyed by the merge key, never global), then
+    ONE key equi-join base⋈delta — bucketable by plans/bucketio so the
+    10^10-row base never re-shuffles (the J1 discipline applied to
+    MERGE). No driver state, no Python."""
+    w = Window.partitionBy(key_col).orderBy(F.desc(ver_col),
+                                            F.col(op_col))
+    latest = (changes.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1)
+              .select(key_col, F.col(op_col).alias("_op"),
+                      F.col(val_col).alias("_nv")))
+    j = base.join(latest, key_col, "full_outer")
+    return (j.where(F.col("_op").isNull() | (F.col("_op") == "u"))
+            .select(key_col,
+                    F.when(F.col("_op") == "u", F.col("_nv"))
+                     .otherwise(F.col(val_col)).alias(val_col),
+                    F.when(F.col("_op") == "u", F.lit("upsert"))
+                     .otherwise(F.lit("base")).alias("src")))

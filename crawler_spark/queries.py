@@ -7515,3 +7515,217 @@ def an13_mmr_rerank(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qs = e.where(F.col("vec_id").isin(3, 4, 5))
     return mmr_rerank(e, qs, shortlist_k=8, picks=4)
+
+
+@q("ix10_rrf_fusion", f"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+g AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+       WHERE term IN {_TX11_TERMS!r} GROUP BY 1, 2, 3),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+lex AS (SELECT tf.doc_id,
+               round(SUM(ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))),
+                     4) AS bm25
+        FROM tf JOIN df USING (term) CROSS JOIN g
+        GROUP BY tf.doc_id),
+lr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                           AS INT) AS r0
+       FROM lex QUALIFY r0 <= 50),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+den AS (SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 4)
+                 AS cosine
+        FROM embeddings e, qv WHERE e.vec_id <> 0),
+dr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                           AS INT) AS r1
+       FROM den QUALIFY r1 <= 50)
+SELECT COALESCE(lr.doc_id, dr.doc_id) AS doc_id,
+       CAST(COALESCE(lr.r0, -1) AS INT) AS r0,
+       CAST(COALESCE(dr.r1, -1) AS INT) AS r1,
+       round(COALESCE(1.0 / (60 + lr.r0), 0.0)
+             + COALESCE(1.0 / (60 + dr.r1), 0.0), 6) AS rrf
+FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id
+""")
+def ix10_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): the lexical BM25 run (tx11's scorer) fused with the
+    dense cosine run (an1's scorer, query = vec 0) by 1/(60+rank) —
+    the combiner modern search stacks use precisely because the two
+    score scales never need calibration. Each run's top-50 comes from
+    TakeOrderedAndProject heaps (no global sort); ranks then live on
+    k-bounded lists; the fusion join is a 50-row full-outer. Sentinels
+    -1 mark "absent from this run". See operators/invindex.rrf_fusion."""
+    from crawler_spark.functions.text import bm25_scores
+    from crawler_spark.operators.invindex import rrf_fusion
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = bm25_scores(d, F.col("text"), _TX11_TERMS) \
+        .select("doc_id", F.col("bm25").alias("score"))
+    qs = e.where(F.col("vec_id") == 0)
+    # top-50 suffices: rrf_fusion truncates to k_list anyway, and the
+    # (cosine desc, vec_id) order is identical — never rank the corpus
+    den = brute_force_topk(e, qs, k=50, id_col="vec_id") \
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("cosine").alias("score"))
+    out = rrf_fusion([lex, den], id_col="doc_id", k_list=50)
+    return out.select("doc_id", "r0", "r1", "rrf")
+
+
+@q("st12_changelog_merge", """
+WITH base AS (SELECT doc_id, n_chars AS val FROM documents),
+ch AS (
+  SELECT doc_id, 'u' AS op, n_chars + 1000 AS val,
+         CAST(10 + doc_id % 5 AS BIGINT) AS ver
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'd' AS op, CAST(NULL AS BIGINT) AS val,
+         CAST(8 + doc_id % 9 AS BIGINT) AS ver
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 900000 AS doc_id, 'u' AS op, doc_id AS val,
+         CAST(1 AS BIGINT) AS ver
+  FROM documents WHERE doc_id % 11 = 0),
+latest AS (SELECT doc_id, op, val FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY ver DESC, op) AS rn
+  FROM ch) WHERE rn = 1)
+SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+       CASE WHEN l.op = 'u' THEN l.val ELSE b.val END AS val,
+       CASE WHEN l.op = 'u' THEN 'upsert' ELSE 'base' END AS src
+FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+WHERE l.op IS NULL OR l.op = 'u'
+""")
+def st12_changelog_merge(spark, sf_dir):
+    """CDC apply / MERGE INTO semantics: a synthesized changelog
+    (updates, deletes, inserts, with REAL version ties — every doc_id
+    where 10+id%5 = 8+id%9 carries a same-version update+delete pair
+    resolved by the delete-wins tie rule) applied over the documents
+    snapshot: latest version wins, 'd' drops the key, 'u' upserts, the
+    rest pass through. One changelog-cardinality keyed window + one
+    bucketable key join — the maintenance primitive between crawl
+    epochs. See operators/joins.changelog_merge."""
+    from crawler_spark.operators.joins import changelog_merge
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.col("n_chars").alias("val"))
+    upd = (d.where(F.col("doc_id") % 3 == 0)
+           .select("doc_id", F.lit("u").alias("op"),
+                   (F.col("n_chars") + 1000).alias("val"),
+                   (10 + F.col("doc_id") % 5).cast("long").alias("ver")))
+    dele = (d.where(F.col("doc_id") % 7 == 0)
+            .select("doc_id", F.lit("d").alias("op"),
+                    F.lit(None).cast("long").alias("val"),
+                    (8 + F.col("doc_id") % 9).cast("long").alias("ver")))
+    ins = (d.where(F.col("doc_id") % 11 == 0)
+           .select((F.col("doc_id") + 900000).alias("doc_id"),
+                   F.lit("u").alias("op"),
+                   F.col("doc_id").alias("val"),
+                   F.lit(1).cast("long").alias("ver")))
+    ch = upd.unionByName(dele).unionByName(ins)
+    return changelog_merge(base, ch, "doc_id", "val", "ver", "op")
+
+
+@q("an14_ivf_inertia", """
+WITH asg AS (""" + _ORACLES["km1_ivf_codebook"] + """)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(d2) AS BIGINT) AS sum_d2,
+       round(CAST(sum(d2) AS DOUBLE) / count(*), 4) AS mean_d2
+FROM asg GROUP BY 1
+""")
+def an14_ivf_inertia(spark, sf_dir):
+    """IVF index health report: per trained cell (km1's codebook), the
+    member count, total and mean squared lattice distance — inertia
+    and balance, the two numbers that decide whether the coarse
+    quantizer needs retraining (one fat cell = probe blowup, high
+    inertia = bad recall at nprobe). One cluster-cardinality rollup on
+    km1's assignment; the oracle nests km1's unrolled Lloyd CTE so the
+    whole train->assign->audit chain sits under the hash gate."""
+    from crawler_spark.operators.similarity import kmeans_assign
+    e = _t(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(e, k=4, iters=3, scale=64)
+    return (asg.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum("d2").cast("long").alias("sum_d2"),
+                 F.round(F.sum("d2").cast("double") / F.count(F.lit(1)), 4)
+                  .alias("mean_d2")))
+
+
+@q("mm15_scene_cuts", """
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS s
+           FROM documents),
+b AS (SELECT doc_id,
+             list_transform(split(s, ''), ch -> ascii(ch)) AS cps,
+             length(s) AS n
+      FROM a WHERE length(s) >= 8),
+f AS (SELECT doc_id, cps, n, unnest(range(0, 8)) AS fi FROM b),
+fr AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,""" + _MM8_FRAME_COLS
+       + """
+       FROM f),
+c AS (SELECT doc_id, frame_idx, frame_bytes, frame_sum,
+             lag(frame_sum) OVER wd AS ps,
+             lag(frame_bytes) OVER wd AS pz
+      FROM fr WINDOW wd AS (PARTITION BY doc_id ORDER BY frame_idx)),
+k AS (SELECT doc_id, frame_idx,
+             CASE WHEN ps IS NOT NULL
+                       AND abs(frame_sum * pz - ps * frame_bytes)
+                           > 8 * frame_bytes * pz
+                  THEN 1 ELSE 0 END AS cut
+      FROM c),
+s AS (SELECT doc_id, cut,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS scene
+      FROM k),
+g AS (SELECT doc_id, scene, count(*) AS flen FROM s GROUP BY 1, 2)
+SELECT t.doc_id, CAST(t.n_cuts AS INT) AS n_cuts,
+       CAST(t.n_cuts + 1 AS INT) AS n_scenes,
+       CAST(m.longest AS INT) AS longest_scene
+FROM (SELECT doc_id, sum(cut) AS n_cuts FROM s GROUP BY 1) t
+JOIN (SELECT doc_id, max(flen) AS longest FROM g GROUP BY 1) m
+  USING (doc_id)
+""")
+def mm15_scene_cuts(spark, sf_dir):
+    """Video scene segmentation over the frame algebra: a cut fires
+    between adjacent sampled frames when their mean byte levels differ
+    by more than 8 — written as the integer cross-multiplication
+    |s_i*z_j - s_j*z_i| > 8*z_i*z_j so no float division exists (the
+    mm13 discipline). Emits per-video cut count, scene count, and the
+    longest scene run (cumulative-cut-sum segmentation, the standard
+    run-id trick). The pre-clipping pass a video training pipeline runs
+    before sampling clips: scene-straddling clips are garbage. Frames
+    come from the SAME mapInPandas island as mm1/mm8 (every_n=1); all
+    windows are per-video (8 rows), never global.
+    See operators/multimodal.frame_byte_sums."""
+    from crawler_spark.operators.multimodal import frame_byte_sums
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+        .alias("ascii_text"))
+    src = (d.where(F.length("ascii_text") >= 8)
+           .withColumn("payload_bin", F.encode("ascii_text", "UTF-8")))
+    fr = frame_byte_sums(src, every_n=1, n_frames=8)
+    wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    ps = F.lag("frame_sum").over(wd)
+    pz = F.lag("frame_bytes").over(wd)
+    cut = F.when(
+        ps.isNotNull()
+        & (F.abs(F.col("frame_sum") * pz - ps * F.col("frame_bytes"))
+           > 8 * F.col("frame_bytes") * pz), 1).otherwise(0)
+    s = (fr.withColumn("cut", cut)
+         .withColumn("scene", F.sum("cut").over(
+             wd.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))))
+    per = (s.groupBy("doc_id")
+           .agg(F.sum("cut").cast("int").alias("n_cuts")))
+    longest = (s.groupBy("doc_id", "scene")
+               .agg(F.count(F.lit(1)).alias("_flen"))
+               .groupBy("doc_id")
+               .agg(F.max("_flen").cast("int").alias("longest_scene")))
+    return (per.join(longest, "doc_id")
+            .select("doc_id", "n_cuts",
+                    (F.col("n_cuts") + 1).cast("int").alias("n_scenes"),
+                    "longest_scene"))

@@ -147,3 +147,29 @@ def test_proximity_rank_duplicate_query_terms_collapse(spark):
     docs = spark.createDataFrame([(1, "a x a")], "doc_id long, text string")
     out = proximity_rank(docs, ["a", "A", "a"]).collect()
     assert len(out) == 1 and out[0]["best_window"] == 1
+
+
+def test_rrf_fusion_hand_ranks(spark):
+    from crawler_spark.operators.invindex import rrf_fusion
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 7.0), (3, 5.0)], "doc_id long, score double")
+    den = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, score double")
+    out = {r["doc_id"]: r for r in
+           rrf_fusion([lex, den], k_list=2).collect()}
+    # k_list=2 truncates doc 3 out of the lexical run entirely
+    assert set(out) == {1, 2, 4}
+    assert (out[1]["r0"], out[1]["r1"]) == (1, -1)
+    assert (out[2]["r0"], out[2]["r1"]) == (2, 1)
+    assert (out[4]["r0"], out[4]["r1"]) == (-1, 2)
+    assert out[2]["rrf"] == round(1.0 / 62 + 1.0 / 61, 6)
+    assert out[1]["rrf"] == round(1.0 / 61, 6)
+
+
+def test_rrf_fusion_tie_breaks_on_id(spark):
+    from crawler_spark.operators.invindex import rrf_fusion
+    run = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0), (4, 1.0)], "doc_id long, score double")
+    out = {r["doc_id"]: r["r0"] for r in
+           rrf_fusion([run], k_list=3).collect()}
+    assert out == {3: 1, 4: 2, 5: 3}

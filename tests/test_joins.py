@@ -219,3 +219,24 @@ def test_bloom_prune_exact_join_equals_plain_join(spark):
     plain = sorted((r["key"], r["v"], r["attr"]) for r in
                    fact.join(dim, "key").collect())
     assert via_prune == plain
+
+
+def test_changelog_merge_semantics(spark):
+    """Update, delete, insert, pass-through, and the same-version
+    update+delete tie (delete wins)."""
+    from crawler_spark.operators.joins import changelog_merge
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)],
+        "k long, val long")
+    ch = spark.createDataFrame(
+        [(1, "u", 11, 5), (1, "u", 12, 7),      # latest update wins
+         (2, "d", None, 3),                      # delete
+         (3, "u", 33, 4), (3, "d", None, 4),     # tie: delete wins
+         (6, "u", 60, 1),                        # insert
+         (4, "d", None, 2), (4, "u", 44, 9)],    # resurrect: upd newer
+        "k long, op string, val long, ver long")
+    out = {r["k"]: (r["val"], r["src"]) for r in
+           changelog_merge(base, ch, "k", "val", "ver", "op").collect()}
+    assert out == {1: (12, "upsert"), 4: (44, "upsert"),
+                   5: (50, "base"), 6: (60, "upsert")}
+    assert 2 not in out and 3 not in out

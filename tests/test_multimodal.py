@@ -186,3 +186,42 @@ def test_aspect_bucket_nearest_and_ties(spark):
     assert got[(400, 300)] == "4:3"
     assert got[(1600, 900)] == "16:9"
     assert got[(899, 1600)] == "9:16"
+
+
+def test_scene_cut_algebra_via_query(spark, tmp_path):
+    """Two-level payload: constant-'a' half then constant-'!' half ->
+    exactly one cut at the frame boundary, longest scene 4."""
+    import pandas as pd
+    d = pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["a" * 8 + "!" * 8, "m" * 16],
+                      "lang": ["en", "en"], "source": ["s", "s"],
+                      "n_chars": [16, 16]})
+    sf = str(tmp_path)
+    spark.createDataFrame(d).write.mode("overwrite") \
+        .parquet(f"{sf}/documents.parquet")
+    from crawler_spark.queries import queries
+    out = {r["doc_id"]: r for r in
+           queries()["mm15_scene_cuts"](spark, sf).collect()}
+    assert (out[1]["n_cuts"], out[1]["n_scenes"],
+            out[1]["longest_scene"]) == (1, 2, 4)
+    assert (out[2]["n_cuts"], out[2]["n_scenes"],
+            out[2]["longest_scene"]) == (0, 1, 8)
+
+
+def test_ivf_inertia_consistency(spark):
+    """an14's rollup re-derives exactly from the km1 assignment."""
+    import numpy as np
+    from crawler_spark.operators.similarity import kmeans_assign
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    asg = kmeans_assign(emb, k=3, iters=2).collect()
+    agg = (kmeans_assign(emb, k=3, iters=2)
+           .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("d2").alias("s")).collect())
+    got = {r["cluster"]: (r["n"], r["s"]) for r in agg}
+    want = {}
+    for r in asg:
+        n, s = want.get(r["cluster"], (0, 0))
+        want[r["cluster"]] = (n + 1, s + r["d2"])
+    assert got == want and sum(n for n, _ in got.values()) == 40

@@ -721,6 +721,25 @@ CHECKS = {
     "an13_mmr_rerank": (["Scan ExistingRDD"],
                         ["BatchEvalPython", "ArrowEvalPython",
                          "CartesianProduct"]),
+    # RRF: each run's top-k via per-partition heaps (TakeOrdered), rank
+    # windows k-bounded by the preceding limit; fusion joins k-row sets
+    "ix10_rrf_fusion": (["TakeOrderedAndProject"],
+                        ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct"]),
+    # MERGE apply: ONE changelog-keyed window + one key join — never a
+    # global single-partition window, never Python
+    "st12_changelog_merge": (["Window"],
+                             ["Exchange SinglePartition",
+                              "BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"]),
+    # inertia: km1's checkpointed assignment + one partial-agged rollup
+    "an14_ivf_inertia": (["Scan ExistingRDD", "partial_count"],
+                         ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct"]),
+    # scene cuts: the shared mapInPandas decode island; all windows are
+    # per-video keyed, never a global single-partition window
+    "mm15_scene_cuts": (["MapInPandas", "Window"],
+                        ["Exchange SinglePartition", "BatchEvalPython"]),
 }
 
 def plan_text(df) -> str:
