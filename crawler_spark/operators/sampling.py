@@ -417,3 +417,39 @@ def curriculum_order(df: DataFrame, phase: Column, key: Column,
     out = global_rank(z, [F.col("phase"), F.col("_mk"), F.col(id_col)],
                       n_blocks=n_blocks, out_col="pos")
     return out.drop("_mk")
+
+
+def rag_chunk_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/RAG corpus prep
+    step (and the long-document training splitter): fixed `chunk`-word
+    windows advancing by `stride` words (overlap = chunk - stride), the
+    last window short, every word covered by >= 1 chunk. Chunk identity
+    is the md5 of the space-joined window over the \\s+ word split, so
+    chunk-level exact dedup (dd1 on chunk_md5) composes downstream and
+    the ids are reproducible across runs, engines, and partitionings.
+
+    Output: (id, chunk_idx INT 0-based, start_word INT, n_words INT,
+    chunk_md5 STRING) — one row per window.
+
+    Scale shape: pure map-side column algebra — split once (let-bound),
+    starts from F.sequence(0, n-1, stride), posexplode, F.slice. ZERO
+    shuffle; fan-out ~n/stride rows per doc with the source partitioning
+    preserved. At 10^10 docs this is exactly the shape you want: the
+    only wide ops are whatever the caller does with the chunks."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (docs.select(id_col, w.alias("_w"))
+         .withColumn("_n", F.size("_w"))
+         .where(F.col("_n") >= 1))
+    e = d.select(
+        id_col, "_w",
+        F.posexplode(F.sequence(F.lit(0), F.col("_n") - 1,
+                                F.lit(stride))).alias("chunk_idx", "_st"))
+    sl = F.slice(F.col("_w"), F.col("_st") + 1, chunk)
+    return e.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_st").cast("int").alias("start_word"),
+        F.size(sl).cast("int").alias("n_words"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"))

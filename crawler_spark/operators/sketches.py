@@ -330,3 +330,44 @@ SELECT cand.*, h.maybe_seen,
 FROM cand JOIN hits h USING (key)
 LEFT JOIN (SELECT DISTINCT key FROM ks) t USING (key)
 """
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 200) -> DataFrame:
+    """Two-pass distributed frequent-items (the Misra-Gries 1982 /
+    space-saving family): ALL keys whose exact count strictly exceeds
+    n/k, found without ever shuffling the full corpus by key.
+
+    Pass 1 (candidates, map-side only): each Arrow batch emits its LOCAL
+    heavy hitters — keys with batch count * k > batch size. Soundness is
+    the MG covering argument: if a key's count <= m_b/k in EVERY batch b,
+    its total is <= sum(m_b)/k = n/k; so every GLOBAL heavy hitter is a
+    local one somewhere, and each batch emits < k rows. Pass 2 joins the
+    tiny candidate set back (broadcast semi-join) and counts exactly, so
+    the only by-key shuffle carries candidate rows. The final strict
+    `count * k > n` filter makes the OUTPUT batching-invariant and equal
+    to the exact answer — false candidates are culled, true hitters are
+    guaranteed present — which is what lets it sit under the cross-engine
+    hash gate while the candidate pass stays a bounded-memory sketch.
+
+    Output: (key_col, n_occ BIGINT). Scale: pass-1 shuffle volume is
+    O(parts * k), pass-2 is candidate-row-bounded, n is one map-side
+    partial count broadcast as a one-row dim."""
+    import pandas as pd
+
+    def _cands(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            vc = pdf[key_col].value_counts()
+            yield pd.DataFrame({key_col: vc.index[vc * k > m]})
+
+    src = df.select(key_col)
+    cand = src.mapInPandas(_cands, f"{key_col} string").distinct()
+    n = src.agg(F.count(F.lit(1)).alias("_n"))
+    return (src.join(F.broadcast(cand), key_col, "left_semi")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .crossJoin(F.broadcast(n))
+            .where(F.col("n_occ") * k > F.col("_n"))
+            .select(key_col, F.col("n_occ").cast("long").alias("n_occ")))

@@ -7729,3 +7729,60 @@ def mm15_scene_cuts(spark, sf_dir):
             .select("doc_id", "n_cuts",
                     (F.col("n_cuts") + 1).cast("int").alias("n_scenes"),
                     "longest_scene"))
+
+
+@q("px14_rag_chunks", """
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+s AS (SELECT doc_id, w, len(w) AS n, unnest(range(0, len(w), 24)) AS st
+      FROM w WHERE len(w) >= 1),
+c AS (SELECT doc_id, st, n,
+             list_slice(w, st + 1, least(st + 32, n)) AS sl
+      FROM s)
+SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+       CAST(st AS INT) AS start_word,
+       CAST(len(sl) AS INT) AS n_words,
+       md5(array_to_string(sl, ' ')) AS chunk_md5
+FROM c
+""")
+def px14_rag_chunks(spark, sf_dir):
+    """Sliding-window chunking for retrieval corpora / long-doc
+    splitting: 32-word windows advancing by 24 (8-word overlap), last
+    window short, chunk identity = md5 of the space-joined window so
+    chunk-level dedup composes downstream. Pure map-side algebra —
+    split once, sequence+posexplode+slice, ZERO shuffle, source
+    partitioning preserved (the fan-out shape a 10^10-doc corpus
+    needs). See operators/sampling.rag_chunk_spans."""
+    from crawler_spark.operators.sampling import rag_chunk_spans
+    d = _t(spark, sf_dir, "documents")
+    return rag_chunk_spans(d, chunk=32, stride=24)
+
+
+@q("ks7_heavy_hitters", """
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                    AS word
+           FROM documents),
+n AS (SELECT count(*) AS n FROM t)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+FROM t, n
+GROUP BY word, n.n
+HAVING count(*) * 200 > n.n
+""")
+def ks7_heavy_hitters(spark, sf_dir):
+    """Distributed two-pass frequent items (Misra-Gries 1982 family):
+    every word whose corpus count strictly exceeds n/200, found WITHOUT
+    a full-cardinality by-key shuffle — per-Arrow-batch local heavy
+    hitters (bounded memory, < k rows each, sound by the MG covering
+    argument) then an exact count of the tiny candidate set only. The
+    strict final threshold makes the output batching-invariant and
+    EQUAL to the exact answer, so a sketch pass sits under the hash
+    gate; the oracle is the exact GROUP BY/HAVING the sketch avoids.
+    The stopword-mining / vocab-head primitive over a 10^12-token
+    corpus. See operators/sketches.heavy_hitters."""
+    from crawler_spark.operators.sketches import heavy_hitters
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("word"))
+    return heavy_hitters(words, "word", k=200)

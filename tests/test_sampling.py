@@ -342,3 +342,29 @@ def test_curriculum_order_matches_sequential_oracle(spark):
         (min(3, nc // 250), hashlib.md5(f"t/{i}".encode()).hexdigest(), i)
         for i, nc in rows)
     assert [i for _, _, i in [w for w in want]] == [d for _, d, _ in got]
+
+
+def test_rag_chunk_spans_goldens(spark):
+    """10 words, chunk=4, stride=3: starts 0,3,6,9; last chunk short;
+    every word covered; overlap regions shared between neighbors."""
+    from crawler_spark.operators.sampling import rag_chunk_spans
+    words = [f"w{i}" for i in range(10)]
+    d = spark.createDataFrame([(1, " ".join(words))],
+                              "doc_id long, text string")
+    out = sorted(rag_chunk_spans(d, chunk=4, stride=3).collect(),
+                 key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_idx"], r["start_word"], r["n_words"])
+            for r in out] == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)]
+    import hashlib
+    want = hashlib.md5(" ".join(words[3:7]).encode()).hexdigest()
+    assert out[1]["chunk_md5"] == want
+
+
+def test_rag_chunk_spans_short_doc_single_chunk(spark):
+    from crawler_spark.operators.sampling import rag_chunk_spans
+    d = spark.createDataFrame([(1, "only two"), (2, "x")],
+                              "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rag_chunk_spans(d, chunk=8,
+                                                   stride=6).collect()}
+    assert (out[1]["chunk_idx"], out[1]["n_words"]) == (0, 2)
+    assert (out[2]["chunk_idx"], out[2]["n_words"]) == (0, 1)

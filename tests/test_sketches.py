@@ -216,3 +216,32 @@ def test_bloom_membership_partition_invariant(spark):
                bloom_membership(keys.repartition(13),
                                 cands.repartition(7)).collect())
     assert a == b
+
+
+def test_heavy_hitters_equals_exact(spark):
+    """Output == the exact HAVING count*k > n answer, and is invariant
+    to how rows are batched/partitioned (the MG covering guarantee)."""
+    from crawler_spark.operators.sketches import heavy_hitters
+    rows = [("the",)] * 40 + [("of",)] * 15 + [("a",)] * 9 + \
+        [(f"rare{i}",) for i in range(36)]
+    df = spark.createDataFrame(rows, "word string")
+    n = len(rows)  # 100
+    k = 10         # threshold: count > 10
+    exact = {w: c for w, c in
+             (("the", 40), ("of", 15)) if c * k > n}
+    for parts in (1, 7):
+        got = {r["word"]: r["n_occ"] for r in
+               heavy_hitters(df.repartition(parts), "word", k=k).collect()}
+        assert got == exact
+
+
+def test_heavy_hitters_strict_threshold(spark):
+    """count * k == n is NOT a hitter (strict inequality)."""
+    from crawler_spark.operators.sketches import heavy_hitters
+    rows = [("x",)] * 25 + [(f"r{i}",) for i in range(75)]  # 25*4 == 100
+    df = spark.createDataFrame(rows, "word string")
+    assert heavy_hitters(df, "word", k=4).count() == 0
+    rows.append(("x",))  # 26*4 > 101
+    df2 = spark.createDataFrame(rows, "word string")
+    got = heavy_hitters(df2, "word", k=4).collect()
+    assert [(r["word"], r["n_occ"]) for r in got] == [("x", 26)]

@@ -740,6 +740,16 @@ CHECKS = {
     # per-video keyed, never a global single-partition window
     "mm15_scene_cuts": (["MapInPandas", "Window"],
                         ["Exchange SinglePartition", "BatchEvalPython"]),
+    # chunking: split/sequence/posexplode/slice entirely map-side — the
+    # plan must carry NO exchange of any kind and no Python
+    "px14_rag_chunks": (["Generate"],
+                        ["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct"]),
+    # two-pass frequent items: Arrow-batch candidate pass + broadcast
+    # semi-join exact pass; by-key shuffle carries candidates only
+    "ks7_heavy_hitters": (["MapInPandas", "LeftSemi"],
+                          ["BatchEvalPython", "CartesianProduct",
+                           "SortMergeJoin"]),
 }
 
 def plan_text(df) -> str:
