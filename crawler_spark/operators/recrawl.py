@@ -315,3 +315,45 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url_canon",
               .otherwise(F.lit("changed")))
     return (o.join(n, key_col, "full_outer")
             .select(key_col, status.alias("status")))
+
+
+def retry_backoff(log: DataFrame, key_col: str, wave_col: str,
+                  ok_col: str, base: int = 1,
+                  cap_fails: int = 6) -> DataFrame:
+    """Exponential retry backoff over the fetch log — the FAILURE twin
+    of the TTL recrawl rule (due_for_recrawl ages successes; this
+    schedules re-attempts of URLs whose latest fetches failed, the
+    standard crawler discipline so a flapping host is not hammered and
+    a transient 5xx is not abandoned).
+
+    Per key: `tail_fails` = failures AFTER the last success (strictly
+    newer wave; all failures if no success), `last_fail` their latest
+    wave, and `next_attempt = last_fail + base * 2^min(tail_fails-1,
+    cap_fails)` — delay doubles per consecutive failure, capped so the
+    shift stays in integer range and a long-dead URL still re-checks at
+    base*2^cap. Pure integer algebra (shiftleft, never pow doubles) so
+    the schedule is bit-stable cross-engine.
+
+    Output: (key, tail_fails INT, last_fail BIGINT, next_attempt
+    BIGINT) — only keys currently in a failure tail.
+
+    Scale shape: two partial-agged keyed aggregates (successes-only
+    max; failures-after count/max) and one equi-join, ALL keyed by the
+    same column, so AQE plans the join on the aggregates' existing
+    hash partitioning — no extra exchange, no window, no Python."""
+    w = F.col(wave_col).cast("long")
+    ok = F.col(ok_col)
+    last_ok = (log.where(ok).groupBy(key_col)
+               .agg(F.max(w).alias("_lok")))
+    tail = (log.where(~ok)
+            .join(last_ok, key_col, "left")
+            .where(F.col("_lok").isNull() | (w > F.col("_lok")))
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("tail_fails"),
+                 F.max(w).alias("last_fail")))
+    # SQL-expr form: pyspark's shiftleft() only takes a literal numBits
+    delay = F.lit(base).cast("long") * F.expr(
+        f"cast(shiftleft(1, least(tail_fails - 1, {cap_fails})) as bigint)")
+    return tail.select(
+        key_col, "tail_fails", "last_fail",
+        (F.col("last_fail") + delay).alias("next_attempt"))

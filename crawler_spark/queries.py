@@ -7786,3 +7786,41 @@ def ks7_heavy_hitters(spark, sf_dir):
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         .alias("word"))
     return heavy_hitters(words, "word", k=200)
+
+
+@q("f15_retry_backoff", """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS w,
+                  (event_type <> 'error') AS ok FROM events),
+lok AS (SELECT user_id, max(w) AS lok FROM e WHERE ok GROUP BY 1),
+tf AS (SELECT e.user_id, CAST(count(*) AS INT) AS tail_fails,
+              max(e.w) AS last_fail
+       FROM e LEFT JOIN lok USING (user_id)
+       WHERE NOT e.ok AND (lok.lok IS NULL OR e.w > lok.lok)
+       GROUP BY 1),
+mx AS (SELECT max(w) AS mx FROM e)
+SELECT user_id, tail_fails, last_fail,
+       last_fail + 3600 * (1 << least(tail_fails - 1, 6)) AS next_attempt,
+       CAST(CASE WHEN last_fail + 3600 * (1 << least(tail_fails - 1, 6))
+                      <= mx.mx THEN 1 ELSE 0 END AS INT) AS due
+FROM tf, mx
+""")
+def f15_retry_backoff(spark, sf_dir):
+    """Exponential retry backoff (the failure twin of rc1's TTL rule):
+    per key, failures after the last success set next_attempt =
+    last_fail + 3600 * 2^min(fails-1, 6) seconds — delay doubles per
+    consecutive failure, integer shiftleft so the schedule is
+    bit-stable cross-engine; `due` marks keys whose re-attempt time has
+    passed the stream frontier. Two keyed partial aggs + one equi-join
+    on the same key (no re-exchange under AQE), frontier a one-row
+    broadcast. See operators/recrawl.retry_backoff."""
+    from crawler_spark.operators.recrawl import retry_backoff
+    e = _t(spark, sf_dir, "events")
+    log = e.select("user_id",
+                   F.unix_timestamp("ts").alias("w"),
+                   (F.col("event_type") != "error").alias("ok"))
+    out = retry_backoff(log, "user_id", "w", "ok", base=3600, cap_fails=6)
+    mx = log.agg(F.max("w").alias("_mx"))
+    return (out.crossJoin(F.broadcast(mx))
+            .select("user_id", "tail_fails", "last_fail", "next_attempt",
+                    F.when(F.col("next_attempt") <= F.col("_mx"), 1)
+                     .otherwise(0).cast("int").alias("due")))

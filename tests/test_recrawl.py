@@ -371,3 +371,36 @@ def test_conditional_recrawl_304_saves_bytes_and_merges(finished_crawl):
     merged_wave = {r["doc_id"]: r["wave"] for r in merged.collect()}
     for url in expected_due - changed:
         assert merged_wave[url] == orig_wave[url]
+
+
+def test_retry_backoff_goldens(spark):
+    """Fail tails, doubling delays, success resets, cap, no-success keys."""
+    from crawler_spark.operators.recrawl import retry_backoff
+    rows = [
+        # key 1: ok@10, fail@20, fail@30 -> tail 2, delay base*2
+        (1, 10, True), (1, 20, False), (1, 30, False),
+        # key 2: fail@5, ok@6 -> no tail (success newest)
+        (2, 5, False), (2, 6, True),
+        # key 3: never succeeded, 9 fails -> tail 9, capped shift 6
+        *[(3, t, False) for t in range(9)],
+        # key 4: fail@7 only -> tail 1, delay base*1
+        (4, 7, False),
+    ]
+    log = spark.createDataFrame(rows, "k long, w long, ok boolean")
+    out = {r["k"]: r for r in
+           retry_backoff(log, "k", "w", "ok", base=10,
+                         cap_fails=6).collect()}
+    assert set(out) == {1, 3, 4}
+    assert (out[1]["tail_fails"], out[1]["last_fail"],
+            out[1]["next_attempt"]) == (2, 30, 30 + 10 * 2)
+    assert (out[3]["tail_fails"], out[3]["next_attempt"]) == (9, 8 + 10 * 64)
+    assert (out[4]["tail_fails"], out[4]["next_attempt"]) == (1, 7 + 10)
+
+
+def test_retry_backoff_same_wave_fail_not_after_success(spark):
+    """A failure at EXACTLY the last-success wave is not a tail failure
+    (strictly-newer rule)."""
+    from crawler_spark.operators.recrawl import retry_backoff
+    log = spark.createDataFrame([(1, 5, True), (1, 5, False)],
+                                "k long, w long, ok boolean")
+    assert retry_backoff(log, "k", "w", "ok").count() == 0

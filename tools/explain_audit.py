@@ -750,6 +750,11 @@ CHECKS = {
     "ks7_heavy_hitters": (["MapInPandas", "LeftSemi"],
                           ["BatchEvalPython", "CartesianProduct",
                            "SortMergeJoin"]),
+    # backoff: two keyed partial aggs + broadcastable key join + one-row
+    # frontier dim; never a window, never Python
+    "f15_retry_backoff": (["BroadcastHashJoin"],
+                          ["Window", "BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct"]),
 }
 
 def plan_text(df) -> str:
