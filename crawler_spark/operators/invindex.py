@@ -322,3 +322,45 @@ def rrf_fusion(runs: list[DataFrame], id_col: str = "doc_id",
         *[F.coalesce(F.col(f"r{i}"), F.lit(-1)).cast("int").alias(f"r{i}")
           for i in range(len(runs))],
         F.round(term, 6).alias("rrf"))
+
+
+def champion_search(docs: DataFrame, terms: list[str], r: int = 15,
+                    n_salt: int = 16, doc_id: str = "doc_id",
+                    text: str = "text") -> DataFrame:
+    """Champion-list (impact-ordered postings) retrieval — the classic
+    index-pruning optimization (IIR §7.1.3, Manning et al.): each query
+    term keeps only its top-`r` documents by tf ("champions"); scoring
+    touches the union of champion lists instead of full posting lists,
+    bounding serving cost by |q|*r no matter how long a stop-word's
+    postings are. Ties break (tf desc, doc_id asc) so the lists are
+    deterministic across engines and partitionings.
+
+    Output: (doc_id, score BIGINT = summed champion tf, n_champ INT =
+    #query terms whose champion list contains the doc).
+
+    Scale shape: term-filtered postings only (the IN-list sits before
+    the tf shuffle); per-term top-r is the few-huge-keys window regime
+    (a stop-word's postings = one key), so a SALTED two-phase top-r
+    runs first — per (term, salt-of-doc) top-r in parallel, then the
+    true per-term top-r over <= n_salt*r survivors (selection-equal:
+    the global top-r is contained in the union of per-salt top-rs, the
+    same argument as the politeness pre-prune in operators/politeness).
+    Final rollup is doc-keyed at |q|*r rows."""
+    qt = sorted({t.lower() for t in terms})
+    tf = (docs.select(F.col(doc_id).alias("doc_id"),
+                      F.explode(tokens_col(F.col(text))).alias("term"))
+          .where(F.col("term").isin(qt))
+          .groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    w_salt = Window.partitionBy("term", "_s").orderBy(F.desc("tf"),
+                                                      "doc_id")
+    pruned = (tf.withColumn("_s", F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(n_salt)))
+              .withColumn("_rn", F.row_number().over(w_salt))
+              .where(F.col("_rn") <= r).drop("_rn", "_s"))
+    w_term = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    champ = (pruned.withColumn("_rn", F.row_number().over(w_term))
+             .where(F.col("_rn") <= r))
+    return (champ.groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("score"),
+                 F.count(F.lit(1)).cast("int").alias("n_champ")))

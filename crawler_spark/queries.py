@@ -7824,3 +7824,29 @@ def f15_retry_backoff(spark, sf_dir):
             .select("user_id", "tail_fails", "last_fail", "next_attempt",
                     F.when(F.col("next_attempt") <= F.col("_mx"), 1)
                      .otherwise(0).cast("int").alias("due")))
+
+
+@q("ix11_champion_lists", f"""
+WITH tok AS ({_IX_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('merge', 'vector', 'window') GROUP BY 1, 2),
+ch AS (SELECT doc_id, term, tf,
+              row_number() OVER (PARTITION BY term
+                                 ORDER BY tf DESC, doc_id) AS rn
+       FROM tf QUALIFY rn <= 15)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score,
+       CAST(count(*) AS INT) AS n_champ
+FROM ch GROUP BY doc_id
+""")
+def ix11_champion_lists(spark, sf_dir):
+    """Champion-list retrieval (IIR §7.1.3): each query term's top-15
+    docs by tf, scored over the union of champion lists — serving cost
+    bounded by |q|*r however long a stop-word's postings run. Per-term
+    top-r is the few-huge-keys regime, so the engine runs the SALTED
+    two-phase top-r (per-salt prune then true top-r over <= 16r
+    survivors, selection-equal by the politeness-pre-prune argument);
+    the oracle is the direct per-term window the engine must never plan
+    at scale. See operators/invindex.champion_search."""
+    from crawler_spark.operators.invindex import champion_search
+    return champion_search(_t(spark, sf_dir, "documents"),
+                           ["vector", "window", "merge"], r=15)

@@ -173,3 +173,30 @@ def test_rrf_fusion_tie_breaks_on_id(spark):
     out = {r["doc_id"]: r["r0"] for r in
            rrf_fusion([run], k_list=3).collect()}
     assert out == {3: 1, 4: 2, 5: 3}
+
+
+def test_champion_search_salted_equals_unsalted(spark):
+    """The salted two-phase top-r selects exactly the unsalted per-term
+    top-r (containment argument), across partitionings."""
+    from crawler_spark.operators.invindex import champion_search
+    rows = [(i, ("hot " * (i % 7 + 1)) + ("cold " * (1 if i % 3 else 2)))
+            for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted((r["doc_id"], r["score"], r["n_champ"]) for r in
+               champion_search(d, ["hot", "cold"], r=5,
+                               n_salt=1).collect())
+    b = sorted((r["doc_id"], r["score"], r["n_champ"]) for r in
+               champion_search(d.repartition(7), ["hot", "cold"], r=5,
+                               n_salt=16).collect())
+    assert a == b and len(a) > 0
+
+
+def test_champion_search_r_bounds_and_ties(spark):
+    """r=2, three docs tied on tf -> the two smallest doc_ids win."""
+    from crawler_spark.operators.invindex import champion_search
+    d = spark.createDataFrame(
+        [(3, "z z"), (1, "z z"), (2, "z z"), (4, "z")],
+        "doc_id long, text string")
+    out = sorted((r["doc_id"], r["score"]) for r in
+                 champion_search(d, ["z"], r=2).collect())
+    assert out == [(1, 2), (2, 2)]

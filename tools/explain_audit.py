@@ -755,6 +755,11 @@ CHECKS = {
     "f15_retry_backoff": (["BroadcastHashJoin"],
                           ["Window", "BatchEvalPython", "ArrowEvalPython",
                            "CartesianProduct"]),
+    # champion lists: IN-filter before the tf shuffle; salted two-phase
+    # top-r (keyed windows only), doc-keyed rollup; no Python
+    "ix11_champion_lists": (["Window"],
+                            ["Exchange SinglePartition", "BatchEvalPython",
+                             "ArrowEvalPython", "CartesianProduct"]),
 }
 
 def plan_text(df) -> str:
