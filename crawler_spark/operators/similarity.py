@@ -608,17 +608,25 @@ def knn_graph(emb: DataFrame, k: int = 5, cell_col: str | None = None,
     on the cell key only. The mutual flag is one self-join of the edge
     list on the reversed key — edges, not vectors, so it stays cheap."""
     from pyspark.sql import Window
+    # Norms are computed ONCE per row map-side and carried through the
+    # join: cosine = dot/(na*nb) is the SAME double as cosine_col's
+    # dot/(norm(a)*norm(b)) (identical expression over identical input),
+    # but the per-pair work drops from three O(d) array aggregates to
+    # one — at n^2 (or cell^2) pair volume that is the dominant term.
     a = emb.select(F.col(id_col).alias("src"),
                    F.col(vec_col).cast("array<double>").alias("va"),
                    *([F.col(cell_col).alias("ca")] if cell_col else []))
+    a = a.withColumn("na", norm_col(F.col("va")))
     b = emb.select(F.col(id_col).alias("dst"),
                    F.col(vec_col).cast("array<double>").alias("vb"),
                    *([F.col(cell_col).alias("cb")] if cell_col else []))
+    b = b.withColumn("nb", norm_col(F.col("vb")))
     joined = (a.join(b, F.col("ca") == F.col("cb")) if cell_col
               else a.crossJoin(b))
     scored = (joined.where(F.col("src") != F.col("dst"))
               .select("src", "dst",
-                      F.round(cosine_col(F.col("va"), F.col("vb")), 4)
+                      F.round(dot_col(F.col("va"), F.col("vb"))
+                              / (F.col("na") * F.col("nb")), 4)
                       .alias("cosine")))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
     edges = (scored.withColumn("rnk", F.row_number().over(w))
