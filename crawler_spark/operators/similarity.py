@@ -40,14 +40,21 @@ def brute_force_topk(emb: DataFrame, query: DataFrame, k: int = 10,
     Query side is broadcast; one corpus scan for the whole query batch;
     per-query top-k via TakeOrderedAndProject-friendly window."""
     from pyspark.sql import Window
+    # Both norms hoisted above the join (bit-identical doubles, one O(d)
+    # aggregate per pair instead of three -- the knn_graph discipline).
     q = F.broadcast(query.select(F.col(id_col).alias("qid"),
-                                 F.col(vec_col).alias("qvec")))
-    scored = (emb.crossJoin(q)
+                                 F.col(vec_col).cast("array<double>")
+                                 .alias("qvec"))
+                    .withColumn("nq", norm_col(F.col("qvec"))))
+    e = (emb.select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("_ev"))
+         .withColumn("ne", norm_col(F.col("_ev"))))
+    scored = (e.crossJoin(q)
               .where(F.col(id_col) != F.col("qid"))
               .select("qid", F.col(id_col),
-                      F.round(cosine_col(
-                          F.col(vec_col).cast("array<double>"),
-                          F.col("qvec").cast("array<double>")), 4).alias("cosine")))
+                      F.round(dot_col(F.col("_ev"), F.col("qvec"))
+                              / (F.col("ne") * F.col("nq")), 4)
+                      .alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k))
@@ -149,12 +156,17 @@ def lsh_topk(emb: DataFrame, query: DataFrame, planes: list[list[float]],
     q = (query.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
          .withColumn("qbucket",
                      rh_sig_col(F.col("qvec").cast("array<double>"), planes)))
+    corpus = corpus.withColumn(
+        "_ne", norm_col(F.col(vec_col).cast("array<double>")))
+    q = q.withColumn("_nq", norm_col(F.col("qvec").cast("array<double>")))
     scored = (corpus.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
               .where(F.col(id_col) != F.col("qid"))
               .select("qid", F.col(id_col),
-                      F.round(cosine_col(
+                      F.round(dot_col(
                           F.col(vec_col).cast("array<double>"),
-                          F.col("qvec").cast("array<double>")), 4).alias("cosine")))
+                          F.col("qvec").cast("array<double>"))
+                          / (F.col("_ne") * F.col("_nq")), 4)
+                      .alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k))
@@ -534,13 +546,17 @@ def range_search(emb: DataFrame, query: DataFrame, threshold: float,
     (an2) or sign-bucket (an4) pruning — scan only candidate cells,
     threshold inside."""
     q = F.broadcast(query.select(F.col(id_col).alias("qid"),
-                                 F.col(vec_col).alias("qvec")))
-    return (emb.crossJoin(q)
+                                 F.col(vec_col).cast("array<double>")
+                                 .alias("qvec"))
+                    .withColumn("_nq", norm_col(F.col("qvec"))))
+    e = (emb.select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("_ev"))
+         .withColumn("_ne", norm_col(F.col("_ev"))))
+    return (e.crossJoin(q)
             .where(F.col(id_col) != F.col("qid"))
             .select("qid", F.col(id_col),
-                    F.round(cosine_col(
-                        F.col(vec_col).cast("array<double>"),
-                        F.col("qvec").cast("array<double>")), 4)
+                    F.round(dot_col(F.col("_ev"), F.col("qvec"))
+                            / (F.col("_ne") * F.col("_nq")), 4)
                     .alias("cosine"))
             .where(F.col("cosine") >= threshold))
 
