@@ -371,3 +371,36 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 200) -> DataFrame:
             .crossJoin(F.broadcast(n))
             .where(F.col("n_occ") * k > F.col("_n"))
             .select(key_col, F.col("n_occ").cast("long").alias("n_occ")))
+
+
+def decayed_counts(df: DataFrame, key_col: str, ts_col: str,
+                   half_life_s: int = 3600,
+                   cap_buckets: int = 32) -> DataFrame:
+    """Exponentially time-decayed frequency per key — the recency-
+    weighted counter behind trending-host detection and frontier
+    priority decay: each event contributes 2^-age_buckets where
+    age_buckets = (t_frontier - t) div half_life_s, capped.
+
+    The decay base is DELIBERATELY 2 with an INTEGER bucket exponent:
+    every term is a dyadic rational >= 2^-cap and the running sum stays
+    exactly representable in a double (needs cap + log2(n) <= 53
+    mantissa bits), so the aggregate is EXACT, order-independent, and
+    bit-stable cross-engine — no libm pow, no summation-order hazard,
+    the same trick as the hll/ewma twins but with zero rounding debt.
+
+    Output: (key, n BIGINT, decayed DOUBLE round 6). Scale shape: one
+    map-side weight column + ONE partial-agged keyed rollup; the
+    frontier timestamp is a one-row broadcast."""
+    w = F.unix_timestamp(F.col(ts_col)).cast("long")
+    mx = df.agg(F.max(w).alias("_mx"))
+    k = F.least(F.expr(f"div(_mx - _w, {half_life_s})"),
+                F.lit(cap_buckets)).cast("int")
+    weight = F.lit(1.0) / F.expr(
+        "cast(shiftleft(1L, _k) as double)")
+    return (df.select(key_col, w.alias("_w"))
+            .crossJoin(F.broadcast(mx))
+            .withColumn("_k", k)
+            .withColumn("_wt", weight)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("_wt"), 6).alias("decayed")))

@@ -7850,3 +7850,31 @@ def ix11_champion_lists(spark, sf_dir):
     from crawler_spark.operators.invindex import champion_search
     return champion_search(_t(spark, sf_dir, "documents"),
                            ["vector", "window", "merge"], r=15)
+
+
+@q("ks8_decayed_counts", """
+WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS w
+           FROM events),
+mx AS (SELECT max(w) AS mx FROM e),
+t AS (SELECT event_type,
+             1.0 / CAST(1::BIGINT << CAST(least((mx.mx - w) // 3600, 32)
+                                          AS INT) AS DOUBLE) AS wt
+      FROM e, mx)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(wt), 6) AS decayed
+FROM t GROUP BY event_type
+""")
+def ks8_decayed_counts(spark, sf_dir):
+    """Time-decayed frequency per event type (half-life 1h, cap 32
+    buckets): each event adds 2^-age_hours — the recency-weighted
+    counter behind trending detection and frontier priority decay.
+    Base-2 integer-exponent decay keeps every term a dyadic rational,
+    so the sum is EXACT and order-independent (no libm pow, no
+    summation-order hazard) — a float aggregate under the hash gate
+    with zero rounding debt. One map-side weight + one keyed rollup;
+    frontier timestamp a one-row broadcast.
+    See operators/sketches.decayed_counts."""
+    from crawler_spark.operators.sketches import decayed_counts
+    e = _t(spark, sf_dir, "events")
+    return decayed_counts(e, "event_type", "ts", half_life_s=3600,
+                          cap_buckets=32)

@@ -245,3 +245,23 @@ def test_heavy_hitters_strict_threshold(spark):
     df2 = spark.createDataFrame(rows, "word string")
     got = heavy_hitters(df2, "word", k=4).collect()
     assert [(r["word"], r["n_occ"]) for r in got] == [("x", 26)]
+
+
+def test_decayed_counts_exact_dyadics(spark):
+    """Hand-checkable: events at frontier, -1h, -2h, -33h (capped at
+    32) -> 1 + 0.5 + 0.25 + 2^-32; order/partitioning-independent."""
+    from datetime import datetime, timedelta
+    from crawler_spark.operators.sketches import decayed_counts
+    t0 = datetime(2024, 1, 2, 12, 0, 0)
+    rows = [("a", t0), ("a", t0 - timedelta(hours=1)),
+            ("a", t0 - timedelta(hours=2)),
+            ("a", t0 - timedelta(hours=33)),
+            ("b", t0 - timedelta(hours=1))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    for parts in (1, 5):
+        got = {r["k"]: (r["n"], r["decayed"]) for r in
+               decayed_counts(df.repartition(parts), "k", "ts",
+                              3600, 32).collect()}
+        assert got["a"] == (4, round(1 + 0.5 + 0.25 + 2.0 ** -32, 6))
+        # age is measured from the GLOBAL frontier (t0), not per key
+        assert got["b"] == (1, 0.5)

@@ -760,6 +760,11 @@ CHECKS = {
     "ix11_champion_lists": (["Window"],
                             ["Exchange SinglePartition", "BatchEvalPython",
                              "ArrowEvalPython", "CartesianProduct"]),
+    # decayed counts: map-side dyadic weight + ONE keyed partial-agg
+    # rollup; frontier scalar a one-row broadcast; never a window
+    "ks8_decayed_counts": (["partial_count"],
+                           ["Window", "BatchEvalPython", "ArrowEvalPython",
+                            "CartesianProduct"]),
 }
 
 def plan_text(df) -> str:
