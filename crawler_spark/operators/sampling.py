@@ -93,6 +93,101 @@ def token_budget_threshold(df: DataFrame, strata_col: str, tokens_col: str,
             .drop("_qmin"))
 
 
+def _directed_leq(bvals: tuple, kcols: list[Column], descs: list[bool],
+                  ftypes: list) -> Column:
+    """bound ≼ key under the per-column directed lexicographic order
+    (asc: Spark `<`; desc: Spark `>`), built innermost-out:
+    leq = lt1 | (eq1 & (lt2 | (eq2 & ... (ltm | eqm)))). Bound values are
+    non-null literals cast to the exact key types. A NULL key field takes
+    Spark's default placement (asc nulls-first → bound after it → False;
+    desc nulls-last → bound before it → True)."""
+    expr: Column = F.lit(True)
+    for b, k, d, t in reversed(list(zip(bvals, kcols, descs, ftypes))):
+        bl = F.lit(b).cast(t)
+        if d:
+            lt = F.when(k.isNull(), F.lit(True)).otherwise(bl > k)
+        else:
+            lt = F.when(k.isNull(), F.lit(False)).otherwise(bl < k)
+        expr = lt | (bl.eqNullSafe(k) & expr)
+    return expr
+
+
+def _det_block_expr(df: DataFrame, order_cols: list[Column],
+                    n_blocks: int, descs: list[bool] | None = None,
+                    sample_per_block: int = 200) -> Column:
+    """PURE deterministic monotone blocking for the two-phase prefix-sum /
+    global-rank operators: returns a Column assigning each row a block id
+    that is non-decreasing in the directed total order of `order_cols`
+    (per-column ascending unless descs[i]).
+
+    Why not `repartitionByRange + spark_partition_id`: the range
+    partitioner derives its boundaries from a runtime SAMPLE of the input,
+    and a plan with two consumers of that blocking (local cumsum + block
+    offsets) instantiates the subtree twice — under AQE / differing session
+    shapes the two instantiations can observe DIFFERENT blockings, silently
+    corrupting the prefix (the exact environment-sensitive hash divergence
+    the round-3 driver gate caught on px3/mm4). A lazily-checkpointed
+    barrier narrows but does not close the race.
+
+    Here the boundaries are FROZEN on the driver once (a <= n_blocks-1
+    value collect from a content-stable sample job) and re-embedded as
+    literals, so the block id is a pure map-side expression — identical in
+    every branch, recomputation, retry, and AQE re-plan, with zero
+    checkpoint/caching requirement.
+
+    Correctness does not depend on boundary quality: for ANY frozen
+    boundary multiset, blk(row) = |{b : b ≼ key(row)}| is monotone
+    non-decreasing in the directed key order, which is all the offset
+    algebra needs; boundary placement only affects balance. Cost: one
+    map-side count job + one ~n_blocks*sample_per_block-row sample collect
+    over the pruned key columns — O(cores) driver memory, no extra shuffle
+    of the corpus, scale-safe at 10^10 rows."""
+    if descs is None:
+        descs = [False] * len(order_cols)
+    if n_blocks <= 1:
+        return F.lit(0)
+    keyed = df.select(*[c.alias(f"_k{i}")
+                        for i, c in enumerate(order_cols)])
+    n = keyed.count()
+    if n == 0:
+        return F.lit(0)
+    frac = min(1.0, (n_blocks * sample_per_block) / n)
+    rows = keyed.sample(withReplacement=False, fraction=frac, seed=42) \
+                .collect()
+    # Boundaries containing NULL are dropped (null-keyed rows collapse
+    # into the edge block — balance-only effect). Python's per-field sort
+    # can disagree with Spark collation on exotic strings; harmless — see
+    # the monotonicity note above (sort order affects balance only).
+    import functools
+    vals = {tuple(r) for r in rows if all(x is not None for x in r)}
+
+    def _cmp(a, b):
+        for x, y, d in zip(a, b, descs):
+            if x == y:
+                continue
+            lt = x < y
+            return (-1 if lt else 1) * (-1 if d else 1)
+        return 0
+
+    svals = sorted(vals, key=functools.cmp_to_key(_cmp))
+    if len(svals) < 2:
+        return F.lit(0)
+    step = len(svals) / n_blocks
+    bounds: list[tuple] = []
+    for b in range(1, n_blocks):
+        v = svals[min(int(b * step), len(svals) - 1)]
+        if not bounds or v != bounds[-1]:
+            bounds.append(v)
+    if not bounds:
+        return F.lit(0)
+    ftypes = [f.dataType for f in keyed.schema.fields]
+    blk = functools.reduce(
+        lambda acc, v: acc + _directed_leq(v, order_cols, descs,
+                                           ftypes).cast("int"),
+        bounds, F.lit(0))
+    return blk.cast("int")
+
+
 def pack_sequences(df: DataFrame, tokens_col: str, order_col: str = "doc_id",
                    budget: int = 1024, n_blocks: int = 32) -> DataFrame:
     """GPT-style concat-then-chunk sequence packing: documents are laid out
@@ -110,29 +205,24 @@ def pack_sequences(df: DataFrame, tokens_col: str, order_col: str = "doc_id",
     collapses the whole corpus into ONE task; at 10^10 rows that is the
     canonical window-function scale bug. Instead, two phases:
 
-      1. range-partition by `order_col` into n_blocks ordered blocks
-         (spark_partition_id() of a repartitionByRange IS ascending in the
-         range order); block-LOCAL exclusive cumsum — a window over the
-         block key, fully parallel;
+      1. assign each row a block id that is monotone in `order_col` —
+         a PURE map-side expression against driver-frozen boundary
+         literals (`_det_block_expr`; no repartitionByRange, whose sampled
+         boundaries are not stable across plan branches); block-LOCAL
+         exclusive cumsum — a window over the block key, fully parallel;
       2. per-block token totals (n_blocks rows) get their own exclusive
          cumsum on a single tiny task and are broadcast back as block
          offsets. prev = block_offset + local_prev.
 
-    Output values are independent of where the sampled range boundaries
-    land (any monotone blocking yields the same global prefix), so the
-    result is deterministic even though repartitionByRange samples.
+    Output values are independent of where the boundaries land (any
+    monotone blocking yields the same global prefix), and because the
+    block id is a pure expression both consumers agree under every
+    session shape / AQE re-plan — no checkpoint barrier needed.
     Set n_blocks ~ cluster cores; the only global structure that ever sits
     in one place is the n_blocks-row offset table.
     """
-    # localCheckpoint is a CORRECTNESS barrier: repartitionByRange samples
-    # its boundaries with a plan-derived seed, and the local-cumsum and
-    # block-offset branches below are separate consumers — without one
-    # materialization they can see DIFFERENT blockings (the branches only
-    # stay consistent when exchange reuse happens to fire), silently
-    # corrupting the prefix. One cached blocking serves both.
-    blocked = (df.repartitionByRange(n_blocks, F.col(order_col))
-               .withColumn("_blk", F.spark_partition_id())
-               .localCheckpoint(eager=False))
+    blocked = df.withColumn(
+        "_blk", _det_block_expr(df, [F.col(order_col)], n_blocks))
     w_loc = (Window.partitionBy("_blk").orderBy(order_col)
              .rowsBetween(Window.unboundedPreceding, -1))
     local = blocked.withColumn(
@@ -262,22 +352,27 @@ def stratified_sample(df: DataFrame, strata_col: str, key: Column,
 
 
 def global_rank(df: DataFrame, order_by: list[Column],
-                n_blocks: int = 32, out_col: str = "_rn") -> DataFrame:
+                n_blocks: int = 32, out_col: str = "_rn",
+                desc: list[bool] | None = None) -> DataFrame:
     """DISTRIBUTED global row_number over a total order — the prefix-sum
     shape (pack_sequences) applied to ranking: the naive
     `row_number() OVER (ORDER BY ...)` with no partition key collapses
-    the corpus into ONE task; instead (1) range-partition by the order
-    keys into n_blocks ordered blocks and rank block-locally (parallel),
-    (2) exclusive-cumsum the n_blocks per-block counts on one tiny task
-    and broadcast them back as offsets. The caller's order must be TOTAL
-    (add a unique tiebreaker) — then the result is deterministic and
-    independent of where the sampled range boundaries land."""
-    # same consistency barrier as pack_sequences: both consumers below
-    # must see ONE sampled blocking (see pack_sequences for the failure).
-    blocked = (df.repartitionByRange(n_blocks, *order_by)
-               .withColumn("_blk", F.spark_partition_id())
-               .localCheckpoint(eager=False))
-    w_loc = Window.partitionBy("_blk").orderBy(*order_by)
+    the corpus into ONE task; instead (1) assign a pure monotone block id
+    from driver-frozen boundaries (`_det_block_expr` — not
+    repartitionByRange, whose sampled boundaries aren't stable across
+    plan branches) and rank block-locally (parallel), (2) exclusive-cumsum
+    the n_blocks per-block counts on one tiny task and broadcast them back
+    as offsets. The caller's order must be TOTAL (add a unique
+    tiebreaker) — then the result is deterministic and independent of
+    where the boundaries land. `order_by` takes PLAIN columns; per-column
+    descending order is requested via the parallel `desc` flag list (the
+    blocking comparator needs explicit directions)."""
+    descs = list(desc) if desc is not None else [False] * len(order_by)
+    sort_cols = [c.desc() if d else c.asc()
+                 for c, d in zip(order_by, descs)]
+    blocked = df.withColumn(
+        "_blk", _det_block_expr(df, list(order_by), n_blocks, descs))
+    w_loc = Window.partitionBy("_blk").orderBy(*sort_cols)
     local = blocked.withColumn("_lrn",
                                F.row_number().over(w_loc).cast("long"))
     w_blk = (Window.orderBy("_blk")
@@ -293,22 +388,29 @@ def global_rank(df: DataFrame, order_by: list[Column],
 
 def keyed_global_rank(df: DataFrame, key_cols: list[str],
                       order_by: list[Column], n_blocks: int = 32,
-                      out_col: str = "_rn") -> DataFrame:
+                      out_col: str = "_rn",
+                      desc: list[bool] | None = None) -> DataFrame:
     """Per-KEY global row_number, distributed — `global_rank`
     generalized with a partition key. The naive
     `row_number() OVER (PARTITION BY key ORDER BY ...)` is one task per
     key: fine at host cardinality, a scale bug when keys are few and
     huge (e.g. K=8 scheduler queues over a 10^10-row frontier). Here the
-    range partitioner orders blocks by (key, order) so each key's rows
-    span contiguous ascending blocks; ranks are block-local (parallel)
-    and each key's per-block counts get their own tiny exclusive-cumsum
-    window (partitioned BY KEY over <= n_blocks rows — never one global
-    task). Order must be total within a key."""
-    blocked = (df.repartitionByRange(n_blocks, *[F.col(k) for k in key_cols],
-                                     *order_by)
-               .withColumn("_blk", F.spark_partition_id())
-               .localCheckpoint(eager=False))
-    w_loc = Window.partitionBy(*key_cols, "_blk").orderBy(*order_by)
+    pure block id (`_det_block_expr` over (key, order) — driver-frozen
+    boundaries, stable across plan branches) is monotone in (key, order)
+    so each key's rows span contiguous ascending blocks; ranks are
+    block-local (parallel) and each key's per-block counts get their own
+    tiny exclusive-cumsum window (partitioned BY KEY over <= n_blocks
+    rows — never one global task). Order must be total within a key.
+    `order_by` takes PLAIN columns; descending order per column via the
+    parallel `desc` flag list (as in `global_rank`)."""
+    descs = list(desc) if desc is not None else [False] * len(order_by)
+    sort_cols = [c.desc() if d else c.asc()
+                 for c, d in zip(order_by, descs)]
+    blocked = df.withColumn(
+        "_blk", _det_block_expr(
+            df, [F.col(k) for k in key_cols] + list(order_by), n_blocks,
+            [False] * len(key_cols) + descs))
+    w_loc = Window.partitionBy(*key_cols, "_blk").orderBy(*sort_cols)
     local = blocked.withColumn("_lrn",
                                F.row_number().over(w_loc).cast("long"))
     w_blk = (Window.partitionBy(*key_cols).orderBy("_blk")

@@ -3130,8 +3130,8 @@ def w5_frontier_sharding(spark, sf_dir):
     operators/sampling.global_rank."""
     from crawler_spark.operators.sampling import global_rank
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    ranked = global_rank(d, order_by=[F.col("n_chars").desc(),
-                                      F.col("doc_id").asc()])
+    ranked = global_rank(d, order_by=[F.col("n_chars"), F.col("doc_id")],
+                         desc=[True, False])
     n = d.agg(F.count("*").alias("_n"))
     return (ranked.crossJoin(F.broadcast(n))
             .select("doc_id",
@@ -3189,8 +3189,8 @@ def w6_mercator_queues(spark, sf_dir):
                      .cast("long")))
     ranked = keyed_global_rank(
         t, ["queue_id"],
-        [F.asc("dispatch_at"), F.desc("n_chars"), F.asc("doc_id")],
-        n_blocks=8, out_col="queue_rank")
+        [F.col("dispatch_at"), F.col("n_chars"), F.col("doc_id")],
+        n_blocks=8, out_col="queue_rank", desc=[False, True, False])
     return ranked.select("doc_id", "host", "queue_id", "host_seq",
                          "dispatch_at", "queue_rank")
 

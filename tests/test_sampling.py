@@ -216,16 +216,18 @@ def test_global_rank_total_and_blocking_invariant(spark):
     from crawler_spark.operators.sampling import global_rank
     rows = [(i, (i * 37) % 50) for i in range(300)]  # heavy key ties
     df = spark.createDataFrame(rows, "doc_id long, pri long")
-    order = [F.col("pri").desc(), F.col("doc_id").asc()]
+    order = [F.col("pri"), F.col("doc_id")]
+    dirs = [True, False]
     got = {r.doc_id: r._rn
            for r in global_rank(df.repartition(11), order,
-                                n_blocks=7).collect()}
+                                n_blocks=7, desc=dirs).collect()}
     want = {doc_id: rn + 1
             for rn, (doc_id, _) in enumerate(
                 sorted(rows, key=lambda t: (-t[1], t[0])))}
     assert got == want
     one = {r.doc_id: r._rn
-           for r in global_rank(df, order, n_blocks=1).collect()}
+           for r in global_rank(df, order, n_blocks=1,
+                                desc=dirs).collect()}
     assert one == want
 
 
@@ -267,8 +269,8 @@ def test_keyed_global_rank_equals_single_window(spark):
            .collect()}
     for nb in (1, 4, 32):
         got = {(r.id, r.rn) for r in keyed_global_rank(
-            df, ["k"], [F.desc("p"), F.asc("u")], n_blocks=nb,
-            out_col="rn").collect()}
+            df, ["k"], [F.col("p"), F.col("u")], n_blocks=nb,
+            out_col="rn", desc=[True, False]).collect()}
         assert got == exp, nb
 
 
@@ -368,3 +370,52 @@ def test_rag_chunk_spans_short_doc_single_chunk(spark):
                                                    stride=6).collect()}
     assert (out[1]["chunk_idx"], out[1]["n_words"]) == (0, 2)
     assert (out[2]["chunk_idx"], out[2]["n_words"]) == (0, 1)
+
+
+def test_pack_sequences_environment_invariant(spark):
+    """Round-3 driver-gate regression (px3/mm4 hash_match=false): the packed
+    output must be value-identical under every session shape — shuffle
+    partition count, AQE on/off, files.maxPartitionBytes — and under any
+    input partitioning/row order, because the block id is a PURE expression
+    against driver-frozen boundaries (operators/sampling._det_block_expr),
+    not a runtime-sampled repartitionByRange blocking."""
+    from crawler_spark.operators.sampling import pack_sequences
+
+    rows = [(f"d{i:04d}", (i * 37) % 91 + 1) for i in range(700)]
+    base = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+
+    def run(df):
+        out = pack_sequences(df, "n_tokens", order_col="doc_id",
+                             budget=256, n_blocks=8)
+        return sorted((r["doc_id"], r["prev_tokens"], r["seq_id"],
+                       r["seq_offset"]) for r in out.collect())
+
+    # sequential truth
+    acc, want = 0, []
+    for doc_id, nt in sorted(rows):
+        want.append((doc_id, acc, acc // 256, acc % 256))
+        acc += nt
+    want.sort()
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in
+             ("spark.sql.shuffle.partitions",
+              "spark.sql.adaptive.enabled",
+              "spark.sql.files.maxPartitionBytes")}
+    shapes = [("8", "false", str(128 * 1024 * 1024)),
+              ("200", "true", str(128 * 1024 * 1024)),
+              ("3", "true", str(64 * 1024)),
+              ("32", "false", str(1024 * 1024))]
+    inputs = [base, base.repartition(13), base.coalesce(1),
+              base.orderBy(F.desc("n_tokens")).repartition(5)]
+    try:
+        for sp, aqe, mpb in shapes:
+            conf.set("spark.sql.shuffle.partitions", sp)
+            conf.set("spark.sql.adaptive.enabled", aqe)
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            for df in inputs:
+                assert run(df) == want, (sp, aqe, mpb)
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                conf.set(k, v)
