@@ -47,12 +47,40 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+# Query names pinned to the FRONT of the export order: the round-3 driver
+# gate flagged these two (hash_match=false, the pack_sequences sampled-
+# blocking race, fixed round 4 via _det_block_expr) — they must be in the
+# driver's next ~50-query sample so CORRECTNESS_r04 re-verifies the fix.
+_DRIVER_PRIORITY = ("px3_sequence_pack", "mm4_multimodal_pack")
+
 # Query names that already carry a committed driver-correctness row
-# (CORRECTNESS_r02.json). The driver's per-round snapshot records only the
-# FIRST ~50 registry entries, so the export order below puts queries that
-# have NEVER had a driver row first — maximizing cumulative driver-gate
-# coverage across rounds. Previously-covered queries keep their committed
-# r02 evidence and fill the remaining slots in definition order.
+# (CORRECTNESS_r02.json + the 48 green rows of CORRECTNESS_r03.json). The
+# driver's per-round snapshot records only the FIRST ~50 registry entries,
+# so the export order below puts queries that have NEVER had a driver row
+# first — maximizing cumulative driver-gate coverage across rounds.
+# Previously-covered queries keep their committed evidence and fill the
+# remaining slots in definition order. Refresh this set EVERY round close
+# (round-3 verdict item 2: a stale set makes the driver re-sample the same
+# 50 and cumulative coverage stops growing).
+_DRIVER_COVERED_R03 = frozenset({
+    "st4_sliding_window", "mm5_decode_algebra", "tx7_repetition",
+    "dd9_line_dedup", "dd11_substring_repeats", "g2_anchor_agg",
+    "rc2_adaptive_ttl", "tx8_token_budget_mix", "tx9_hash_split",
+    "an6_sq_rerank", "g3_domain_cc", "g4_hits", "px4_weighted_sample",
+    "tx10_unigram_logprob", "tx11_bm25", "an5_ivf_recall",
+    "px1_corpus_pipeline", "px2_interleave_stats", "tx12_bigram_logprob",
+    "px5_temperature_mix", "rc3_snapshot_diff", "wc1_warc_roundtrip",
+    "g5_hop_distance", "g16_hyperanf", "ex1_boilerplate_strip",
+    "j6_asof_join", "j7_range_join", "ks1_kmv_distinct",
+    "st5_hypertable_rollup", "g6_redirect_resolve", "j8_time_window_join",
+    "ks2_countmin", "mm6_span_stats", "mm7_media_dedup",
+    "ks3_exact_quantile", "g7_triangle_count", "px6_stratified_split",
+    "dd12_containment", "st6_late_data_policy", "g8_degree_histogram",
+    "f9_url_template_mining", "dd13_lsh_recall", "mm8_frame_algebra",
+    "so4_intersect", "a7_metrics_pivot", "w5_frontier_sharding",
+    "w6_mercator_queues", "rc4_crawl_delay_budget",
+})
+
 _DRIVER_COVERED_R02 = frozenset({
     "j1_seen_anti_join", "f2_scope_same_source", "f3_scope_prefix",
     "f4_tld_scope", "f5_robots_gate", "p3_ua_assignment",
@@ -74,9 +102,12 @@ _DRIVER_COVERED_R02 = frozenset({
 
 
 def _export_order(names) -> list[str]:
-    new = [n for n in names if n not in _DRIVER_COVERED_R02]
-    old = [n for n in names if n in _DRIVER_COVERED_R02]
-    return new + old
+    covered = _DRIVER_COVERED_R02 | _DRIVER_COVERED_R03
+    pri = [n for n in _DRIVER_PRIORITY if n in names]
+    new = [n for n in names
+           if n not in covered and n not in _DRIVER_PRIORITY]
+    old = [n for n in names if n in covered]
+    return pri + new + old
 
 
 def queries() -> dict[str, QueryFn]:
