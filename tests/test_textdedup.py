@@ -372,3 +372,20 @@ def test_edit_distance_pairs_normalization_and_cap(spark):
            for r in edit_distance_pairs(df, k=2, cap_len=64).collect()}
     assert got[(1, 2)] == 0
     assert got[(3, 4)] == 0
+
+
+def test_ngram_jaccard_prune_verify_identical(spark):
+    """prune_verify=True (the 10^12-scale verify-side semi-join prune) must
+    return the identical pair set and jaccard values as the unpruned path,
+    including when the candidate id set is a strict subset of the corpus."""
+    from crawler_spark.operators.textdedup import ngram_jaccard_pairs
+    docs = [(f"d{i}", "alpha beta gamma delta epsilon zeta " + ("x " * i))
+            for i in range(4)]
+    # two isolated docs sharing nothing with anyone (never candidates)
+    docs += [("iso1", "qq ww ee rr tt yy uu"), ("iso2", "zz xx cc vv bb nn")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    base = sorted(map(tuple, ngram_jaccard_pairs(
+        df, threshold=0.1, max_df=64).collect()))
+    pruned = sorted(map(tuple, ngram_jaccard_pairs(
+        df, threshold=0.1, max_df=64, prune_verify=True).collect()))
+    assert base == pruned and len(base) > 0
