@@ -247,6 +247,11 @@ def bloom_prune_join(fact: DataFrame, dim: DataFrame, key_col: str,
                 for j in range(k)]
 
     n_words = m // 64
+    # NULL dim keys hash to NULL positions and would surface as a w=None
+    # row in the collected mask (a plan-build crash); they can never
+    # equi-join a fact row anyway, so drop them before hashing. NULL fact
+    # keys self-resolve: their probe predicate is NULL -> filtered.
+    dim = dim.where(F.col(key_col).isNotNull())
     words = (dim.select(F.explode(F.array(*positions(F.col(key_col))))
                         .alias("pos"))
              .select((F.col("pos") / 64).cast("int").alias("w"),
@@ -286,8 +291,11 @@ def changelog_merge(base: DataFrame, changes: DataFrame, key_col: str,
     snapshot store (plans/tableio) runs between crawl epochs when an
     external system feeds corrections — rc3's diff is its read twin.
 
-    Output: base columns with `val_col` updated, plus src
-    ('base'|'upsert') marking provenance.
+    Output: the (key_col, val_col, src) PROJECTION — src
+    ('base'|'upsert') marks provenance; other base columns are dropped
+    (an inserted key has no values for them — callers with a wider
+    snapshot re-join the result on key_col to recover passthrough
+    columns, NULL for inserts).
 
     Scale shape: ONE changelog-cardinality shuffle for the
     latest-version window (keyed by the merge key, never global), then

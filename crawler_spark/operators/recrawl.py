@@ -351,9 +351,14 @@ def retry_backoff(log: DataFrame, key_col: str, wave_col: str,
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).cast("int").alias("tail_fails"),
                  F.max(w).alias("last_fail")))
-    # SQL-expr form: pyspark's shiftleft() only takes a literal numBits
+    # SQL-expr form: pyspark's shiftleft() only takes a literal numBits.
+    # The shifted value must be a LONG literal — Spark masks an INT shift
+    # amount mod 32, so shiftleft(1, 31) goes negative and shiftleft(1, 32)
+    # wraps to 1; 1L shifts mod 64 and cap <= 62 keeps the delay positive.
+    if not 0 <= cap_fails <= 62:
+        raise ValueError(f"cap_fails must be in [0, 62], got {cap_fails}")
     delay = F.lit(base).cast("long") * F.expr(
-        f"cast(shiftleft(1, least(tail_fails - 1, {cap_fails})) as bigint)")
+        f"shiftleft(1L, least(tail_fails - 1, {cap_fails}))")
     return tail.select(
         key_col, "tail_fails", "last_fail",
         (F.col("last_fail") + delay).alias("next_attempt"))

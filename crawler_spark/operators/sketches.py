@@ -351,7 +351,14 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 200) -> DataFrame:
 
     Output: (key_col, n_occ BIGINT). Scale: pass-1 shuffle volume is
     O(parts * k), pass-2 is candidate-row-bounded, n is one map-side
-    partial count broadcast as a one-row dim."""
+    partial count broadcast as a one-row dim.
+
+    NULL keys are excluded up front (a NULL candidate could never
+    survive the equi-semi-join, so silently counting NULL rows into n
+    while never reporting a NULL hitter would skew the n/k threshold —
+    count NULLs separately if they matter). The candidate schema is the
+    key column's own dtype, so non-string keys (bigint ids) round-trip
+    Arrow without a string coercion."""
     import pandas as pd
 
     def _cands(batches):
@@ -362,8 +369,9 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 200) -> DataFrame:
             vc = pdf[key_col].value_counts()
             yield pd.DataFrame({key_col: vc.index[vc * k > m]})
 
-    src = df.select(key_col)
-    cand = src.mapInPandas(_cands, f"{key_col} string").distinct()
+    key_dt = df.schema[key_col].dataType.simpleString()
+    src = df.select(key_col).where(F.col(key_col).isNotNull())
+    cand = src.mapInPandas(_cands, f"{key_col} {key_dt}").distinct()
     n = src.agg(F.count(F.lit(1)).alias("_n"))
     return (src.join(F.broadcast(cand), key_col, "left_semi")
             .groupBy(key_col)

@@ -240,3 +240,15 @@ def test_changelog_merge_semantics(spark):
     assert out == {1: (12, "upsert"), 4: (44, "upsert"),
                    5: (50, "base"), 6: (60, "upsert")}
     assert 2 not in out and 3 not in out
+
+
+def test_bloom_prune_null_dim_key(spark):
+    """A NULL key on the dim side must not crash mask assembly (it can
+    never equi-join a fact row); NULL fact keys are dropped by the probe."""
+    from crawler_spark.operators.joins import bloom_prune_join
+    dim = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    fact = spark.createDataFrame(
+        [("a", 1), ("zz", 2), (None, 3)], "k string, v int")
+    out = bloom_prune_join(fact, dim, "k")
+    kept = {r["k"] for r in out.collect()}
+    assert "a" in kept and None not in kept

@@ -404,3 +404,19 @@ def test_retry_backoff_same_wave_fail_not_after_success(spark):
     log = spark.createDataFrame([(1, 5, True), (1, 5, False)],
                                 "k long, w long, ok boolean")
     assert retry_backoff(log, "k", "w", "ok").count() == 0
+
+
+def test_retry_backoff_large_cap_no_int_wrap(spark):
+    """Regression: an INT shift literal is masked mod 32 by Spark, so
+    cap_fails > 30 silently wrapped (shiftleft(1,31) < 0, shiftleft(1,32)
+    == 1). With a LONG literal the delay keeps doubling to 2^cap."""
+    from crawler_spark.operators.recrawl import retry_backoff
+    import pytest
+    rows = [("u", w, False) for w in range(40)]
+    log = spark.createDataFrame(rows, "url string, wave int, ok boolean")
+    out = retry_backoff(log, "url", "wave", "ok", base=1, cap_fails=35)
+    r = out.collect()[0]
+    assert r["tail_fails"] == 40
+    assert r["next_attempt"] == 39 + 2 ** 35
+    with pytest.raises(ValueError):
+        retry_backoff(log, "url", "wave", "ok", base=1, cap_fails=63)

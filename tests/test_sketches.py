@@ -265,3 +265,16 @@ def test_decayed_counts_exact_dyadics(spark):
         assert got["a"] == (4, round(1 + 0.5 + 0.25 + 2.0 ** -32, 6))
         # age is measured from the GLOBAL frontier (t0), not per key
         assert got["b"] == (1, 0.5)
+
+
+def test_heavy_hitters_bigint_key_and_null_exclusion(spark):
+    """Non-string keys must round-trip the Arrow candidate pass with their
+    own dtype (the candidate schema derives from the key column), and NULL
+    keys are excluded from both the hitters and the n/k denominator."""
+    from crawler_spark.operators.sketches import heavy_hitters
+    rows = [(7,)] * 60 + [(i,) for i in range(100, 130)] + [(None,)] * 200
+    df = spark.createDataFrame(rows, "user_id bigint")
+    got = {(r["user_id"], r["n_occ"])
+           for r in heavy_hitters(df, "user_id", k=3).collect()}
+    # non-null n = 90; threshold n/k = 30; only key 7 (60 occurrences)
+    assert got == {(7, 60)}
