@@ -212,33 +212,91 @@ def main() -> None:
                             drain=args.drain)
         timings["crawl_bench"] = crawl["sec"]
         total += crawl["sec"]
+        # headline lands on stdout immediately: a later kill mid-suite must
+        # not lose the north-rule number
+        print(json.dumps({"partial": True, "crawl": crawl,
+                          "probe_sec": _cpu_probe()}), flush=True)
 
+    probe_blocks: list[float] = []
     if not args.crawl_only:
         from __spark_entry__ import queries
-        for name, fn in queries().items():
+        qs = queries()
+        # SLOWEST-FIRST execution (round-3 verdict item 8): the driver may
+        # time-truncate a >10-min bench, so the interesting (slow) queries
+        # must run early. Prior-round per-query seconds are committed at
+        # BENCH/prior_query_sec.json; queries without a prior (new this
+        # round) sort at the median so they still run mid-pack.
+        prior_file = Path(__file__).parent / "BENCH" / "prior_query_sec.json"
+        prior: dict[str, float] = {}
+        if prior_file.exists():
+            try:
+                prior = json.loads(prior_file.read_text())
+            except Exception:
+                prior = {}
+        med = sorted(prior.values())[len(prior) // 2] if prior else 1.0
+        order = sorted(qs, key=lambda n: prior.get(n, med), reverse=True)
+
+        suite_path = Path(__file__).parent / "BENCH" / "last_suite.json"
+        suite_path.parent.mkdir(exist_ok=True)
+        block_size = 10
+        for i, name in enumerate(order):
             t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
+            _materialize(qs[name](spark, sf_dir))
             dt = time.perf_counter() - t0
             timings[name] = round(dt, 3)
             total += dt
+            if (i + 1) % block_size == 0 or (i + 1) == len(order):
+                # Per-BLOCK quietness witness + small self-contained
+                # progress line: any captured stdout tail carries the
+                # cumulative slowest-so-far picture even if the process is
+                # killed mid-suite; the FULL map is continuously flushed to
+                # BENCH/last_suite.json.
+                probe_blocks.append(_cpu_probe())
+                top = dict(sorted(
+                    ((k, v) for k, v in timings.items()
+                     if k != "crawl_bench"),
+                    key=lambda kv: kv[1], reverse=True)[:20])
+                print(json.dumps({
+                    "partial": True,
+                    "done": i + 1, "of": len(order),
+                    "cum_sec": round(total, 1),
+                    "probe_sec": probe_blocks[-1],
+                    "slowest": top,
+                }), flush=True)
+                tmp = suite_path.with_suffix(".tmp")
+                tmp.write_text(json.dumps({
+                    "sf": sf, "cpus": cpus, "queries": timings,
+                    "probe_blocks": probe_blocks,
+                    "crawl": crawl, "done": i + 1, "of": len(order),
+                }, indent=1))
+                tmp.replace(suite_path)
 
+    # Final line: COMPACT (fits a tail-capture window, stays parseable):
+    # slowest-30 inline; the full per-query map lives in
+    # BENCH/last_suite.json, written incrementally above.
+    slow30 = dict(sorted(timings.items(), key=lambda kv: kv[1],
+                         reverse=True)[:30])
     out = {
         "metric": "suite_total_sec",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": slow30,
+        "n_queries": len(timings),
+        "queries_file": "BENCH/last_suite.json",
         "sf": sf,
         "cpus": cpus,
         # contention witness (BENCH/BASELINE.md protocol): single-thread
-        # fixed-work probe, ~0.95s when this shared host is quiet. Absolute
-        # timings from a run whose probe is well above that were taken
+        # fixed-work probe, ~0.95s on this box when quiet; one sample per
+        # query block (probe_blocks) plus a closing sample. Absolute
+        # timings from a run whose probes sit well above quiet were taken
         # under host-side interference invisible to in-VM telemetry and are
         # not comparable across runs; within-run structure still is.
         "probe_sec": _cpu_probe(),
+        "probe_blocks": probe_blocks,
     }
     if crawl is not None:
         out["crawl"] = crawl
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 
