@@ -282,19 +282,31 @@ def _aspect_errs(w, h, mk):
 
 def aspect_bucket_col(w: F.Column, h: F.Column) -> F.Column:
     """Nearest standard aspect bucket for integer (w, h) — ties go to
-    the earliest bucket in ASPECT_BUCKETS order. Pure codegen integer
-    algebra, map-side."""
-    errs = _aspect_errs(
-        w, h, lambda bw, bh: F.abs(w * F.lit(bh) - h * F.lit(bw))
-        * F.lit(_ASPECT_LCM // bh))
-    best = F.least(*[e for _, e in errs])
-    out = None
-    for name, e in reversed(errs):
-        cond = e == best
-        out = F.when(cond, F.lit(name)) if out is None \
-            else F.when(cond, F.lit(name)).otherwise(out)
-    # reversed + overwrite-by-earlier gives first-match-wins
-    return out
+    the earliest bucket in ASPECT_BUCKETS order. Exact integer algebra,
+    map-side.
+
+    Shape note: the previous CASE-over-least form inlined the `least` of
+    all err terms into every branch — O(buckets²) expression size — and
+    consumers that re-inline the bucket column (the mm14 boundary
+    comparator holds ~30 copies) pushed codegen past its limits into the
+    interpreter. Here (w, h) are LET-BOUND once via the single-element
+    transform trick (shingles_col discipline), the err terms build one
+    array, and `array_position(errs, array_min(errs))` is O(buckets) —
+    returning the FIRST index at the minimum, which is exactly the
+    original first-match-wins tie-break."""
+    names = F.array(*[F.lit(name) for name, _, _ in ASPECT_BUCKETS])
+    pair = F.array(F.struct(w.cast("long").alias("w"),
+                            h.cast("long").alias("h")))
+
+    def _pick(s):
+        errs = F.array(*[
+            F.abs(s.w * F.lit(bh) - s.h * F.lit(bw))
+            * F.lit(_ASPECT_LCM // bh)
+            for _, bw, bh in ASPECT_BUCKETS])
+        return F.element_at(
+            names, F.array_position(errs, F.array_min(errs)).cast("int"))
+
+    return F.element_at(F.transform(pair, _pick), 1)
 
 
 def aspect_bucket_sql(w: str, h: str) -> str:

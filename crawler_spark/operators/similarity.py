@@ -609,6 +609,107 @@ def augment_for_mips(emb: DataFrame, vec_col: str = "embedding",
     return emb.withColumn(vec_col, F.concat(v, F.array(extra)))
 
 
+def _spark_round_half_up(x: float, digits: int = 4) -> float:
+    """Bit-replicates Spark's round(double, d): Java BigDecimal.valueOf
+    goes through Double.toString — the SHORTEST round-trip decimal, which
+    Python's repr() also produces — then setScale(d, HALF_UP). (Rounding
+    the exact binary expansion instead, Decimal(x), diverges on values
+    whose shortest repr sits exactly on the half boundary.) `+ 0.0`
+    normalizes -0.0 (BigDecimal has no signed zero)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
+
+
+def _knn_graph_dense(emb: DataFrame, k: int, vec_col: str,
+                     id_col: str) -> DataFrame:
+    """Brute all-pairs kNN edges via a dense Arrow kernel: the corpus
+    matrix rides a broadcast (all-pairs REQUIRES one replicated side —
+    the same replication the crossJoin shipped per task, collected once
+    instead of serialized per partition), and each worker scores its row
+    batch against it with numpy rank-1 updates.
+
+    Exactness contract (the cross-engine hash gate): the accumulation
+    loops run in ASCENDING DIMENSION ORDER — acc starts at 0.0 and adds
+    a_j*b_j one j at a time — which is the identical FP operation
+    sequence to dot_col's zip_with+fold, so every unrounded cosine is
+    bit-equal to the column-algebra path; rounding replicates Spark's
+    round via `_spark_round_half_up`. Top-k is selected on the ROUNDED
+    order (cosine desc, dst asc) from an unrounded shortlist with a 2e-4
+    margin: |round(v)-v| <= 0.5e-4, so any pair that can out-rank the
+    k-th element after rounding lies within 1e-4 of it unrounded — the
+    shortlist provably contains the exact rounded top-k.
+
+    Why: the pair volume is inherent (n^2 for brute), but evaluating the
+    O(d) dot per pair in Spark's interpreted higher-order functions
+    measured ~12us/pair (48.7s for 4M pairs at sf0.1); the vectorized
+    kernel does the same flops in numpy time. At corpus scale, block by
+    IVF cell (cell_col) and apply this same kernel per cell."""
+    import numpy as np
+
+    pdf = emb.select(id_col, vec_col).toPandas()
+    if len(pdf) > 2_000_000:
+        raise ValueError(
+            "brute all-pairs kNN needs one side replicated; corpus too "
+            "large to broadcast — pass cell_col (IVF blocking) instead")
+    ids0 = pdf[id_col].to_numpy()
+    B = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    d = B.shape[1] if len(B) else 0
+    nb = np.zeros(len(B))
+    for j in range(d):                      # ascending-j: fold order
+        nb += B[:, j] * B[:, j]
+    nb = np.sqrt(nb)
+    bc = emb.sparkSession.sparkContext.broadcast((ids0, B, nb))
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    rnd = _spark_round_half_up
+
+    def _edges(batches):
+        import pandas as _pd
+        ids_b, Bm, nbv = bc.value
+        n, dd = Bm.shape
+        for p in batches:
+            if len(p) == 0:
+                continue
+            A = np.array([np.asarray(v, dtype=np.float64)
+                          for v in p[vec_col]])
+            srcs = p[id_col].to_numpy()
+            na = np.zeros(len(A))
+            for j in range(dd):
+                na += A[:, j] * A[:, j]
+            na = np.sqrt(na)
+            out_src, out_dst, out_cos, out_rnk = [], [], [], []
+            # sub-chunk rows so acc stays ~10 MB
+            step = max(1, 2_000_000 // max(n, 1))
+            for lo in range(0, len(A), step):
+                Ac, nac = A[lo:lo + step], na[lo:lo + step]
+                acc = np.zeros((len(Ac), n))
+                for j in range(dd):         # ascending-j: fold order
+                    acc += Ac[:, j:j + 1] * Bm[:, j][None, :]
+                cos = acc / (nac[:, None] * nbv[None, :])
+                for i in range(len(Ac)):
+                    src = srcs[lo + i]
+                    vals = np.where(ids_b == src, -np.inf, cos[i])
+                    m = min(k, int(np.isfinite(vals).sum()))
+                    if m <= 0:
+                        continue
+                    ck = np.partition(vals, -m)[-m]
+                    cand = np.nonzero(vals >= ck - 2e-4)[0]
+                    short = sorted((-rnd(float(vals[c])), ids_b[c])
+                                   for c in cand)
+                    for r, (negc, dst) in enumerate(short[:m], start=1):
+                        out_src.append(src)
+                        out_dst.append(dst)
+                        out_cos.append(-negc + 0.0)
+                        out_rnk.append(r)
+            if out_src:
+                yield _pd.DataFrame({"src": out_src, "dst": out_dst,
+                                     "cosine": out_cos, "rnk": out_rnk})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _edges,
+        f"src {id_dt}, dst {id_dt}, cosine double, rnk long")
+
+
 def knn_graph(emb: DataFrame, k: int = 5, cell_col: str | None = None,
               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """k-NN graph construction (the build step of graph ANN indexes —
@@ -621,32 +722,38 @@ def knn_graph(emb: DataFrame, k: int = 5, cell_col: str | None = None,
     Scale shape: brute all-pairs is O(n^2) — pass `cell_col` (an IVF
     coarse label, an2/km1) to restrict pair generation to within-cell,
     the standard blocked kNN-graph build; each cell's pair set shuffles
-    on the cell key only. The mutual flag is one self-join of the edge
-    list on the reversed key — edges, not vectors, so it stays cheap."""
+    on the cell key only. The brute (no-cell) path runs the dense Arrow
+    kernel (`_knn_graph_dense`: broadcast matrix + vectorized fold-order
+    scoring — bit-identical cosines, ~10x the interpreted-HOF plan). The
+    mutual flag is one self-join of the edge list on the reversed key —
+    edges, not vectors, so it stays cheap."""
     from pyspark.sql import Window
-    # Norms are computed ONCE per row map-side and carried through the
-    # join: cosine = dot/(na*nb) is the SAME double as cosine_col's
-    # dot/(norm(a)*norm(b)) (identical expression over identical input),
-    # but the per-pair work drops from three O(d) array aggregates to
-    # one — at n^2 (or cell^2) pair volume that is the dominant term.
-    a = emb.select(F.col(id_col).alias("src"),
-                   F.col(vec_col).cast("array<double>").alias("va"),
-                   *([F.col(cell_col).alias("ca")] if cell_col else []))
-    a = a.withColumn("na", norm_col(F.col("va")))
-    b = emb.select(F.col(id_col).alias("dst"),
-                   F.col(vec_col).cast("array<double>").alias("vb"),
-                   *([F.col(cell_col).alias("cb")] if cell_col else []))
-    b = b.withColumn("nb", norm_col(F.col("vb")))
-    joined = (a.join(b, F.col("ca") == F.col("cb")) if cell_col
-              else a.crossJoin(b))
-    scored = (joined.where(F.col("src") != F.col("dst"))
-              .select("src", "dst",
-                      F.round(dot_col(F.col("va"), F.col("vb"))
-                              / (F.col("na") * F.col("nb")), 4)
-                      .alias("cosine")))
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.col("dst"))
-    edges = (scored.withColumn("rnk", F.row_number().over(w))
-             .where(F.col("rnk") <= k))
+    if cell_col is None:
+        edges = _knn_graph_dense(emb, k, vec_col, id_col)
+    else:
+        # Norms are computed ONCE per row map-side and carried through the
+        # join: cosine = dot/(na*nb) is the SAME double as cosine_col's
+        # dot/(norm(a)*norm(b)) (identical expression over identical
+        # input), but the per-pair work drops from three O(d) array
+        # aggregates to one — at cell^2 pair volume the dominant term.
+        a = emb.select(F.col(id_col).alias("src"),
+                       F.col(vec_col).cast("array<double>").alias("va"),
+                       F.col(cell_col).alias("ca"))
+        a = a.withColumn("na", norm_col(F.col("va")))
+        b = emb.select(F.col(id_col).alias("dst"),
+                       F.col(vec_col).cast("array<double>").alias("vb"),
+                       F.col(cell_col).alias("cb"))
+        b = b.withColumn("nb", norm_col(F.col("vb")))
+        joined = a.join(b, F.col("ca") == F.col("cb"))
+        scored = (joined.where(F.col("src") != F.col("dst"))
+                  .select("src", "dst",
+                          F.round(dot_col(F.col("va"), F.col("vb"))
+                                  / (F.col("na") * F.col("nb")), 4)
+                          .alias("cosine")))
+        w = Window.partitionBy("src").orderBy(F.desc("cosine"),
+                                              F.col("dst"))
+        edges = (scored.withColumn("rnk", F.row_number().over(w))
+                 .where(F.col("rnk") <= k))
     rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
     mutual = (edges.join(rev.withColumn("_m", F.lit(1)).distinct(),
                          ["src", "dst"], "left")

@@ -471,7 +471,8 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 # --- Cross-document repeated-substring detection (Lee et al. 2022 style) --
 def cross_doc_repeats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
-                      h_col: str = "h", sample_mod: int = 1) -> DataFrame:
+                      h_col: str = "h", sample_mod: int = 1,
+                      incremental: bool = True) -> DataFrame:
     """Exact-substring dedup signal ("Deduplicating Training Data Makes
     Language Models Better", Lee et al., ACL 2022 — suffix-array repeats),
     re-expressed Spark-first at word granularity: a k-word window whose
@@ -498,9 +499,19 @@ def cross_doc_repeats(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     positions — the knob a 10^12-word corpus runs with. Default 1 = exact
     (the oracle contract). Hash collisions (mod 2^31-1) affect both
     engines identically; at corpus scale use a 63-bit modulus.
+
+    `incremental=True` (default) computes the windows via
+    `rolling_hashes_incremental` — the O(n)-per-doc Arrow scan, proven
+    bit-identical to the per-window re-fold
+    (test_incremental_rolling_equals_refold) — instead of the
+    interpreted O(n*k) HOF fold.
     """
-    rolls = docs.select(id_col, rolling_hashes_col(F.col(h_col), k)
-                        .alias("rolls"))
+    if incremental:
+        rolls = rolling_hashes_incremental(
+            docs.select(id_col, h_col), k=k, h_col=h_col, out_col="rolls")
+    else:
+        rolls = docs.select(id_col, rolling_hashes_col(F.col(h_col), k)
+                            .alias("rolls"))
     # The Rabin-Karp fold is the dominant map cost; materialize the
     # exploded view ONCE so the rep and cnt branches don't each re-derive
     # it (Catalyst recomputes map-side projections per shuffle branch —

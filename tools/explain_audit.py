@@ -656,7 +656,10 @@ CHECKS = {
     # kNN graph: mutual flag joins EDGES (n*k rows, key-shuffled — NOT
     # broadcast: at 10^10 nodes the edge list dwarfs the driver), and the
     # all-pairs scorer is the broadcast-NL corpus scan, never a cartesian
-    "an12_knn_graph": (["Window"],
+    # brute kNN edges: dense Arrow kernel (broadcast matrix inside
+    # MapInPandas) — the n^2 pair join/window no longer exists; mutual
+    # flag remains an edge-list equi-join (no cartesian anywhere)
+    "an12_knn_graph": (["MapInPandas"],
                        ["CartesianProduct", "BatchEvalPython"]),
     # interval-overlap: two-sided bucket-expansion EQUI-join — the per-key
     # inequality nested-loop/cartesian must never appear (j8 discipline)
