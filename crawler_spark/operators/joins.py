@@ -67,6 +67,65 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     return filled.where(F.col("_side") == 1).drop("_side")
 
 
+def nearest_join(left: DataFrame, right: DataFrame, on: str | list[str],
+                 left_ts: str, right_ts: str) -> DataFrame:
+    """Nearest-in-time join: every `left` row gains the `right` row whose
+    timestamp is CLOSEST in absolute distance within the key group —
+    backward or forward — with ties at equal distance going to the
+    BACKWARD (earlier) match, and the matched `right_ts` emitted. The
+    as-of join (j6) answers "state as of t"; this answers "closest
+    observation to t" — the sensor-alignment/nearest-snapshot semantics
+    pandas.merge_asof(direction='nearest') serves single-node.
+
+    Built as TWO passes of the union-and-window idiom (asof_join's
+    shape): a backward fill (last right row with t' <= t) and a forward
+    fill (first right row with t' >= t, via the mirrored window), then a
+    map-side pick of the nearer candidate. Scale shape: two
+    hash-partition exchanges on the key, no join operator, no pair
+    blow-up — still O(events) rows end-to-end, never the |l|x|r|
+    inequality nested-loop."""
+    keys = [on] if isinstance(on, str) else list(on)
+    rvals = [c for c in right.columns if c not in (*keys, right_ts)]
+    # left_ts is re-emitted from _t at the end, so it must NOT ride along
+    # in the passthrough set (that aliasing collision is an ambiguous-
+    # reference analysis error)
+    lonly = [c for c in left.columns if c not in keys and c != left_ts]
+    l2 = left.select(
+        *keys, *lonly, F.col(left_ts).alias("_t"), F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in rvals],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_vt"))
+    r2 = right.select(
+        *keys,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lonly],
+        F.col(right_ts).alias("_t"), F.lit(0).alias("_side"),
+        *rvals, F.col(right_ts).alias("_vt"))
+    u = l2.unionByName(r2)
+    wb = (Window.partitionBy(*keys).orderBy("_t", "_side")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*keys).orderBy(F.desc("_t"), F.desc("_side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    both = u.select(
+        *keys, *lonly, "_side", "_t",
+        *[F.last(c, ignorenulls=True).over(wb).alias(f"_b_{c}")
+          for c in rvals],
+        F.last("_vt", ignorenulls=True).over(wb).alias("_bt"),
+        *[F.last(c, ignorenulls=True).over(wf).alias(f"_f_{c}")
+          for c in rvals],
+        F.last("_vt", ignorenulls=True).over(wf).alias("_ft"))
+    db = F.col("_t") - F.col("_bt")
+    df_ = F.col("_ft") - F.col("_t")
+    use_b = F.col("_ft").isNull() | (F.col("_bt").isNotNull() & (db <= df_))
+    out = both.where(F.col("_side") == 1).select(
+        *keys, *lonly, F.col("_t").alias(left_ts),
+        *[F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+          .alias(c) for c in rvals],
+        F.when(use_b, F.col("_bt")).otherwise(F.col("_ft"))
+         .alias(right_ts))
+    return out
+
+
 def range_join(facts: DataFrame, bands: DataFrame, val_col: str,
                lo_col: str, hi_col: str, bucket_width: float,
                broadcast_bands: bool = True) -> DataFrame:

@@ -162,3 +162,35 @@ def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             .select(F.col("_id").alias(id_col), "n_grams", "n_novel",
                     F.round(F.col("n_novel") / F.col("n_grams"), 4)
                      .alias("novelty")))
+
+
+def calibration_buckets(df: DataFrame, score: Column, label: Column,
+                        n_buckets: int = 10,
+                        scale: int = 1000) -> DataFrame:
+    """Reliability diagram for a quality classifier — the calibration
+    check an ML-ops pipeline runs before trusting a score as a keep
+    probability: scores bucketed into `n_buckets` equal bins, each
+    reporting its size, mean predicted score, and observed positive
+    rate. A calibrated scorer has mean_score ~ frac_pos per bucket.
+
+    Hash-gate discipline: the score is integerized ONCE
+    (floor(score*scale) — both engines compute it on the identical
+    double, so the bucket assignment is consistent even at binary-
+    representation edges), per-bucket sums are exact BIGINTs, and each
+    output double is one division + round(4). Scale shape: one map-side
+    projection + ONE partial-agged rollup at bucket cardinality."""
+    sm = F.floor(score * scale).cast("long")
+    b = F.least(F.lit(n_buckets - 1),
+                F.floor((sm * n_buckets) / F.lit(float(scale)))) \
+         .cast("int")
+    return (df.select(b.alias("bucket"), sm.alias("_sm"),
+                      label.cast("int").alias("_y"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_sm").alias("_ssm"),
+                 F.sum("_y").alias("_sy"))
+            .select("bucket", "n",
+                    F.round(F.col("_ssm") / (F.col("n") * float(scale)), 4)
+                    .alias("mean_score"),
+                    F.round(F.col("_sy") / F.col("n"), 4)
+                    .alias("frac_pos")))

@@ -303,3 +303,35 @@ def ucb_host_select(history: DataFrame, host_col: str, reward: Column,
     w = Window.orderBy(F.col("ucb").desc(), F.col("host"))
     return scored.withColumn(
         "selected", (F.row_number().over(w) <= k).cast("int"))
+
+
+def host_fairness_gini(counts: DataFrame, key_col: str, val_col: str,
+                       n_blocks: int = 32) -> DataFrame:
+    """Gini coefficient of the per-host fetch allocation — the crawl-
+    equity metric a frontier scheduler is judged by (0 = every host got
+    the same number of fetches, ->1 = one host got everything): with
+    per-host counts x ranked ascending 1..n,
+    gini = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)).
+
+    Exact integer algebra until ONE final division (deterministic
+    cross-engine), rounded to 4. The ascending rank is computed with
+    `global_rank` — the distributed block-rank shape — because host
+    cardinality at web scale (10^8+) makes the naive unpartitioned
+    row_number window a single-task bug; ties break on the key so the
+    rank is total. Output: one row (n, sx, gini).
+
+    Scale shape: one global_rank pass over host-cardinality rows (tiny
+    next to the corpus that produced the counts) + one scalar rollup."""
+    from crawler_spark.operators.sampling import global_rank
+    c = counts.select(F.col(key_col).alias("_k"),
+                      F.col(val_col).cast("long").alias("_x"))
+    r = global_rank(c, [F.col("_x"), F.col("_k")], n_blocks=n_blocks,
+                    out_col="_i")
+    return (r.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("_x").alias("sx"),
+                  F.sum(F.col("_i") * F.col("_x")).alias("_six"))
+            .select("n", "sx",
+                    F.round((2 * F.col("_six") - (F.col("n") + 1)
+                             * F.col("sx"))
+                            / (F.col("n") * F.col("sx")), 4)
+                    .alias("gini")))

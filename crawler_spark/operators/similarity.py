@@ -880,3 +880,60 @@ def mmr_oracle_sql(qids: list[int], shortlist_k: int = 8, picks: int = 4,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT qid, vec_id, CAST(pick AS INT) AS pick, mmr "
               f"FROM sel{picks}")
+
+
+def centroid_drift(emb: DataFrame, split: Column, cell_col: str = "label",
+                   scale: int = 64, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Per-cell embedding DRIFT between two corpus slices — the index-
+    maintenance health check an IVF deployment runs between snapshots
+    (did this cell's population move enough that the coarse quantizer
+    needs retraining?) and the distribution-shift monitor a training-data
+    pipeline runs between crawls. `split` is a content-stable boolean
+    column (e.g. vec_id % 2, or a crawl-epoch flag): per (cell), the two
+    slices' centroids are compared as drift = ||c_A - c_B||_2.
+
+    Cross-engine-exact (the km1 discipline): vectors are quantized to the
+    integer lattice floor(x*scale) once; per-slice per-dimension SUMS are
+    exact BIGINTs; each centroid coordinate is ONE double division
+    (sum/count — deterministic, no accumulation order); and the final
+    norm folds the per-dimension squared diffs IN DIMENSION ORDER with
+    F.aggregate over a sort_array'd struct array — no unordered float
+    sum anywhere, so the hash gate holds.
+
+    Output: (cell_col, n_a, n_b, drift DOUBLE round 4) — cells present
+    in both slices only (a one-sided cell has no drift defined).
+
+    Scale shape: ONE partial-agged shuffle at (cell x slice x dim)
+    cardinality (map-side combine collapses each partition to that many
+    rows); everything after operates on the tiny centroid table. The
+    corpus itself is touched once, map-side."""
+    q = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.when(split, F.lit("a")).otherwise(F.lit("b")).alias("half"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * scale)
+                    .cast("long")).alias("qv"))
+    v = (q.select("cell", "half", F.posexplode("qv"))
+         .select("cell", "half", (F.col("pos") + 1).alias("d"),
+                 F.col("col").alias("v")))
+    agg = v.groupBy("cell", "half", "d").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    a = agg.where(F.col("half") == "a") \
+           .select("cell", "d", F.col("s").alias("sa"),
+                   F.col("n").alias("na"))
+    b = agg.where(F.col("half") == "b") \
+           .select("cell", "d", F.col("s").alias("sb"),
+                   F.col("n").alias("nb"))
+    j = a.join(b, ["cell", "d"])
+    diffs = (j.withColumn("_diff", F.col("sa") / F.col("na")
+                          - F.col("sb") / F.col("nb"))
+             .groupBy("cell")
+             .agg(F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+                  F.sort_array(F.collect_list(
+                      F.struct(F.col("d"), F.col("_diff")))).alias("ds")))
+    drift = F.round(F.sqrt(F.aggregate(
+        F.col("ds"), F.lit(0.0).cast("double"),
+        lambda acc, s: acc + s._diff * s._diff)), 4)
+    return diffs.select(F.col("cell").alias(cell_col), "n_a", "n_b",
+                        drift.alias("drift"))

@@ -663,3 +663,36 @@ def edit_distance_pairs(docs: DataFrame, k: int = 3, prefix_len: int = 8,
                         F.levenshtein("norm_a", "norm_b").cast("int")
                         .alias("dist"))
             .where(F.col("dist") <= k))
+
+
+def dup_gram_mass(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", strata_col: str = "source",
+                  shingle_n: int = 3) -> DataFrame:
+    """Corpus-slice duplicate n-gram MASS — the aggregate the per-pair
+    dedup operators (dd3/dd4/dd11) roll up to for pipeline monitoring:
+    per stratum (source/crawl/snapshot), what fraction of all n-gram
+    OCCURRENCES are repeats of an already-seen gram
+    (dup_frac = (occurrences - distinct) / occurrences). Rising dup mass
+    in a crawl slice is the canary for template explosions and crawler
+    traps before any pair-level dedup runs.
+
+    Exact integers until one final division (cross-engine determinism
+    free). Scale shape: gram occurrences aggregate FIRST at
+    (stratum, gram) with map-side combine — the classic two-phase
+    count-distinct that absorbs hot-gram skew — then a stratum-cardinality
+    rollup; the corpus is touched once, map-side."""
+    g = docs.select(F.col(strata_col).alias("stratum"),
+                    F.explode(shingles_col(F.col(text_col), shingle_n))
+                    .alias("gram"))
+    per_gram = g.groupBy("stratum", "gram").agg(
+        F.count(F.lit(1)).alias("occ"))
+    return (per_gram.groupBy("stratum")
+            .agg(F.sum("occ").alias("n_occurrences"),
+                 F.count(F.lit(1)).alias("n_distinct"))
+            .select("stratum",
+                    F.col("n_occurrences").cast("long")
+                    .alias("n_occurrences"),
+                    F.col("n_distinct").cast("long").alias("n_distinct"),
+                    F.round((F.col("n_occurrences") - F.col("n_distinct"))
+                            / F.col("n_occurrences"), 4)
+                    .alias("dup_frac")))

@@ -7909,3 +7909,175 @@ def ks8_decayed_counts(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return decayed_counts(e, "event_type", "ts", half_life_s=3600,
                           cap_buckets=32)
+
+
+# =====================================================================
+# Round-4 additions: nearest join, centroid drift, crawl equity,
+# corpus dup mass, classifier calibration
+# =====================================================================
+
+@q("j11_nearest_join", """
+WITH l AS (SELECT event_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+u AS (SELECT DISTINCT user_id FROM events),
+r AS (SELECT user_id,
+             CAST(1704067200 + user_id * 3600 + k * 604800 AS BIGINT)
+               AS v_from,
+             'v' || CAST(k AS VARCHAR) AS version
+      FROM u, range(0, 4) t(k)),
+b AS (SELECT l.event_id, l.user_id, l.t, r.version AS bv, r.v_from AS bt
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.t >= r.v_from),
+f AS (SELECT l.event_id, min(r.v_from) AS ft,
+             min_by(r.version, r.v_from) AS fv
+      FROM l LEFT JOIN r
+        ON l.user_id = r.user_id AND r.v_from > l.t
+      GROUP BY 1)
+SELECT b.event_id, b.user_id, b.t,
+       CASE WHEN f.ft IS NULL
+              OR (b.bt IS NOT NULL AND (b.t - b.bt) <= (f.ft - b.t))
+            THEN b.bv ELSE f.fv END AS version,
+       CASE WHEN f.ft IS NULL
+              OR (b.bt IS NOT NULL AND (b.t - b.bt) <= (f.ft - b.t))
+            THEN b.bt ELSE f.ft END AS v_from
+FROM b LEFT JOIN f USING (event_id)
+""")
+def j11_nearest_join(spark, sf_dir):
+    """Nearest-in-time join: each event picks the config version whose
+    effective timestamp is CLOSEST (backward or forward; equal distance
+    -> backward) — pandas merge_asof(direction='nearest') semantics,
+    which plain ASOF (j6) cannot express. Engine: two union-and-window
+    passes (backward + mirrored forward fill) and a map-side pick — no
+    inequality join, O(events) rows; the oracle composes DuckDB ASOF
+    with a min_by forward probe. Same per-user weekly version dim as
+    j6. See operators/joins.nearest_join."""
+    from crawler_spark.operators.joins import nearest_join
+    e = _t(spark, sf_dir, "events")
+    l = e.select("event_id", "user_id",
+                 F.unix_timestamp("ts").cast("long").alias("t"))
+    r = (e.select("user_id").distinct()
+         .select("user_id",
+                 F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"))
+         .select("user_id",
+                 (F.lit(1704067200) + F.col("user_id") * 3600
+                  + F.col("k") * 604800).cast("long").alias("v_from"),
+                 F.concat(F.lit("v"), F.col("k").cast("string"))
+                  .alias("version")))
+    out = nearest_join(l, r, on="user_id", left_ts="t", right_ts="v_from")
+    return out.select("event_id", "user_id", "t", "version", "v_from")
+
+
+@q("km2_centroid_drift", """
+WITH q AS (SELECT vec_id, label,
+                  CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))
+                    AS qv
+           FROM embeddings),
+v AS (SELECT label, half, s.d AS d, s.v AS v
+      FROM (SELECT label, half,
+                   unnest(list_transform(range(1, len(qv)+1),
+                          i -> {'d': i, 'v': qv[i]})) AS s
+            FROM q)),
+agg AS (SELECT label, half, d, CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY 1, 2, 3),
+j AS (SELECT a.label, a.d, a.s * 1.0 / a.n - b.s * 1.0 / b.n AS diff,
+             a.n AS na, b.n AS nb
+      FROM agg a JOIN agg b ON a.label = b.label AND a.d = b.d
+      WHERE a.half = 'a' AND b.half = 'b'),
+g AS (SELECT label, max(na) AS n_a, max(nb) AS n_b,
+             list(diff ORDER BY d) AS ds
+      FROM j GROUP BY 1)
+SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(sqrt(list_reduce(list_prepend(0.0, ds),
+                              (acc, x) -> acc + x * x)), 4) AS drift
+FROM g
+""")
+def km2_centroid_drift(spark, sf_dir):
+    """Per-IVF-cell centroid drift between two content-stable corpus
+    halves (vec_id parity as the epoch proxy): the index-maintenance
+    health check that decides when km1's coarse quantizer needs
+    retraining, and the distribution-shift monitor between crawl
+    snapshots. Integer-lattice sums (km1 discipline) + one division per
+    coordinate + a dimension-ORDERED fold for the norm — no unordered
+    float aggregation anywhere, so the drift is bit-stable under the
+    hash gate. See operators/similarity.centroid_drift."""
+    from crawler_spark.operators.similarity import centroid_drift
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(e, split=(F.col("vec_id") % 2 == 0),
+                          cell_col="label")
+
+
+@q("w10_host_gini", """
+WITH c AS (SELECT source AS host, CAST(count(*) AS BIGINT) AS x
+           FROM documents GROUP BY 1),
+r AS (SELECT host, x, row_number() OVER (ORDER BY x, host) AS i FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       round((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1.0
+             / (count(*) * sum(x)), 4) AS gini
+FROM r
+""")
+def w10_host_gini(spark, sf_dir):
+    """Crawl-equity metric: Gini coefficient of the per-host fetch
+    allocation (0 = perfectly even, ->1 = one host hogs the budget) —
+    the fairness number a politeness scheduler (w6/w7/w8) is judged by.
+    The ascending rank runs through global_rank's distributed block
+    shape (the oracle's naive unpartitioned row_number would be a
+    single-task bug at 10^8 hosts); exact integer algebra to one final
+    division. See operators/politeness.host_fairness_gini."""
+    from crawler_spark.operators.politeness import host_fairness_gini
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy(F.col("source").alias("host")) \
+              .agg(F.count(F.lit(1)).alias("x"))
+    return host_fairness_gini(counts, "host", "x", n_blocks=8)
+
+
+@q("dd18_dup_gram_mass", """
+WITH sh AS (""" + _SHINGLE_SQL + """),
+g AS (SELECT source AS stratum, unnest(sh) AS gram FROM sh),
+pg AS (SELECT stratum, gram, CAST(count(*) AS BIGINT) AS occ
+       FROM g GROUP BY 1, 2)
+SELECT stratum, CAST(sum(occ) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round((sum(occ) - count(*)) * 1.0 / sum(occ), 4) AS dup_frac
+FROM pg GROUP BY 1
+""")
+def dd18_dup_gram_mass(spark, sf_dir):
+    """Corpus-slice duplicate 3-gram mass per source: the fraction of
+    per-doc distinct gram instances that repeat an already-seen gram —
+    the monitoring rollup over the pair-level dedup family (a rising
+    value is the template-explosion/crawler-trap canary before any
+    pair generation runs). Two-phase (stratum, gram) agg absorbs hot
+    grams; exact integers to one division.
+    See operators/textdedup.dup_gram_mass."""
+    from crawler_spark.operators.textdedup import dup_gram_mass
+    d = _t(spark, sf_dir, "documents")
+    return dup_gram_mass(d, strata_col="source", shingle_n=3)
+
+
+@q("a10_calibration_buckets", f"""
+WITH s AS (SELECT CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS sm,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents)
+SELECT CAST(least(9, floor((sm * 10) / 1000.0)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(sm) / (count(*) * 1000.0), 4) AS mean_score,
+       round(sum(y) * 1.0 / count(*), 4) AS frac_pos
+FROM s GROUP BY 1
+""")
+def a10_calibration_buckets(spark, sf_dir):
+    """Reliability diagram of the tx2 quality score against the
+    actually-English label (the score's stopword signal is en-based, so
+    calibration against lang='en' is the natural check): per decile
+    bucket, size, mean predicted score, observed positive rate. The
+    ML-ops gate before a score is trusted as a keep-probability in
+    px4/tx8 mixing. Integerized score -> exact BIGINT sums -> one
+    division per output; one bucket-cardinality rollup.
+    See operators/langmodel.calibration_buckets."""
+    from crawler_spark.operators.langmodel import calibration_buckets
+    from crawler_spark.functions.text import quality_score_col
+    d = _t(spark, sf_dir, "documents")
+    return calibration_buckets(
+        d, score=quality_score_col(F.col("text")),
+        label=(F.col("lang") == "en"))

@@ -252,3 +252,31 @@ def test_bloom_prune_null_dim_key(spark):
     out = bloom_prune_join(fact, dim, "k")
     kept = {r["k"] for r in out.collect()}
     assert "a" in kept and None not in kept
+
+
+def test_nearest_join_direction_and_ties(spark):
+    """Nearest-in-time semantics: backward when closer, forward when
+    closer, BACKWARD on equal distance, pure-forward before the first
+    version, nulls with no versions at all."""
+    from crawler_spark.operators.joins import nearest_join
+    left = spark.createDataFrame(
+        [("u", 1, 95), ("u", 2, 130), ("u", 3, 150), ("u", 4, 10),
+         ("v", 5, 50)],
+        "k string, eid long, t long")
+    right = spark.createDataFrame(
+        [("u", 100, "a"), ("u", 200, "b")],
+        "k string, vt long, tag string")
+    out = {r["eid"]: (r["tag"], r["vt"]) for r in
+           nearest_join(left, right, on="k", left_ts="t",
+                        right_ts="vt").collect()}
+    assert out[1] == ("a", 100)        # 95: forward 100 (d5) beats none-back
+    assert out[2] == ("a", 100)        # 130: back d30 < fwd d70
+    assert out[3] == ("a", 100)        # 150: TIE d50/d50 -> backward
+    assert out[4] == ("a", 100)        # 10: only forward exists
+    assert out[5] == (None, None)      # key with no right rows
+    # equal-t right row matches at distance 0 via the backward fill
+    l2 = spark.createDataFrame([("u", 9, 200)], "k string, eid long, t long")
+    r9 = {r["eid"]: (r["tag"], r["vt"]) for r in
+          nearest_join(l2, right, on="k", left_ts="t",
+                       right_ts="vt").collect()}
+    assert r9[9] == ("b", 200)

@@ -86,3 +86,20 @@ def test_ucb_explores_undersampled_hosts(spark):
     assert out["good"]["selected"] == 1
     assert out["fresh"]["selected"] == 1
     assert out["meh"]["selected"] == 0
+
+
+def test_host_fairness_gini_known_values(spark):
+    """Gini goldens: perfectly even allocation -> 0; and the textbook
+    (1,1,1,97) case computed by hand."""
+    from crawler_spark.operators.politeness import host_fairness_gini
+    even = spark.createDataFrame([(f"h{i}", 25) for i in range(4)],
+                                 "host string, x long")
+    r = host_fairness_gini(even, "host", "x").collect()[0]
+    assert (r["n"], r["sx"], r["gini"]) == (4, 100, 0.0)
+    skew = spark.createDataFrame(
+        [("h0", 1), ("h1", 1), ("h2", 1), ("h3", 97)],
+        "host string, x long")
+    r = host_fairness_gini(skew, "host", "x").collect()[0]
+    # sorted x=(1,1,1,97): sum(i*x)=1+2+3+388=394
+    # gini=(2*394-5*100)/(4*100)=288/400=0.72
+    assert r["gini"] == 0.72

@@ -270,3 +270,30 @@ def test_mmr_rerank_matches_python_greedy(spark):
     for t in (1, 2, 3):
         assert got[(0, t)] == picks[t], t
     assert len({v for v, _ in picks.values()}) == 3  # distinct picks
+
+
+def test_centroid_drift_zero_for_identical_halves(spark):
+    """Two identical slices have drift exactly 0.0 per cell; moving one
+    slice's vectors produces a positive drift."""
+    from crawler_spark.operators.similarity import centroid_drift
+    from pyspark.sql import functions as F
+    rows = []
+    for i in range(8):
+        v = [0.5 if (i + j) % 2 == 0 else -0.25 for j in range(4)]
+        rows.append((2 * i, v, i % 2))       # even ids: half a
+        rows.append((2 * i + 1, v, i % 2))   # odd ids: identical twin in b
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in centroid_drift(
+        df, split=(F.col("vec_id") % 2 == 0)).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["n_a"] == r["n_b"] == 4 and r["drift"] == 0.0
+    shifted = df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 1,
+               F.transform("embedding", lambda x: x + F.lit(1.0)))
+        .otherwise(F.col("embedding")))
+    out2 = centroid_drift(shifted,
+                          split=(F.col("vec_id") % 2 == 0)).collect()
+    assert all(r["drift"] > 50 for r in out2)   # lattice scale 64: ~64

@@ -768,6 +768,32 @@ CHECKS = {
     "ks8_decayed_counts": (["partial_count"],
                            ["Window", "BatchEvalPython", "ArrowEvalPython",
                             "CartesianProduct"]),
+    # --- round 4 ---
+    # nearest join: backward+forward union-and-window fills — keyed
+    # windows only, NO join operator, no inequality pair blow-up
+    "j11_nearest_join": (["Window"],
+                         ["CartesianProduct", "BroadcastNestedLoopJoin",
+                          "BatchEvalPython", "ArrowEvalPython"]),
+    # centroid drift: (cell x half x dim) partial-agg + tiny centroid
+    # join + per-cell ordered fold; the corpus shuffles once
+    "km2_centroid_drift": (["HashAggregate"],
+                           ["CartesianProduct", "BatchEvalPython",
+                            "ArrowEvalPython"]),
+    # crawl-equity gini: distributed block-rank (global_rank windows +
+    # broadcast offsets) over host-cardinality counts, scalar rollup
+    "w10_host_gini": (["Window", "BroadcastHashJoin"],
+                      ["CartesianProduct", "BatchEvalPython",
+                       "ArrowEvalPython"]),
+    # dup-gram mass: two-phase (stratum, gram) agg; no joins, no Python
+    "dd18_dup_gram_mass": (["partial_count"],
+                           ["SortMergeJoin", "CartesianProduct",
+                            "BatchEvalPython", "ArrowEvalPython"]),
+    # calibration: map-side integerized score + ONE bucket-cardinality
+    # partial-agged rollup; no window, no joins
+    "a10_calibration_buckets": (["HashAggregate"],
+                                ["Window", "SortMergeJoin",
+                                 "CartesianProduct", "BatchEvalPython",
+                                 "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
