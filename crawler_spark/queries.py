@@ -8081,3 +8081,34 @@ def a10_calibration_buckets(spark, sf_dir):
     return calibration_buckets(
         d, score=quality_score_col(F.col("text")),
         label=(F.col("lang") == "en"))
+
+
+@q("st13_stream_enrich", """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+dim AS (SELECT user_id, 't' || CAST(user_id % 4 AS VARCHAR) AS tier,
+               CAST(1 + user_id % 7 AS BIGINT) AS weight
+        FROM u)
+SELECT e.event_id, e.user_id, e.value, d.tier, d.weight,
+       CAST(floor(e.value * d.weight) AS BIGINT) AS weighted
+FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+""")
+def st13_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join, batch twin: events pick up a
+    per-user dim row (tier, weight) and a derived weighted value — the
+    J2/J3 lookup as it runs inside a Structured Streaming micro-batch
+    (stateless; dim re-evaluated per batch = live refresh; broadcast so
+    the stream never shuffles). The streaming form is
+    streaming/joins.enrich_stream, equality-tested against this twin in
+    tests/test_streaming.py."""
+    e = _t(spark, sf_dir, "events")
+    dim = (e.select("user_id").distinct()
+           .select("user_id",
+                   F.concat(F.lit("t"), (F.col("user_id") % 4)
+                            .cast("string")).alias("tier"),
+                   (F.lit(1) + F.col("user_id") % 7).cast("long")
+                   .alias("weight")))
+    from crawler_spark.streaming.joins import enrich_stream
+    out = enrich_stream(e, dim, "user_id")
+    return out.select("event_id", "user_id", "value", "tier", "weight",
+                      F.floor(F.col("value") * F.col("weight"))
+                      .cast("long").alias("weighted"))

@@ -44,3 +44,20 @@ def interval_join_streams(left: DataFrame, right: DataFrame, on: str,
             & (rt <= lt)
             & (rt > lt - F.expr(f"INTERVAL {int(lag_max_sec)} SECONDS")))
     return l.join(r, cond, "inner")
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame,
+                  on: str | list[str]) -> DataFrame:
+    """Stream-static enrichment join (SURVEY.md §2.9): each micro-batch
+    of the stream left-joins the STATIC dim — the lookup a crawl stream
+    runs against robots/token/config tables (J2/J3's streaming form).
+
+    STATELESS by construction: Spark keeps no join state because the
+    static side is re-evaluated per micro-batch — which is also the
+    refresh semantics (a dim table updated between batches lands
+    without restarting the query; exactly how the per-wave robots cache
+    behaves in the batch loop). The dim is explicitly broadcast so the
+    stream side never shuffles — at 10^10 events the stream stays
+    partition-local while the host-cardinality dim rides the broadcast,
+    the same plan the batch gate_frontier pins."""
+    return stream.join(F.broadcast(dim), on, "left")

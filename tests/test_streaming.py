@@ -275,3 +275,28 @@ def test_event_sequences_contiguity_overlap_and_span(spark):
            event_sequences(d, ["a", "b", "a"],
                            within_sec=600).collect()}
     assert out == {1: 2}
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static broadcast enrichment (st13): the streaming join over
+    the file-source events stream produces exactly the batch twin's rows;
+    the join is stateless so append mode needs no watermark."""
+    from crawler_spark.queries import st13_stream_enrich
+    from crawler_spark.streaming.joins import enrich_stream
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dim = (e.select("user_id").distinct()
+           .select("user_id",
+                   F.concat(F.lit("t"), (F.col("user_id") % 4)
+                            .cast("string")).alias("tier"),
+                   (F.lit(1) + F.col("user_id") % 7).cast("long")
+                   .alias("weight")))
+    enriched = enrich_stream(_events_stream(spark), dim, "user_id") \
+        .select("event_id", "user_id", "value", "tier", "weight",
+                F.floor(F.col("value") * F.col("weight")).cast("long")
+                .alias("weighted"))
+    name = _run_to_table(enriched, "append")
+    cols = ["event_id", "user_id", "value", "tier", "weight", "weighted"]
+    got = _rows(spark.table(name), cols)
+    want = _rows(st13_stream_enrich(spark, SF_DIR), cols)
+    assert got == want and len(got) > 0

@@ -794,6 +794,11 @@ CHECKS = {
                                 ["Window", "SortMergeJoin",
                                  "CartesianProduct", "BatchEvalPython",
                                  "ArrowEvalPython"]),
+    # stream-static enrichment: the dim rides a broadcast; the event
+    # side never shuffles for the join (J2 discipline, streaming twin)
+    "st13_stream_enrich": (["BroadcastHashJoin"],
+                           ["SortMergeJoin", "CartesianProduct",
+                            "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
