@@ -364,3 +364,46 @@ def champion_search(docs: DataFrame, terms: list[str], r: int = 15,
     return (champ.groupBy("doc_id")
             .agg(F.sum("tf").cast("long").alias("score"),
                  F.count(F.lit(1)).cast("int").alias("n_champ")))
+
+
+def proximity_search(docs: DataFrame, term_a: str, term_b: str,
+                     k: int = 8, doc_id: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Proximity retrieval (the NEAR/k operator, IIR §2.4.2): documents
+    where `term_a` and `term_b` occur within `k` token positions, with
+    the qualifying pair count and the minimum distance — the third
+    serving primitive after conjunctive AND (ix2) and exact phrase
+    (ix3): phrase is too strict for "spark ... shuffle" queries, AND is
+    too loose.
+
+    Scale shape — the j8 bucket-expansion idiom applied to token
+    positions instead of timestamps: positions of each term come from
+    ONE posexplode pass; the b side fans out to its 3 adjacent
+    width-k buckets; the pair generator is a plain EQUI-join on
+    (doc, bucket) (|pa-pb| <= k implies bucket distance <= 1, and each
+    qualifying pair matches exactly once — on pa's own bucket), then a
+    map-side distance filter and a partial-agged per-doc rollup. Never
+    the per-doc cross product of position lists, whose worst case is
+    quadratic in a term's in-doc frequency.
+
+    Output: (doc_id, n_pairs BIGINT, min_dist BIGINT), matched docs
+    only."""
+    ta, tb = term_a.lower(), term_b.lower()
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text))).alias("pos", "term"))
+    a = tok.where(F.col("term") == ta) \
+           .select("doc_id", F.col("pos").alias("pa"),
+                   F.floor(F.col("pos") / k).alias("bk"))
+    b = (tok.where(F.col("term") == tb)
+         .select("doc_id", F.col("pos").alias("pb"),
+                 F.explode(F.array(
+                     F.floor(F.col("pos") / k) - 1,
+                     F.floor(F.col("pos") / k),
+                     F.floor(F.col("pos") / k) + 1)).alias("bk")))
+    pairs = (a.join(b, ["doc_id", "bk"])
+             .where(F.abs(F.col("pa") - F.col("pb")) <= k))
+    return (pairs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long")
+                 .alias("min_dist")))

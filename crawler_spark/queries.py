@@ -8112,3 +8112,40 @@ def st13_stream_enrich(spark, sf_dir):
     return out.select("event_id", "user_id", "value", "tier", "weight",
                       F.floor(F.col("value") * F.col("weight"))
                       .cast("long").alias("weighted"))
+
+
+@q("ix12_proximity", """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+p AS (SELECT doc_id,
+             list_filter(range(1, len(toks) + 1),
+                         i -> toks[i] = 'hash') AS pa,
+             list_filter(range(1, len(toks) + 1),
+                         i -> toks[i] = 'join') AS pb
+      FROM t),
+c AS (SELECT doc_id,
+             CAST(list_sum(list_transform(pa,
+                  x -> len(list_filter(pb, y -> abs(x - y) <= 8))))
+               AS BIGINT) AS n_pairs,
+             CAST(list_min(flatten(list_transform(pa,
+                  x -> list_transform(list_filter(pb,
+                           y -> abs(x - y) <= 8),
+                       y -> abs(x - y))))) AS BIGINT) AS min_dist
+      FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+SELECT doc_id, n_pairs, min_dist FROM c WHERE n_pairs > 0
+""")
+def ix12_proximity(spark, sf_dir):
+    """Proximity retrieval NEAR/8 for ('hash', 'join'): docs where the
+    terms co-occur within 8 token positions, with pair count and
+    minimum distance — the serving primitive between conjunctive AND
+    (ix2, too loose) and exact phrase (ix3, too strict). Engine: the
+    j8 bucket-expansion equi-join over token positions (never the
+    per-doc position cross product); the oracle enumerates position
+    pairs directly over the token lists.
+    See operators/invindex.proximity_search."""
+    from crawler_spark.operators.invindex import proximity_search
+    return proximity_search(_t(spark, sf_dir, "documents"),
+                            "hash", "join", k=8)

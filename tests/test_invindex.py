@@ -200,3 +200,29 @@ def test_champion_search_r_bounds_and_ties(spark):
     out = sorted((r["doc_id"], r["score"]) for r in
                  champion_search(d, ["z"], r=2).collect())
     assert out == [(1, 2), (2, 2)]
+
+
+def test_proximity_search_semantics(spark):
+    """NEAR/k goldens: counts every qualifying (pa, pb) pair once
+    (bucket expansion must not double-count), min distance exact,
+    docs with only one of the terms excluded, k boundary inclusive."""
+    from crawler_spark.operators.invindex import proximity_search
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha delta beta"),   # a@0,3  b@1,5
+         (2, "alpha x x x x x x x x x beta"),        # dist 10 > k
+         (3, "alpha only here"),
+         (4, "beta alone"),
+         (5, "alpha beta alpha beta")],              # dense overlaps
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_pairs"], r["min_dist"]) for r in
+           proximity_search(docs, "alpha", "beta", k=3).collect()}
+    # doc1 pairs within 3: (0,1) d1, (3,1) d2, (3,5) d2 -> 3 pairs, min 1
+    assert out[1] == (3, 1)
+    assert 2 not in out and 3 not in out and 4 not in out
+    # doc5 a@0,2 b@1,3: pairs d1,d3,d1,d1 all <=3 -> 4 pairs min 1
+    assert out[5] == (4, 1)
+    # boundary: distance exactly k is included
+    d = spark.createDataFrame([(9, "alpha x x beta")],
+                              "doc_id long, text string")
+    r = proximity_search(d, "alpha", "beta", k=3).collect()[0]
+    assert (r["n_pairs"], r["min_dist"]) == (1, 3)

@@ -799,6 +799,12 @@ CHECKS = {
     "st13_stream_enrich": (["BroadcastHashJoin"],
                            ["SortMergeJoin", "CartesianProduct",
                             "BatchEvalPython", "ArrowEvalPython"]),
+    # NEAR/k proximity: bucket-expansion EQUI-join on (doc, bucket) —
+    # the per-key inequality nested-loop must never appear (j8/j9
+    # discipline)
+    "ix12_proximity": ([],
+                       ["BroadcastNestedLoopJoin", "CartesianProduct",
+                        "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
