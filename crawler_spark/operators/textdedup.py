@@ -559,14 +559,22 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     `threshold`: (doc_a, doc_b, c_ab, c_ba) where c_ab = |A∩B|/|A|."""
     sh = _shingle_projection(docs, id_col, text_col, shingle_n)
     cands = _shingle_candidates(sh, max_df)
+    # dd4 discipline: per-doc distinct arrays + RAW sizes once, so the
+    # per-pair work is one array_intersect over the smaller distinct
+    # sets (array_intersect dedupes either way — identical integers) and
+    # the divisors are carried columns, not per-pair size() calls.
+    shd = sh.select("doc_id", F.array_distinct("sh").alias("shd"),
+                    F.size("sh").alias("n"))
     inter = F.size(F.array_intersect("sha", "shb"))
     j = (cands
-         .join(sh.select(F.col("doc_id").alias("doc_a"),
-                         F.col("sh").alias("sha")), "doc_a")
-         .join(sh.select(F.col("doc_id").alias("doc_b"),
-                         F.col("sh").alias("shb")), "doc_b")
-         .withColumn("c_ab", F.round(inter / F.size("sha"), 4))
-         .withColumn("c_ba", F.round(inter / F.size("shb"), 4))
+         .join(shd.select(F.col("doc_id").alias("doc_a"),
+                          F.col("shd").alias("sha"),
+                          F.col("n").alias("na")), "doc_a")
+         .join(shd.select(F.col("doc_id").alias("doc_b"),
+                          F.col("shd").alias("shb"),
+                          F.col("n").alias("nb")), "doc_b")
+         .withColumn("c_ab", F.round(inter / F.col("na"), 4))
+         .withColumn("c_ba", F.round(inter / F.col("nb"), 4))
          .where((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
          .select("doc_a", "doc_b", "c_ab", "c_ba"))
     return j
