@@ -18,7 +18,7 @@ tail — the exact two-shuffle form here is the oracle contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
@@ -194,3 +194,43 @@ def calibration_buckets(df: DataFrame, score: Column, label: Column,
                     .alias("mean_score"),
                     F.round(F.col("_sy") / F.col("n"), 4)
                     .alias("frac_pos")))
+
+
+def auc_ranksum(df: DataFrame, score: Column, label: Column,
+                scale: int = 1000) -> DataFrame:
+    """ROC-AUC of a classifier score against a boolean label, computed
+    distributively via the Mann-Whitney rank-sum identity:
+
+        AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+
+    where R_pos is the sum of the positives' ranks under midrank tie
+    handling. The discrimination twin of calibration_buckets: calibration
+    asks "does 0.7 mean 70%?", AUC asks "do positives outrank negatives
+    at all?" — the ML-ops pair every quality scorer (tx2/tx17) passes
+    before it gates corpus admission.
+
+    Hash-gate discipline: the score is integerized once
+    (floor(score*scale)); with ties at score s (count c, cumulative count
+    below f) the midrank is f + (c+1)/2, so 2*R_pos = sum cp*(2f + c + 1)
+    is an exact BIGINT; AUC is a single integer-ratio division + round(4).
+
+    Scale shape (100 TB): one partial-agged rollup to DISTINCT-SCORE
+    cardinality (<= scale+1 rows by construction — resolution-bounded,
+    not data-bounded), then a window + final agg over that tiny table.
+    The single-partition window is by design: its input can never exceed
+    scale+1 rows regardless of corpus size."""
+    sm = F.floor(score * scale).cast("long")
+    g = (df.select(sm.alias("sm"), label.cast("long").alias("_y"))
+         .groupBy("sm")
+         .agg(F.count(F.lit(1)).alias("c"), F.sum("_y").alias("cp")))
+    w = Window.orderBy("sm").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("f", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = r.agg(
+        F.sum(F.col("cp") * (2 * F.col("f") + F.col("c") + 1)).alias("r2"),
+        F.sum("cp").alias("npos"),
+        F.sum(F.col("c") - F.col("cp")).alias("nneg"))
+    return agg.select(
+        F.col("npos").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        F.round((F.col("r2") - F.col("npos") * (F.col("npos") + 1))
+                / (2.0 * F.col("npos") * F.col("nneg")), 4).alias("auc"))

@@ -412,3 +412,55 @@ def decayed_counts(df: DataFrame, key_col: str, ts_col: str,
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.round(F.sum("_wt"), 6).alias("decayed")))
+
+
+def ams_f2(df: DataFrame, key: Column, n_est: int = 16,
+           n_groups: int = 4) -> DataFrame:
+    """AMS tug-of-war sketch (Alon-Matias-Szegedy 1996) for the second
+    frequency moment F2 = Σ_k count(k)² — the self-join-size estimate a
+    query optimizer wants before planning a join on `key`, and the skew
+    statistic (F2/n² -> 1 means one key dominates). One row out:
+    (true_f2 BIGINT, est_f2, rel_err).
+
+    Estimator: for each of `n_est` independent sign hashes s_r(k) ∈ ±1,
+    X_r = Σ_rows s_r(key) and E[X_r²] = F2; variance is tamed by
+    median-of-means over `n_groups` groups of m = n_est/n_groups.
+
+    Hash-gate discipline: signs come from md5(key || '|' || r) first-hex-
+    char parity (content-stable, cross-engine); each X_r is an exact
+    BIGINT so X_r² and the group sums are exact; with n_groups even the
+    median is (l[g/2] + l[g/2+1]) of the sorted group sums — kept as an
+    integer numerator down to ONE division by 2m, then round(4).
+
+    Scale shape (100 TB): the n_est sign columns are map-side
+    projections folded by ONE partial agg to a single row — the sketch
+    never shuffles the data and never calls distinct(); the exact-F2
+    twin (one groupBy) is the expensive path the sketch replaces, kept
+    here as the accuracy audit (the dd14/an5 pattern). Sketch rows from
+    disjoint splits merge by summing X_r — the mergeable algebra that
+    makes it a streaming/partitioned-scan citizen."""
+    if n_est % n_groups:
+        raise ValueError("n_est must be divisible by n_groups")
+    m = n_est // n_groups
+    key_s = key.cast("string")
+    signs = [F.when(F.substring(F.md5(F.concat(key_s, F.lit(f"|{r}"))),
+                                1, 1).isin(*"02468ace"),
+                    F.lit(1)).otherwise(F.lit(-1)).alias(f"_s{r}")
+             for r in range(n_est)]
+    xs = (df.select(*signs)
+          .agg(*[F.sum(f"_s{r}").alias(f"_x{r}") for r in range(n_est)]))
+    grp = [sum(F.col(f"_x{g * m + j}") * F.col(f"_x{g * m + j}")
+               for j in range(m)).alias(f"_g{g}")
+           for g in range(n_groups)]
+    sl = xs.select(F.array_sort(F.array(*grp)).alias("_l"))
+    med_num = (F.element_at("_l", n_groups // 2)
+               + F.element_at("_l", n_groups // 2 + 1))
+    est = sl.select((med_num / F.lit(2.0 * m)).alias("_est"))
+    exact = (df.select(key_s.alias("_k"))
+             .groupBy("_k").agg(F.count(F.lit(1)).alias("_c"))
+             .agg(F.sum(F.col("_c") * F.col("_c")).alias("true_f2")))
+    return (exact.crossJoin(F.broadcast(est))
+            .select(F.col("true_f2").cast("long").alias("true_f2"),
+                    F.round("_est", 4).alias("est_f2"),
+                    F.round(F.abs(F.col("_est") - F.col("true_f2"))
+                            / F.col("true_f2"), 4).alias("rel_err")))

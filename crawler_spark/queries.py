@@ -8149,3 +8149,69 @@ def ix12_proximity(spark, sf_dir):
     from crawler_spark.operators.invindex import proximity_search
     return proximity_search(_t(spark, sf_dir, "documents"),
                             "hash", "join", k=8)
+
+
+@q("a11_auc_ranksum", f"""
+WITH s AS (SELECT CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS sm,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+g AS (SELECT sm, count(*) AS c, sum(y) AS cp FROM s GROUP BY 1),
+w AS (SELECT sm, c, cp,
+             coalesce(sum(c) OVER (ORDER BY sm
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+      FROM g),
+t AS (SELECT sum(cp * (2 * f + c + 1)) AS r2, sum(cp) AS npos,
+             sum(c - cp) AS nneg
+      FROM w)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       round((r2 - npos * (npos + 1)) / (2.0 * npos * nneg), 4) AS auc
+FROM t
+""")
+def a11_auc_ranksum(spark, sf_dir):
+    """ROC-AUC of the tx2 quality score against the actually-English
+    label, via the Mann-Whitney rank-sum identity with midrank ties —
+    the discrimination twin of a10's calibration diagram (the two
+    checks every corpus-gating classifier passes together). Exact
+    BIGINT rank algebra (2*R_pos stays integral under ties) down to one
+    division + round(4). Scale shape: one partial-agged rollup to
+    distinct-score cardinality (<= 1001 rows by score resolution — the
+    window input is resolution-bounded, not data-bounded).
+    See operators/langmodel.auc_ranksum."""
+    from crawler_spark.functions.text import quality_score_col
+    from crawler_spark.operators.langmodel import auc_ranksum
+    d = _t(spark, sf_dir, "documents")
+    return auc_ranksum(d, score=quality_score_col(F.col("text")),
+                       label=(F.col("lang") == "en"))
+
+
+@q("ks9_ams_f2", """
+WITH r AS (SELECT unnest(range(0, 16)) AS r),
+s AS (SELECT r.r,
+             sum(CASE WHEN substr(md5(CAST(e.user_id AS VARCHAR)
+                                  || '|' || CAST(r.r AS VARCHAR)), 1, 1)
+                      IN ('0','2','4','6','8','a','c','e')
+                 THEN 1 ELSE -1 END) AS x
+      FROM events e CROSS JOIN r GROUP BY 1),
+g AS (SELECT r // 4 AS grp, sum(x * x) AS sg FROM s GROUP BY 1),
+m AS (SELECT list_sort(list(sg)) AS l FROM g),
+ex AS (SELECT sum(c * c) AS f2 FROM (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1))
+SELECT CAST(ex.f2 AS BIGINT) AS true_f2,
+       round((m.l[2] + m.l[3]) / 8.0, 4) AS est_f2,
+       round(abs((m.l[2] + m.l[3]) / 8.0 - ex.f2) / ex.f2, 4) AS rel_err
+FROM m CROSS JOIN ex
+""")
+def ks9_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 sketch over events.user_id: estimates the
+    self-join size Σ count(k)² — the statistic a planner consults
+    before shuffling a join on the key, and the skew canary for the
+    politeness salting decision (J5). 16 estimators, median-of-means
+    over 4 groups; sign hashes from md5 parity so the sketch is
+    cross-engine bit-exact; the data is never shuffled (map-side sign
+    columns -> one partial agg), with the exact-F2 groupBy kept as the
+    accuracy-audit twin. In DuckDB the estimator fan-out is a 16-way
+    cross join; in Spark it is 16 map-side columns — same algebra.
+    See operators/sketches.ams_f2."""
+    from crawler_spark.operators.sketches import ams_f2
+    e = _t(spark, sf_dir, "events")
+    return ams_f2(e, F.col("user_id"), n_est=16, n_groups=4)

@@ -134,3 +134,33 @@ def test_ngram_novelty_in_doc_repeats_count_once(spark):
     row = ngram_novelty(d, n=3).collect()[0]
     # distinct grams of the cycle: 'm n o','n o m','o m n' -> all df=1
     assert row["n_grams"] == 3 and row["novelty"] == 1.0
+
+
+def test_auc_ranksum_matches_sklearn_style_reference(spark):
+    """AUC via rank-sum equals the direct pairwise definition
+    P(score_pos > score_neg) + 0.5 P(tie), including tied scores."""
+    from crawler_spark.operators.langmodel import auc_ranksum
+    rows = [(0.10, 0), (0.20, 0), (0.20, 1), (0.35, 0),
+            (0.50, 1), (0.50, 1), (0.50, 0), (0.90, 1), (0.95, 0)]
+    d = spark.createDataFrame(rows, "s double, y int")
+    got = auc_ranksum(d, score=F.col("s"),
+                      label=(F.col("y") == 1)).collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0
+              for p in pos for n in neg)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc"] == round(num / (len(pos) * len(neg)), 4)
+
+
+def test_auc_ranksum_perfect_and_random(spark):
+    """A perfectly separating score gives 1.0; a constant score 0.5."""
+    from crawler_spark.operators.langmodel import auc_ranksum
+    perfect = spark.createDataFrame(
+        [(float(i), int(i >= 5)) for i in range(10)], "s double, y int")
+    assert auc_ranksum(perfect, F.col("s"),
+                       F.col("y") == 1).collect()[0]["auc"] == 1.0
+    const = spark.createDataFrame(
+        [(0.5, i % 2) for i in range(10)], "s double, y int")
+    assert auc_ranksum(const, F.col("s"),
+                       F.col("y") == 1).collect()[0]["auc"] == 0.5

@@ -278,3 +278,35 @@ def test_heavy_hitters_bigint_key_and_null_exclusion(spark):
            for r in heavy_hitters(df, "user_id", k=3).collect()}
     # non-null n = 90; threshold n/k = 30; only key 7 (60 occurrences)
     assert got == {(7, 60)}
+
+
+def test_ams_f2_exact_and_partition_invariant(spark):
+    """true_f2 is the exact self-join size; the sketch output is
+    identical under any input partitioning (the mergeable-sum algebra),
+    and a uniform key distribution is estimated within the
+    median-of-means error envelope."""
+    from crawler_spark.operators.sketches import ams_f2
+    rows = [(k,) for k in range(50) for _ in range(k % 5 + 1)]
+    df = spark.createDataFrame(rows, "user_id bigint")
+    want_f2 = sum((k % 5 + 1) ** 2 for k in range(50))
+    outs = [ams_f2(df.repartition(p), F.col("user_id")).collect()[0]
+            for p in (1, 7)]
+    assert outs[0] == outs[1]
+    got = outs[0]
+    assert got["true_f2"] == want_f2
+    # ±1 signs bound each X_r by n; median-of-means keeps the estimate
+    # positive and within a small constant factor on this fixture
+    assert 0.0 <= got["est_f2"] <= 5.0 * want_f2
+    assert got["rel_err"] == round(abs(got["est_f2"] - want_f2)
+                                   / want_f2, 4)
+
+
+def test_ams_f2_single_hot_key(spark):
+    """With ONE key, every estimator's X_r = ±n exactly, so every
+    group sum is m*n² and est_f2 == true_f2 == n² — the sketch is
+    exact in the pure-skew limit (its designed use: skew detection)."""
+    from crawler_spark.operators.sketches import ams_f2
+    df = spark.createDataFrame([(42,)] * 30, "user_id bigint")
+    got = ams_f2(df, F.col("user_id")).collect()[0]
+    assert got["true_f2"] == 900
+    assert got["est_f2"] == 900.0 and got["rel_err"] == 0.0
