@@ -46,8 +46,9 @@ MIDLEG_MAX = 1.30         # single mid-leg probe ceiling before strike
 MIDLEG_MED_MAX = 1.10     # median of the mid-leg series
 ABORT_AFTER = 3           # consecutive strikes -> kill the pair
 STAGE_MIN_X = 2.5         # internal per-stage speedup floor (1 -> 4)
-MAX_ATTEMPTS = 8
+MAX_ATTEMPTS = 12
 MAX_WALL_SEC = 6 * 3600   # give up when the session window closes
+BUSY_FLAG = BENCH / ".busy"   # foreground work touches this; watcher waits
 
 BENCH_CMD = [sys.executable, str(REPO / "tools" / "scaling_bench.py"),
              "--n", "1", "--hosts", "5000", "--runs", "1"]
@@ -77,6 +78,8 @@ def next_run_number() -> int:
 def run_study(attempt: int) -> dict | None:
     """Fire the pair; sample mid-leg probes; abort on sustained contention.
     Returns the witness dict (study parsed + probes) or None if aborted."""
+    inflight = BENCH / ".study_inflight"   # foreground checks this before
+    inflight.touch()                       # launching its own heavy jobs
     midleg: list[float] = []
     stop = threading.Event()
     proc = subprocess.Popen(BENCH_CMD, cwd=REPO,
@@ -102,6 +105,7 @@ def run_study(attempt: int) -> dict | None:
     out, _ = proc.communicate()
     stop.set()
     th.join(timeout=5)
+    inflight.unlink(missing_ok=True)
     if proc.returncode != 0:
         log(f"attempt {attempt}: bench exited rc={proc.returncode} "
             f"(midleg={midleg}) tail: {out[-300:]!r}")
@@ -142,6 +146,10 @@ def main() -> None:
     log(f"watcher up: launch<= {LAUNCH_MAX}, mid-leg strike> {MIDLEG_MAX}, "
         f"cmd={' '.join(BENCH_CMD[1:])}")
     while time.time() - t0 < MAX_WALL_SEC and attempt < MAX_ATTEMPTS:
+        if BUSY_FLAG.exists():
+            quiet = 0
+            time.sleep(POLL_SEC)
+            continue
         p = probe()
         quiet = quiet + 1 if p <= LAUNCH_MAX else 0
         if quiet < QUIET_LAUNCH:
