@@ -174,3 +174,61 @@ def kcore_peel(edges: DataFrame, src: str = "src", dst: str = "dst",
              .localCheckpoint(eager=True))
     return (e.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
             .select(F.col("u").alias("node"), "deg"))
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Triangle support per canonical edge (u < v): the number of common
+    neighbors closing (u, v). Triangles are enumerated ONCE each via the
+    smaller-endpoint wedge join (a<b<c from edges (a,b),(a,c) closed by
+    (b,c)) and fanned out to the 3 member edges — the g7 enumeration
+    shape, reused so the truss peel never builds per-node adjacency
+    arrays (Zipf hubs would make those rows unbounded)."""
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (ab.join(ac, "a").where(F.col("b") < F.col("c"))
+           .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+                 ["b", "c"]))
+    members = (tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .union(tri.select(F.col("a").alias("u"),
+                                 F.col("c").alias("v")))
+               .union(tri.select(F.col("b").alias("u"),
+                                 F.col("c").alias("v"))))
+    return members.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
+
+
+def ktruss_peel(edges: DataFrame, src: str = "src", dst: str = "dst",
+                k: int = 4, rounds: int = 2) -> DataFrame:
+    """k-truss decomposition by iterative edge peeling (Cohen 2008):
+    drop every edge in fewer than k-2 triangles of the CURRENT subgraph,
+    repeat. The edge-level strengthening of the k-core (g9): a k-core
+    node merely has k neighbors; a k-truss edge sits in k-2 mutual-
+    neighbor triangles — the community-detection / spam-farm primitive
+    that sees THROUGH degree (a star hub has high degree and zero
+    support). Returns (u, v, support) for the surviving edges with their
+    final in-truss support.
+
+    Fixed round count (not fixpoint-detected) so the DuckDB oracle can
+    unroll the identical computation — the g9 contract; tests assert the
+    fixture converges inside `rounds`, production callers raise it.
+
+    Scale shape (100 TB host graph): edges canonicalize once (least/
+    greatest + distinct); each round is one wedge self-join (both sides
+    hash on the shared smaller endpoint; degree-ordered orientation
+    bounds hub wedges exactly as g7), one partial-agged support rollup,
+    and one edge-keyed filter join; `localCheckpoint` cuts lineage per
+    round as every iterative operator here does."""
+    e = (edges.select(F.least(src, dst).alias("u"),
+                      F.greatest(src, dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        sup = _edge_support(e)
+        e = (e.join(sup, ["u", "v"], "left")
+             .where(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
+             .select("u", "v")
+             .localCheckpoint(eager=True))
+    final = _edge_support(e)
+    return (e.join(final, ["u", "v"], "left")
+            .select("u", "v",
+                    F.coalesce(F.col("sup"), F.lit(0)).cast("long")
+                    .alias("support")))

@@ -407,3 +407,42 @@ def proximity_search(docs: DataFrame, term_a: str, term_b: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                  F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long")
                  .alias("min_dist")))
+
+
+def vsm_cosine(docs: DataFrame, terms: list[str], doc_id: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Vector-space-model retrieval (Salton's VSM, the tf-idf ranking
+    sitting between BM25 — tx11 — and the LM ranker — ix7): cosine
+    between each document's full tf-idf vector and the query's, with
+    smooth idf = ln((N+1)/(df+1)) + 1 (the sklearn/Lucene-classic form,
+    strictly positive so stop-words still contribute to norms). Query
+    weights are the terms' own idf (tf=1 per query term). Output:
+    (doc_id, cosine round 4) for every matching doc.
+
+    Scale shape (100 TB): tf is ONE partial-agged (term, doc) shuffle
+    (the index build's shuffle 1, reusable); df is a term-cardinality
+    rollup joined back on the SAME term hashing; the per-doc norm is an
+    even doc-keyed rollup over the full vector (computed once, amortized
+    across every query against the corpus); the query side is a
+    broadcast of |Q| rows, so scoring never reshuffles the corpus — the
+    dot product reuses the (term, doc) layout and rolls up by doc."""
+    toks = docs.select(doc_id,
+                       F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(doc_id, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dfv = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    wtd = (tf.join(dfv, "term").crossJoin(F.broadcast(n))
+           .select(doc_id, "term", (F.col("tf") * idf).alias("w")))
+    norms = wtd.groupBy(doc_id).agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
+                                    .alias("dnorm"))
+    qw = (dfv.where(F.col("term").isin(list(terms)))
+          .crossJoin(F.broadcast(n)).select("term", idf.alias("qw")))
+    qn = qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+    dots = (wtd.join(F.broadcast(qw), "term")
+            .groupBy(doc_id).agg(F.sum(F.col("w") * F.col("qw"))
+                                 .alias("dot")))
+    return (dots.join(norms, doc_id).crossJoin(F.broadcast(qn))
+            .select(doc_id,
+                    F.round(F.col("dot") / (F.col("dnorm") * F.col("qnorm")),
+                            4).alias("cosine")))

@@ -704,3 +704,60 @@ def dup_gram_mass(docs: DataFrame, id_col: str = "doc_id",
                     F.round((F.col("n_occurrences") - F.col("n_distinct"))
                             / F.col("n_occurrences"), 4)
                     .alias("dup_frac")))
+
+
+def fuzzy_decontaminate(docs: DataFrame, is_eval: Column,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_perm: int = 8, band_size: int = 2,
+                        shingle_n: int = 3,
+                        min_jaccard: float = 0.5) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus documents NEAR-duplicating
+    an eval-set document (MinHash-LSH candidates verified by true n-gram
+    Jaccard >= min_jaccard) — the LSH analog of tx5's exact-gram overlap,
+    and the form actually used on frontier-model corpora (a test item
+    lightly paraphrased or truncated inside a crawl page slips an exact
+    13-gram check; it does not slip a 0.5-Jaccard gate). Output:
+    (doc_id, n_matches BIGINT, max_jaccard) per contaminated corpus doc.
+
+    Scale shape (100 TB): this is NOT dd3's self-join — the eval set is
+    tiny next to the corpus, so its banded signature table broadcasts
+    and the corpus side streams through ONE map-side band projection +
+    broadcast-hash probe; corpus docs never pair with each other and
+    never shuffle. Verify volume is |hits| (eval-bounded), shipping full
+    shingle arrays only for docs that hit. Same minhash family as dd3
+    (md5 hex-min), so signatures are cross-engine bit-exact."""
+    assert n_perm % band_size == 0
+    n_bands = n_perm // band_size
+    sh = docs.select(F.col(id_col).alias("doc_id"), is_eval.alias("_ev"),
+                     shingles_col(F.col(text_col), shingle_n).alias("sh")) \
+             .localCheckpoint(eager=False)
+    sig = sh.select("doc_id", "_ev", *minhash_sig_cols(F.col("sh"), n_perm))
+    bands = sig.select(
+        "doc_id", "_ev",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("|", *[F.col(f"mh{b * band_size + k}")
+                                        for k in range(band_size)])
+                     .alias("key"))
+            for b in range(n_bands)])).alias("bk")) \
+        .select("doc_id", "_ev", "bk.band", "bk.key")
+    ev = bands.where(F.col("_ev")) \
+              .select("band", "key", F.col("doc_id").alias("eval_id"))
+    hits = (bands.where(~F.col("_ev"))
+            .join(F.broadcast(ev), ["band", "key"])
+            .select("doc_id", "eval_id").distinct())
+    shd = sh.select("doc_id", F.array_distinct("sh").alias("shd")) \
+            .withColumn("n", F.size("shd"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    j = (hits
+         .join(shd.select(F.col("doc_id"), F.col("shd").alias("sha"),
+                          F.col("n").alias("na")), "doc_id")
+         .join(shd.select(F.col("doc_id").alias("eval_id"),
+                          F.col("shd").alias("shb"),
+                          F.col("n").alias("nb")), "eval_id")
+         .withColumn("jac", F.round(
+             inter / (F.col("na") + F.col("nb") - inter), 4))
+         .where(F.col("jac") >= min_jaccard))
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.max("jac").alias("max_jaccard")))

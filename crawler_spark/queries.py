@@ -8215,3 +8215,129 @@ def ks9_ams_f2(spark, sf_dir):
     from crawler_spark.operators.sketches import ams_f2
     e = _t(spark, sf_dir, "events")
     return ams_f2(e, F.col("user_id"), n_est=16, n_groups=4)
+
+
+_IX13_TERMS = ("scan", "filter", "hash")
+
+
+@q("ix13_vsm_cosine", f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+wtd AS (SELECT doc_id, term,
+               tf * (ln((n.n + 1.0) / (dfv.df + 1.0)) + 1.0) AS w
+        FROM tf JOIN dfv USING (term) CROSS JOIN n),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM wtd GROUP BY 1),
+qw AS (SELECT term, ln((n.n + 1.0) / (dfv.df + 1.0)) + 1.0 AS qw
+       FROM dfv CROSS JOIN n WHERE term IN {_IX13_TERMS!r}),
+qn AS (SELECT sqrt(sum(qw * qw)) AS qnorm FROM qw),
+dots AS (SELECT doc_id, sum(w * qw) AS dot FROM wtd JOIN qw USING (term)
+         GROUP BY 1)
+SELECT d.doc_id, round(d.dot / (norms.dnorm * qn.qnorm), 4) AS cosine
+FROM dots d JOIN norms USING (doc_id) CROSS JOIN qn
+""")
+def ix13_vsm_cosine(spark, sf_dir):
+    """Classic vector-space tf-idf cosine ranking of every document
+    against a fixed query — the third retrieval scorer next to BM25
+    (tx11) and the query-likelihood LM (ix7), completing the lexical
+    ranking triad a serving stack A/B-tests. Full-vector document norms
+    (computed once per corpus, amortized across queries); the query
+    side broadcasts, so scoring reuses the (term, doc) tf layout and
+    never reshuffles the corpus.
+    See operators/invindex.vsm_cosine."""
+    from crawler_spark.operators.invindex import vsm_cosine
+    return vsm_cosine(_t(spark, sf_dir, "documents"), list(_IX13_TERMS))
+
+
+@q("tx28_fuzzy_decontaminate", "WITH " + _LSH_CTES + """,
+ev AS (SELECT band, key, s.doc_id AS eval_id
+       FROM bands JOIN sh s USING (doc_id) WHERE s.source = 'src0'),
+hits AS (SELECT DISTINCT c.doc_id, ev.eval_id
+         FROM bands c JOIN sh cs ON cs.doc_id = c.doc_id
+         JOIN ev ON c.band = ev.band AND c.key = ev.key
+         WHERE cs.source <> 'src0'),
+jac AS (SELECT h.doc_id, h.eval_id,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh))), 4) AS jac
+        FROM hits h JOIN sh a ON a.doc_id = h.doc_id
+        JOIN sh b ON b.doc_id = h.eval_id)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       max(jac) AS max_jaccard
+FROM jac WHERE jac >= 0.5 GROUP BY 1
+""")
+def tx28_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy eval-set decontamination: corpus docs whose MinHash-LSH
+    bands collide with an eval doc (source='src0' stands in for the
+    benchmark) AND whose true 3-gram Jaccard >= 0.5 — the
+    paraphrase-robust companion to tx5's exact-gram gate. The eval
+    side's banded signatures broadcast; the corpus streams through one
+    map-side band projection and never self-joins.
+    See operators/textdedup.fuzzy_decontaminate."""
+    from crawler_spark.operators.textdedup import fuzzy_decontaminate
+    d = _t(spark, sf_dir, "documents")
+    return fuzzy_decontaminate(d, is_eval=(F.col("source") == "src0"),
+                               min_jaccard=0.5)
+
+
+@q("g30_ktruss", f"""
+WITH d0 AS MATERIALIZED ({_G8_EDGES_SQL}),
+e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+                           greatest(src, dst) AS v FROM d0
+                    WHERE src <> dst),
+t1 AS MATERIALIZED (SELECT w.a, w.b, w.c FROM (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e0 e1
+    JOIN e0 e2 ON e1.u = e2.u AND e1.v < e2.v) w
+    JOIN e0 e3 ON e3.u = w.b AND e3.v = w.c),
+s1 AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM t1 UNION ALL SELECT a, c FROM t1
+    UNION ALL SELECT b, c FROM t1) GROUP BY 1, 2),
+e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e
+    LEFT JOIN s1 s ON e.u = s.u AND e.v = s.v
+    WHERE coalesce(s.sup, 0) >= 6),
+t2 AS MATERIALIZED (SELECT w.a, w.b, w.c FROM (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e1 e1
+    JOIN e1 e2 ON e1.u = e2.u AND e1.v < e2.v) w
+    JOIN e1 e3 ON e3.u = w.b AND e3.v = w.c),
+s2 AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM t2 UNION ALL SELECT a, c FROM t2
+    UNION ALL SELECT b, c FROM t2) GROUP BY 1, 2),
+e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e
+    LEFT JOIN s2 s ON e.u = s.u AND e.v = s.v
+    WHERE coalesce(s.sup, 0) >= 6),
+t3 AS MATERIALIZED (SELECT w.a, w.b, w.c FROM (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e2 e1
+    JOIN e2 e2 ON e1.u = e2.u AND e1.v < e2.v) w
+    JOIN e2 e3 ON e3.u = w.b AND e3.v = w.c),
+s3 AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM t3 UNION ALL SELECT a, c FROM t3
+    UNION ALL SELECT b, c FROM t3) GROUP BY 1, 2)
+SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+FROM e2 e LEFT JOIN s3 s ON e.u = s.u AND e.v = s.v
+""")
+def g30_ktruss(spark, sf_dir):
+    """8-truss of the host link graph (Cohen 2008, fixed 2-round edge
+    peel): edges sitting in >= 6 triangles of the current subgraph —
+    the edge-level strengthening of g9's k-core that degree alone can't
+    fake (a star hub has high degree, zero support), the standard dense-
+    community/link-farm carve. Same edge fixture as g8/g9; engine loop
+    in clusters.ktruss_peel (wedge join + partial-agged support rollup
+    per round, lineage cut per round); the oracle unrolls the identical
+    rounds under MATERIALIZED CTEs (each round references its
+    predecessor 3x — inlined, the unroll is 3^rounds scans).
+    Converges at this fixture inside 2 rounds (asserted in tests)."""
+    from crawler_spark.operators.clusters import ktruss_peel
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e0 = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+          .where(F.col("src") != F.col("dst")).distinct())
+    return ktruss_peel(e0, k=8, rounds=2)

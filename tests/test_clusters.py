@@ -150,3 +150,60 @@ def test_kcore_fully_peels_sparse_graph(spark):
 
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
     assert kcore_peel(e, k=2, rounds=3).count() == 0
+
+
+def test_ktruss_golden_clique_plus_tail(spark):
+    """K5 plus a pendant tail: every K5 edge has support 3 (4-truss at
+    k=5), the tail edge has support 0 and is peeled in round 1; the K5
+    survives a 5-truss (support >= 3) with support 3 reported."""
+    from crawler_spark.operators.clusters import ktruss_peel
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges = k5 + [(4, 9)]
+    df = spark.createDataFrame([(f"n{a}", f"n{b}") for a, b in edges],
+                               "src string, dst string")
+    out = {(r["u"], r["v"]): r["support"]
+           for r in ktruss_peel(df, k=5, rounds=2).collect()}
+    assert len(out) == 10 and all(s == 3 for s in out.values())
+    assert ("n4", "n9") not in out
+
+
+def test_ktruss_star_hub_has_no_truss(spark):
+    """A star (hub + 8 leaves) has k-core degree 8 at the hub but ZERO
+    triangles: every edge peels at k=4 — the degree-vs-support
+    distinction that motivates the operator."""
+    from crawler_spark.operators.clusters import ktruss_peel
+    df = spark.createDataFrame([("hub", f"leaf{i}") for i in range(8)],
+                               "src string, dst string")
+    assert ktruss_peel(df, k=4, rounds=1).count() == 0
+
+
+def test_ktruss_cascade_needs_second_round(spark):
+    """Peeling cascades: two triangles sharing edge (a,b), where the
+    outer edges have support 1. At k=4 (support >= 2) round 1 drops the
+    four outer edges; round 2 then drops (a,b), whose support fell to 0
+    — a 1-round peel would wrongly keep it."""
+    from crawler_spark.operators.clusters import ktruss_peel
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    one = ktruss_peel(df, k=4, rounds=1)
+    two = ktruss_peel(df, k=4, rounds=2)
+    assert one.count() == 1 and two.count() == 0
+
+
+def test_ktruss_fixture_converges_inside_registry_rounds(spark):
+    """The g30 registry query runs 2 rounds on the host-graph fixture;
+    assert the peel is a fixpoint there (round 3 changes nothing), so
+    the fixed unroll equals the true 8-truss."""
+    from crawler_spark.operators.clusters import ktruss_peel
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    h = F.substring("source", 4, 10).cast("int")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % (1 + (h % 20)))
+                   .cast("string"))
+    e0 = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+          .where(F.col("src") != F.col("dst")).distinct())
+    two = {(r["u"], r["v"]) for r in
+           ktruss_peel(e0, k=8, rounds=2).select("u", "v").collect()}
+    three = {(r["u"], r["v"]) for r in
+             ktruss_peel(e0, k=8, rounds=3).select("u", "v").collect()}
+    assert two == three and len(two) > 0

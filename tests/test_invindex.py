@@ -226,3 +226,45 @@ def test_proximity_search_semantics(spark):
                               "doc_id long, text string")
     r = proximity_search(d, "alpha", "beta", k=3).collect()[0]
     assert (r["n_pairs"], r["min_dist"]) == (1, 3)
+
+
+def test_vsm_cosine_matches_hand_computation(spark):
+    """Cosine equals the direct tf-idf computation (smooth idf) on a
+    3-doc corpus, and docs without any query term are absent."""
+    import math
+    from crawler_spark.operators.invindex import vsm_cosine
+    corpus = {1: "a b a c", 2: "b b d", 3: "e e e"}
+    rows = [(k, v) for k, v in corpus.items()]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cosine"]
+           for r in vsm_cosine(d, ["a", "b"]).collect()}
+    n = len(corpus)
+    tf = {k: {} for k in corpus}
+    for k, v in corpus.items():
+        for w in v.split():
+            tf[k][w] = tf[k].get(w, 0) + 1
+    df = {}
+    for k in corpus:
+        for w in tf[k]:
+            df[w] = df.get(w, 0) + 1
+    idf = {w: math.log((n + 1) / (c + 1)) + 1 for w, c in df.items()}
+    qn = math.sqrt(idf["a"] ** 2 + idf["b"] ** 2)
+    want = {}
+    for k in corpus:
+        wts = {w: tf[k][w] * idf[w] for w in tf[k]}
+        dot = sum(wts.get(w, 0.0) * idf[w] for w in ("a", "b"))
+        if dot > 0:
+            dn = math.sqrt(sum(x * x for x in wts.values()))
+            want[k] = round(dot / (dn * qn), 4)
+    assert got == want and 3 not in got
+
+
+def test_vsm_cosine_self_similarity_tops(spark):
+    """A doc that IS the query ranks above docs that merely contain
+    the query terms among others."""
+    from crawler_spark.operators.invindex import vsm_cosine
+    d = spark.createDataFrame(
+        [(1, "x y"), (2, "x y p q r s t u v w"), (3, "x p p p")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["cosine"] for r in vsm_cosine(d, ["x", "y"]).collect()}
+    assert got[1] > got[2] > got[3]

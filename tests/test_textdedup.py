@@ -389,3 +389,39 @@ def test_ngram_jaccard_prune_verify_identical(spark):
     pruned = sorted(map(tuple, ngram_jaccard_pairs(
         df, threshold=0.1, max_df=64, prune_verify=True).collect()))
     assert base == pruned and len(base) > 0
+
+
+def test_fuzzy_decontaminate_catches_near_and_exact(spark):
+    """An exact copy and a lightly-edited copy of an eval doc are both
+    flagged; an unrelated doc and the eval docs themselves are not."""
+    from crawler_spark.operators.textdedup import fuzzy_decontaminate
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "eval"),
+        (2, base, "web"),                               # exact copy
+        # truncated copy: Jaccard 0.9, band-collides with the eval doc
+        # under this md5 minhash family (verified deterministically)
+        (3, " ".join(base.split()[:-1]), "web"),
+        (4, "completely different words about spark shuffles", "web"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r["doc_id"]: r for r in fuzzy_decontaminate(
+        d, is_eval=(F.col("src") == "eval"), min_jaccard=0.5).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["max_jaccard"] == 1.0
+    assert 0.5 <= out[3]["max_jaccard"] < 1.0
+    assert out[2]["n_matches"] == 1 and out[3]["n_matches"] == 1
+
+
+def test_fuzzy_decontaminate_threshold_gates(spark):
+    """A doc sharing a band but below the Jaccard floor is dropped —
+    the verify stage, not the LSH recall, decides membership."""
+    from crawler_spark.operators.textdedup import fuzzy_decontaminate
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base, "eval"), (2, base, "web")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    hi = fuzzy_decontaminate(d, is_eval=(F.col("src") == "eval"),
+                             min_jaccard=0.5).collect()
+    impossible = fuzzy_decontaminate(d, is_eval=(F.col("src") == "eval"),
+                                     min_jaccard=1.01).collect()
+    assert len(hi) == 1 and len(impossible) == 0

@@ -805,6 +805,34 @@ CHECKS = {
     "ix12_proximity": ([],
                        ["BroadcastNestedLoopJoin", "CartesianProduct",
                         "BatchEvalPython", "ArrowEvalPython"]),
+    # AUC rank-sum: one partial-agged rollup to distinct-score
+    # cardinality; the single-partition window over that tiny table is
+    # by design (resolution-bounded), so Window is allowed — forbid
+    # joins and Python only
+    "a11_auc_ranksum": (["HashAggregate", "Window"],
+                        ["SortMergeJoin", "CartesianProduct",
+                         "BatchEvalPython", "ArrowEvalPython"]),
+    # AMS F2: 16 map-side sign columns -> ONE partial agg; the exact-F2
+    # twin is the only shuffle; estimate rides a broadcast scalar join
+    "ks9_ams_f2": (["partial_sum", "BroadcastNestedLoopJoin"],
+                   ["SortMergeJoin", "Window",
+                    "BatchEvalPython", "ArrowEvalPython"]),
+    # VSM cosine: tf/df/norm partial aggs; the query side broadcasts
+    # (|Q| rows), so the corpus-side dot product never reshuffles
+    "ix13_vsm_cosine": (["BroadcastHashJoin", "partial_count"],
+                        ["CartesianProduct", "BatchEvalPython",
+                         "ArrowEvalPython"]),
+    # fuzzy decontamination: eval band keys broadcast onto the corpus
+    # band projection — no corpus self-join, no Python
+    "tx28_fuzzy_decontaminate": (["BroadcastHashJoin"],
+                                 ["CartesianProduct", "BatchEvalPython",
+                                  "ArrowEvalPython"]),
+    # k-truss: wedge self-join + partial-agged support per round; the
+    # host-cardinality keep-joins may broadcast — forbid nested-loop/
+    # cartesian and Python anywhere in the peel
+    "g30_ktruss": (["HashAggregate"],
+                   ["CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
@@ -817,6 +845,9 @@ def plan_text(df) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated check names; skips PLANS.md "
+                         "rewrite so a partial run never truncates it")
     args = ap.parse_args()
 
     from crawler_spark.queries import queries
@@ -825,8 +856,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = queries()
+    checks = CHECKS
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(CHECKS)
+        if unknown:
+            sys.exit(f"unknown check names: {sorted(unknown)}")
+        checks = {k: v for k, v in CHECKS.items() if k in wanted}
     sections, failures = [], []
-    for name, (need, forbid) in CHECKS.items():
+    for name, (need, forbid) in checks.items():
         txt = plan_text(qs[name](spark, args.sf))
         verdicts = []
         for s in need:
@@ -849,6 +887,14 @@ def main() -> None:
             f"## {name}\n\n" + "\n".join(f"- {v}" for v in verdicts)
             + "\n\n```\n" + "\n".join(interesting[:14]) + "\n```\n")
 
+    if args.only:
+        for name, why in failures:
+            print(f"FAIL {name}: {why}")
+        if failures:
+            sys.exit(1)
+        print(f"all {len(checks)} selected plan checks pass "
+              f"(PLANS.md untouched)")
+        return
     out = Path(__file__).resolve().parents[1] / "PLANS.md"
     out.write_text(
         "# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)\n\n"
@@ -863,7 +909,7 @@ def main() -> None:
         for name, why in failures:
             print(f"FAIL {name}: {why}")
         sys.exit(1)
-    print(f"all {len(CHECKS)} plan checks pass")
+    print(f"all {len(checks)} plan checks pass")
 
 
 if __name__ == "__main__":
