@@ -937,3 +937,68 @@ def centroid_drift(emb: DataFrame, split: Column, cell_col: str = "label",
         lambda acc, s: acc + s._diff * s._diff)), 4)
     return diffs.select(F.col("cell").alias(cell_col), "n_a", "n_b",
                         drift.alias("drift"))
+
+
+def ivf_multiprobe(emb: DataFrame, query: DataFrame, k: int = 10,
+                   nprobe: int = 2, scale: int = 64,
+                   cell_col: str = "label", vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Multi-probe IVF search: rank the coarse cells by distance from
+    the query to each cell's CENTROID and scan the `nprobe` nearest —
+    the standard recall knob between 1-probe IVF (an2, fast but blind
+    to cell-boundary neighbors) and brute force (an1). A query sitting
+    near a Voronoi boundary finds its across-the-border neighbors at
+    nprobe=2 without paying the full scan.
+
+    Cross-engine-exact cell ranking via km1's integer lattice: vectors
+    quantize to floor(x*scale) once; centroids are floor(sum/count) per
+    (cell, dim) — the double division is exact-floor (|sum| << 2^53);
+    query→centroid distances are integer sums of squares; ties break on
+    the smaller cell id. The final scoring inside probed cells is the
+    an1/an2 exact cosine (round 4).
+
+    Scale shape (100 TB): the centroid table is (cells x dim) rows —
+    built by ONE exploded partial agg over the corpus, then broadcast;
+    cell ranking is queries x cells (broadcast-sized); the probe scan
+    touches only nprobe cells' partitions (the corpus is written
+    partitioned by cell, so this prunes FILES, not just rows), and the
+    per-query top-k is a keyed window over probed rows only."""
+    from pyspark.sql import Window
+
+    qz = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x.cast("double") * scale)
+                     .cast("long"))
+    ex = (emb.select(F.col(cell_col).alias("cell"), qz.alias("qv"))
+          .select("cell", F.posexplode("qv"))
+          .select("cell", (F.col("pos") + 1).alias("d"),
+                  F.col("col").alias("v")))
+    cent = (ex.groupBy("cell", "d")
+            .agg(F.floor(F.sum("v").cast("double") / F.count("*"))
+                 .cast("long").alias("cv")))
+    qx = (query.select(F.col(id_col).alias("qid"), qz.alias("qv"))
+          .select("qid", F.posexplode("qv"))
+          .select("qid", (F.col("pos") + 1).alias("d"),
+                  F.col("col").alias("qval")))
+    d2 = (qx.join(F.broadcast(cent), "d")
+          .groupBy("qid", "cell")
+          .agg(F.sum((F.col("qval") - F.col("cv"))
+                     * (F.col("qval") - F.col("cv"))).alias("d2")))
+    w_cell = Window.partitionBy("qid").orderBy("d2", "cell")
+    probes = (d2.withColumn("rk", F.row_number().over(w_cell))
+              .where(F.col("rk") <= nprobe).select("qid", "cell"))
+    q = query.select(F.col(id_col).alias("qid"),
+                     F.col(vec_col).alias("qvec"))
+    scored = (emb.join(F.broadcast(probes),
+                       F.col(cell_col) == F.col("cell"))
+              .join(F.broadcast(q), "qid")
+              .where(F.col(id_col) != F.col("qid"))
+              .select("qid", F.col(id_col),
+                      F.round(cosine_col(
+                          F.col(vec_col).cast("array<double>"),
+                          F.col("qvec").cast("array<double>")), 4)
+                      .alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("qid", id_col, "cosine",
+                    F.col("rnk").cast("long").alias("rnk")))

@@ -8341,3 +8341,59 @@ def g30_ktruss(spark, sf_dir):
     e0 = (d.select(F.col("source").alias("src"), dst.alias("dst"))
           .where(F.col("src") != F.col("dst")).distinct())
     return ktruss_peel(e0, k=8, rounds=2)
+
+
+@q("an15_ivf_multiprobe", """
+WITH qz AS (SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))
+                     AS qv
+            FROM embeddings),
+ex AS (SELECT label AS cell, s.d AS d, s.v AS v
+       FROM (SELECT label,
+                    unnest(list_transform(range(1, len(qv)+1),
+                           i -> {'d': i, 'v': qv[i]})) AS s
+             FROM qz)),
+cent AS (SELECT cell, d,
+                CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS cv
+         FROM ex GROUP BY 1, 2),
+qx AS (SELECT vec_id AS qid, s.d AS d, s.v AS qval
+       FROM (SELECT vec_id,
+                    unnest(list_transform(range(1, len(qv)+1),
+                           i -> {'d': i, 'v': qv[i]})) AS s
+             FROM qz WHERE vec_id IN (0, 1, 2, 3))),
+d2 AS (SELECT qx.qid, c.cell,
+              sum((qx.qval - c.cv) * (qx.qval - c.cv)) AS d2
+       FROM qx JOIN cent c USING (d) GROUP BY 1, 2),
+probes AS (SELECT qid, cell FROM (
+    SELECT qid, cell, row_number() OVER (PARTITION BY qid
+                                         ORDER BY d2, cell) AS rk
+    FROM d2) WHERE rk <= 2),
+qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+scored AS (SELECT p.qid, e.vec_id,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               qq.qvec), 4) AS cosine
+           FROM probes p JOIN embeddings e ON e.label = p.cell
+           JOIN qq ON qq.qid = p.qid
+           WHERE e.vec_id <> p.qid)
+SELECT qid, vec_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored) WHERE rnk <= 10
+""")
+def an15_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF top-10 (nprobe=2) for 4 query vectors: the
+    recall knob between 1-probe IVF (an2) and brute force (an1) — a
+    query near a Voronoi boundary finds across-the-border neighbors
+    without the full scan. Cell ranking by query→centroid distance on
+    km1's integer lattice (floor-mean centroids, integer L2 — the only
+    way an iterative-geometry decision sits under the cross-engine hash
+    gate); in-cell scoring is the exact an1 cosine.
+    See operators/similarity.ivf_multiprobe."""
+    from crawler_spark.operators.similarity import ivf_multiprobe
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2, 3))
+    return ivf_multiprobe(e, qs, k=10, nprobe=2, scale=64)

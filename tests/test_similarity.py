@@ -297,3 +297,47 @@ def test_centroid_drift_zero_for_identical_halves(spark):
     out2 = centroid_drift(shifted,
                           split=(F.col("vec_id") % 2 == 0)).collect()
     assert all(r["drift"] > 50 for r in out2)   # lattice scale 64: ~64
+
+
+def test_ivf_multiprobe_allprobe_equals_bruteforce(spark):
+    """With nprobe >= n_cells, multi-probe degenerates to the exact
+    brute-force ranking — same rows, same order."""
+    from crawler_spark.operators.similarity import (
+        brute_force_topk, ivf_multiprobe)
+    import random
+    rng = random.Random(7)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)], i % 3)
+            for i in range(30)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    qs = e.where(F.col("vec_id") < 2)
+    mp = {(r["qid"], r["vec_id"], r["cosine"]) for r in
+          ivf_multiprobe(e, qs, k=5, nprobe=3).collect()}
+    bf = {(r["qid"], r["vec_id"], r["cosine"]) for r in
+          brute_force_topk(e, qs, k=5).select(
+              "qid", "vec_id", "cosine").collect()}
+    assert mp == bf
+
+
+def test_ivf_multiprobe_crosses_voronoi_boundary(spark):
+    """The query's nearest neighbor lives in the SECOND-nearest cell:
+    nprobe=1 misses it (scans only the home cell), nprobe=2 finds it —
+    the exact failure mode multi-probe exists to fix."""
+    from crawler_spark.operators.similarity import ivf_multiprobe
+    # cell 0 centered at x=1.0 (query's home), cell 1 at x=0.8 close by,
+    # cell 2 far away; the query's true NN (id 10) sits in cell 1.
+    def vec(x):
+        return [float(x)] + [0.0] * 7
+    rows = ([(0, vec(1.0), 0)]                       # the query, cell 0
+            + [(i, vec(1.2), 0) for i in (1, 2)]      # home-cell docs
+            + [(10, vec(1.01), 1)]                    # true NN, cell 1
+            + [(i, vec(0.6), 1) for i in (11, 12)]
+            + [(i, vec(-5.0), 2) for i in (20, 21)])
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    qs = e.where(F.col("vec_id") == 0)
+    one = {r["vec_id"] for r in
+           ivf_multiprobe(e, qs, k=3, nprobe=1).collect()}
+    two = {r["vec_id"] for r in
+           ivf_multiprobe(e, qs, k=3, nprobe=2).collect()}
+    assert 10 not in one and 10 in two

@@ -833,6 +833,11 @@ CHECKS = {
     "g30_ktruss": (["HashAggregate"],
                    ["CartesianProduct", "BroadcastNestedLoopJoin",
                     "BatchEvalPython", "ArrowEvalPython"]),
+    # multi-probe IVF: centroid table + probe set + query vectors all
+    # ride broadcasts; the corpus never sort-merges or cartesians
+    "an15_ivf_multiprobe": (["BroadcastHashJoin", "HashAggregate"],
+                            ["SortMergeJoin", "CartesianProduct",
+                             "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
