@@ -761,3 +761,66 @@ def fuzzy_decontaminate(docs: DataFrame, is_eval: Column,
     return (j.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.max("jac").alias("max_jaccard")))
+
+
+def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5,
+                        shingle_n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    al. ICDE 2006 SSJoin; Xiao et al. WWW 2008 PPJoin): all pairs with
+    true n-gram Jaccard >= threshold — same output as brute-force
+    all-pairs, provably, but candidates come from a rarest-token prefix
+    index instead of O(n²) comparisons or dd3's probabilistic LSH (which
+    can MISS pairs; this cannot).
+
+    The filter: order every doc's distinct shingles by global rarity
+    (df asc, gram asc — one total order both for index and probe). If
+    J(x,y) >= t then |x∩y| >= ceil(t·|x|), so the first
+    |x| - ceil(t·|x|) + 1 grams of x and the corresponding prefix of y
+    must share a gram (the shared-prefix lemma); indexing ONLY prefixes
+    is therefore lossless. Generation runs at t - 1e-4 so pairs whose
+    ROUNDED Jaccard crosses the threshold (the verify filter is
+    round(j,4) >= t, dd4's contract) are still covered.
+
+    Scale shape (100 TB): df ranking is one partial-agged gram rollup +
+    a per-doc window; the candidate index holds only prefix grams
+    (~(1-t)·corpus grams), and buckets are keyed by the RAREST grams by
+    construction — the df-ordered prefix is the organic hot-bucket
+    guard dd4's max_df cap approximates lossily (a stop-gram never
+    lands in a prefix unless the doc is almost all stop-grams). Verify
+    is the dd4 carried-size shape, volume ∝ candidates."""
+    sh = _shingle_projection(docs, id_col, text_col, shingle_n)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    dft = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    t_gen = threshold - 1e-4
+    ranked = (ex.join(dft, "s")
+              .withColumn("rk", F.row_number().over(w)))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    prefix = (ranked.join(sizes, "doc_id")
+              .where(F.col("rk") <=
+                     F.col("n") - F.ceil(F.lit(t_gen) * F.col("n")) + 1)
+              .select("doc_id", "s"))
+    buckets = (prefix.groupBy("s")
+               .agg(F.collect_list("doc_id").alias("ids"))
+               .where(F.size("ids") >= 2))
+    cands = (buckets.select(F.explode(_in_bucket_pairs(F.col("ids")))
+                            .alias("p"))
+             .select(F.col("p.doc_a").alias("doc_a"),
+                     F.col("p.doc_b").alias("doc_b"))
+             .distinct())
+    shd = sh.select("doc_id", F.col("sh").alias("shd"),
+                    F.size("sh").alias("n"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (cands
+            .join(shd.select(F.col("doc_id").alias("doc_a"),
+                             F.col("shd").alias("sha"),
+                             F.col("n").alias("na")), "doc_a")
+            .join(shd.select(F.col("doc_id").alias("doc_b"),
+                             F.col("shd").alias("shb"),
+                             F.col("n").alias("nb")), "doc_b")
+            .withColumn("jaccard", F.round(
+                inter / (F.col("na") + F.col("nb") - inter), 4))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

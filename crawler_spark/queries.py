@@ -8397,3 +8397,26 @@ def an15_ivf_multiprobe(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qs = e.where(F.col("vec_id").isin(0, 1, 2, 3))
     return ivf_multiprobe(e, qs, k=10, nprobe=2, scale=64)
+
+
+@q("dd19_prefix_filter_join", """
+WITH sh AS (""" + _SHINGLE_SQL + """),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+FROM p WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.5
+""")
+def dd19_prefix_filter_join(spark, sf_dir):
+    """EXACT Jaccard>=0.5 similarity self-join via rarest-token prefix
+    filtering (SSJoin/PPJoin) — the lossless counterpart to dd3's LSH
+    and dd4's df-capped candidates: the oracle here is BRUTE-FORCE
+    all-pairs, so the hash gate proves the prefix prune drops no pair.
+    Candidates are indexed only on each doc's (1-t)-fraction rarest
+    grams (the organic hot-bucket guard); verify is the dd4
+    carried-size shape. See operators/textdedup.prefix_filter_pairs."""
+    from crawler_spark.operators.textdedup import prefix_filter_pairs
+    return prefix_filter_pairs(_t(spark, sf_dir, "documents"),
+                               threshold=0.5, shingle_n=3)

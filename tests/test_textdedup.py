@@ -425,3 +425,44 @@ def test_fuzzy_decontaminate_threshold_gates(spark):
     impossible = fuzzy_decontaminate(d, is_eval=(F.col("src") == "eval"),
                                      min_jaccard=1.01).collect()
     assert len(hi) == 1 and len(impossible) == 0
+
+
+def test_prefix_filter_join_equals_exhaustive(spark):
+    """The prefix-filtered join returns EXACTLY the brute-force pair set
+    (losslessness is the operator's whole claim), across thresholds."""
+    from crawler_spark.operators.textdedup import (
+        ngram_jaccard_pairs, prefix_filter_pairs)
+    import random
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(24):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(12)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[0][1]))                       # exact dup
+    rows.append((101, rows[1][1] + " extra tail words")) # near dup
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        exhaustive = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                      ngram_jaccard_pairs(d, threshold=t,
+                                          max_df=None).collect()}
+        pruned = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                  prefix_filter_pairs(d, threshold=t).collect()}
+        assert pruned == exhaustive, t
+    # sanity: the fixture actually exercises the paths (dup pair present)
+    assert any(a == 0 and b == 100 for a, b, _ in exhaustive)
+
+
+def test_prefix_filter_join_boundary_pair_survives(spark):
+    """A pair sitting exactly AT the threshold is kept: the generation
+    slack (t - 1e-4) covers pairs whose rounded Jaccard equals t."""
+    from crawler_spark.operators.textdedup import prefix_filter_pairs
+    # doc 1: grams {a b c, b c d} ; doc 2 shares exactly one of two
+    # grams each -> J = 1/3 with these: craft J = 0.5: x={g1,g2}, y={g1,g2,g3}?
+    # J = 2/3. Simplest exact 0.5: x = {g1}, y = {g1, g2} -> 1/2.
+    d = spark.createDataFrame(
+        [(1, "a b c"),              # single whole gram 'a b c'
+         (2, "a b c d")],           # grams {'a b c', 'b c d'}
+        "doc_id long, text string")
+    out = prefix_filter_pairs(d, threshold=0.5).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.5

@@ -838,6 +838,13 @@ CHECKS = {
     "an15_ivf_multiprobe": (["BroadcastHashJoin", "HashAggregate"],
                             ["SortMergeJoin", "CartesianProduct",
                              "BatchEvalPython", "ArrowEvalPython"]),
+    # prefix-filter similarity join: df rollup + per-doc rank window +
+    # bucketed candidate gen + carried-size verify; never a cartesian
+    # all-pairs and no Python anywhere
+    "dd19_prefix_filter_join": (["HashAggregate", "Window"],
+                                ["CartesianProduct",
+                                 "BroadcastNestedLoopJoin",
+                                 "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
