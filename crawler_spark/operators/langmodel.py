@@ -234,3 +234,38 @@ def auc_ranksum(df: DataFrame, score: Column, label: Column,
         F.col("nneg").cast("long").alias("n_neg"),
         F.round((F.col("r2") - F.col("npos") * (F.col("npos") + 1))
                 / (2.0 * F.col("npos") * F.col("nneg")), 4).alias("auc"))
+
+
+def average_precision(df: DataFrame, score: Column, label: Column,
+                      id_col: str = "doc_id", scale: int = 1000,
+                      n_blocks: int = 32) -> DataFrame:
+    """Average precision (the area under the precision-recall curve a
+    retrieval/filtering stack actually reports when positives are rare
+    — AUC (a11) saturates near 1.0 on imbalanced corpora, AP does not):
+
+        AP = (1/P) Σ_{positives i}  (rank_among_positives_i / rank_i)
+
+    under the DETERMINISTIC total order (score desc, id asc) — ties
+    resolved by id on both engines, so the value is a pure function of
+    the data (no midrank convention needed).
+
+    Scale shape (100 TB): both ranks are `global_rank`'s distributed
+    block-prefix shape (block-local windows + one n_blocks-row offset
+    table broadcast back) — NEVER the single-task unpartitioned
+    `row_number() OVER (ORDER BY score)`; the final rollup is one
+    scalar agg. Output: (n_pos BIGINT, avg_precision)."""
+    from crawler_spark.operators.sampling import global_rank
+
+    sm = F.floor(score * scale).cast("long")
+    base = df.select(F.col(id_col).alias("_id"), sm.alias("_sm"),
+                     label.cast("int").alias("_y"))
+    g = global_rank(base, [F.col("_sm"), F.col("_id")],
+                    n_blocks=n_blocks, out_col="_gr",
+                    desc=[True, False])
+    pos = g.where(F.col("_y") == 1)
+    p = global_rank(pos, [F.col("_gr")], n_blocks=n_blocks,
+                    out_col="_pr")
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.round(F.sum(F.col("_pr") / F.col("_gr")) / F.count(F.lit(1)), 4)
+        .alias("avg_precision"))

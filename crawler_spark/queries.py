@@ -8420,3 +8420,32 @@ def dd19_prefix_filter_join(spark, sf_dir):
     from crawler_spark.operators.textdedup import prefix_filter_pairs
     return prefix_filter_pairs(_t(spark, sf_dir, "documents"),
                                threshold=0.5, shingle_n=3)
+
+
+@q("a12_average_precision", f"""
+WITH s AS (SELECT doc_id,
+                  CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS sm,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+r AS (SELECT doc_id, y,
+             row_number() OVER (ORDER BY sm DESC, doc_id) AS gr
+      FROM s),
+p AS (SELECT gr, row_number() OVER (ORDER BY gr) AS pr
+      FROM r WHERE y = 1)
+SELECT CAST(count(*) AS BIGINT) AS n_pos,
+       round(sum(pr * 1.0 / gr) / count(*), 4) AS avg_precision
+FROM p
+""")
+def a12_average_precision(spark, sf_dir):
+    """Average precision of the tx2 quality score against the English
+    label — the imbalance-robust companion to a11's AUC (AUC saturates
+    when positives are rare; AP reports the precision actually paid at
+    each positive's rank). Deterministic total order (score desc,
+    doc_id) instead of a midrank convention; BOTH ranks run as
+    global_rank's distributed block-prefix shape, never a single-task
+    global window. See operators/langmodel.average_precision."""
+    from crawler_spark.functions.text import quality_score_col
+    from crawler_spark.operators.langmodel import average_precision
+    d = _t(spark, sf_dir, "documents")
+    return average_precision(d, score=quality_score_col(F.col("text")),
+                             label=(F.col("lang") == "en"))

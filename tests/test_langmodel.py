@@ -164,3 +164,40 @@ def test_auc_ranksum_perfect_and_random(spark):
         [(0.5, i % 2) for i in range(10)], "s double, y int")
     assert auc_ranksum(const, F.col("s"),
                        F.col("y") == 1).collect()[0]["auc"] == 0.5
+
+
+def test_average_precision_matches_direct_computation(spark):
+    """AP equals the hand-rolled sum of precision@rank over positives
+    under the (score desc, id asc) order, including tied scores."""
+    from crawler_spark.operators.langmodel import average_precision
+    rows = [(1, 0.90, 1), (2, 0.90, 0), (3, 0.70, 1), (4, 0.50, 0),
+            (5, 0.50, 1), (6, 0.30, 0), (7, 0.10, 1)]
+    d = spark.createDataFrame(rows, "doc_id long, s double, y int")
+    got = average_precision(d, F.col("s"), F.col("y") == 1,
+                            n_blocks=3).collect()[0]
+    order = sorted(rows, key=lambda r: (-int(r[1] * 1000), r[0]))
+    terms, seen = [], 0
+    for gr, (_, _, y) in enumerate(order, start=1):
+        if y:
+            seen += 1
+            terms.append(seen / gr)
+    assert got["n_pos"] == seen
+    assert got["avg_precision"] == round(sum(terms) / seen, 4)
+
+
+def test_average_precision_perfect_ranking_is_one(spark):
+    """All positives ranked above all negatives -> AP = 1.0; the
+    reversed ranking scores strictly lower."""
+    from crawler_spark.operators.langmodel import average_precision
+    good = spark.createDataFrame(
+        [(i, 1.0 - i * 0.05, int(i < 4)) for i in range(10)],
+        "doc_id long, s double, y int")
+    bad = spark.createDataFrame(
+        [(i, 1.0 - i * 0.05, int(i >= 6)) for i in range(10)],
+        "doc_id long, s double, y int")
+    ap_good = average_precision(good, F.col("s"),
+                                F.col("y") == 1).collect()[0]
+    ap_bad = average_precision(bad, F.col("s"),
+                               F.col("y") == 1).collect()[0]
+    assert ap_good["avg_precision"] == 1.0
+    assert ap_bad["avg_precision"] < ap_good["avg_precision"]

@@ -845,6 +845,12 @@ CHECKS = {
                                 ["CartesianProduct",
                                  "BroadcastNestedLoopJoin",
                                  "BatchEvalPython", "ArrowEvalPython"]),
+    # average precision: two distributed block-rank passes (block-local
+    # windows + broadcast offsets) + scalar rollup; the corpus-sized
+    # single-task global window must never appear
+    "a12_average_precision": (["Window", "BroadcastHashJoin"],
+                              ["SortMergeJoin", "CartesianProduct",
+                               "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
