@@ -177,3 +177,47 @@ def encode_word_stats(docs: DataFrame, k: int = 6,
             .agg(F.sum("n").alias("n_bpe_tokens"),
                  F.count(F.lit(1)).cast("long").alias("n_words"),
                  F.sum("wl").cast("long").alias("n_chars")))
+
+
+def oov_rate(docs: DataFrame, v: int = 16, holdout_permille: int = 50,
+             doc_id: str = "doc_id", text_col: str = "text",
+             by_col: str = "lang") -> DataFrame:
+    """Held-out OOV rate of a frequency-capped word vocabulary — the
+    coverage audit run before fixing a tokenizer's vocab size (the
+    word-level complement to tk3's fertility: fertility says how many
+    subwords a word costs, OOV says how many word OCCURRENCES a top-`v`
+    vocab misses entirely). Per `by_col` group on the held-out slice:
+    (n_words BIGINT, n_oov BIGINT, oov_rate).
+
+    Methodology matters and is pinned: the vocabulary is fit on the
+    TRAIN slice only (tx9's content-stable md5 coin, `holdout_permille`
+    out of 1000 held out), ranked by (count desc, word asc) — measuring
+    OOV on the same data that chose the vocab would bias the rate down.
+
+    Scale shape (100 TB): the split coin is map-side; train word counts
+    are ONE partial-agged shuffle; top-v is TakeOrderedAndProject over
+    the word-cardinality table (never a global sort of the corpus); the
+    v-row vocab broadcasts onto the held-out word stream, so the
+    measurement side never shuffles words at all — one group-cardinality
+    rollup ends it."""
+    key = F.concat(F.col("source"), F.lit("/"),
+                   F.col(doc_id).cast("string"))
+    coin = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+            % 1000 < holdout_permille)
+    w = docs.select(F.col(by_col).alias("grp"), coin.alias("_val"),
+                    F.explode(F.filter(
+                        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                        lambda t: t != "")).alias("word"))
+    vocab = (w.where(~F.col("_val"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), "word").limit(v)
+             .select("word", F.lit(1).alias("_in")))
+    return (w.where(F.col("_val"))
+            .join(F.broadcast(vocab), "word", "left")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov"))
+            .select(F.col("grp").alias(by_col), "n_words", "n_oov",
+                    F.round(F.col("n_oov") / F.col("n_words"), 4)
+                    .alias("oov_rate")))

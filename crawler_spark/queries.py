@@ -8449,3 +8449,33 @@ def a12_average_precision(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return average_precision(d, score=quality_score_col(F.col("text")),
                              label=(F.col("lang") == "en"))
+
+
+@q("tk4_oov_rate", """
+WITH w AS (SELECT lang,
+                  ('0x' || substr(md5(source || '/' || doc_id), 1, 8))
+                    ::BIGINT % 1000 < 50 AS _val,
+                  unnest(list_filter(regexp_split_to_array(
+                      lower(trim(text)), '\\s+'), x -> x <> '')) AS word
+           FROM documents),
+vocab AS (SELECT word FROM (
+    SELECT word, count(*) AS c FROM w WHERE NOT _val GROUP BY 1)
+    ORDER BY c DESC, word LIMIT 16)
+SELECT w.lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS oov_rate
+FROM w LEFT JOIN vocab v USING (word) WHERE w._val
+GROUP BY 1
+""")
+def tk4_oov_rate(spark, sf_dir):
+    """Held-out OOV rate per language of a top-16 word vocabulary fit
+    on the train slice only (tx9's md5 coin) — the coverage audit that
+    pairs with tk3's fertility when sizing a tokenizer vocab; fitting
+    and measuring on the same slice would bias the rate down, so the
+    split is part of the contract. Top-v is TakeOrderedAndProject over
+    word cardinality; the 16-row vocab broadcasts onto the held-out
+    stream. See operators/bpe.oov_rate."""
+    from crawler_spark.operators.bpe import oov_rate
+    return oov_rate(_t(spark, sf_dir, "documents"), v=16)

@@ -114,3 +114,45 @@ def test_encode_word_stats_consistent_with_token_counts(spark):
     for r in st.values():
         assert r["n_bpe_tokens"] >= r["n_words"]     # merges never cross words
         assert r["n_chars"] >= r["n_bpe_tokens"]     # a token is >= 1 char
+
+
+def test_oov_rate_vocab_fit_on_train_only(spark):
+    """The vocab must come from the TRAIN slice: a word frequent in the
+    held-out slice but absent from train counts as OOV no matter how
+    common it is in val."""
+    from crawler_spark.operators.bpe import oov_rate
+    import hashlib
+    # find doc ids whose md5 coin puts them in the 5% held-out slice
+    def is_val(source, doc_id):
+        h = hashlib.md5(f"{source}/{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 1000 < 50
+    val_ids = [i for i in range(2000) if is_val("s", i)][:3]
+    train_ids = [i for i in range(2000) if not is_val("s", i)][:6]
+    rows = ([(i, "common words here", "en", "s") for i in train_ids]
+            + [(i, "valonly valonly common", "en", "s") for i in val_ids])
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = oov_rate(d, v=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # val tokens: 3 per doc x 3 docs = 9; 'valonly' (6 occurrences) is
+    # not in the train vocab {'common','words','here'} -> 6 OOV
+    assert r["n_words"] == 9 and r["n_oov"] == 6
+    assert r["oov_rate"] == round(6 / 9, 4)
+
+
+def test_oov_rate_full_vocab_zero(spark):
+    """With v large enough to hold every train word and identical
+    val text, OOV is zero."""
+    from crawler_spark.operators.bpe import oov_rate
+    import hashlib
+    def is_val(source, doc_id):
+        h = hashlib.md5(f"{source}/{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 1000 < 50
+    val_id = next(i for i in range(2000) if is_val("s", i))
+    train_id = next(i for i in range(2000) if not is_val("s", i))
+    d = spark.createDataFrame(
+        [(train_id, "a b c", "en", "s"), (val_id, "a b c", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    r = oov_rate(d, v=10).collect()[0]
+    assert r["n_oov"] == 0 and r["oov_rate"] == 0.0

@@ -851,6 +851,11 @@ CHECKS = {
     "a12_average_precision": (["Window", "BroadcastHashJoin"],
                               ["SortMergeJoin", "CartesianProduct",
                                "BatchEvalPython", "ArrowEvalPython"]),
+    # OOV audit: top-v vocab via TakeOrderedAndProject (never a global
+    # sort) broadcast onto the held-out word stream
+    "tk4_oov_rate": (["TakeOrderedAndProject", "BroadcastHashJoin"],
+                     ["SortMergeJoin", "CartesianProduct",
+                      "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
