@@ -269,3 +269,62 @@ def average_precision(df: DataFrame, score: Column, label: Column,
         F.count(F.lit(1)).cast("long").alias("n_pos"),
         F.round(F.sum(F.col("_pr") / F.col("_gr")) / F.count(F.lit(1)), 4)
         .alias("avg_precision"))
+
+
+GOPHER_STOPS = ("the", "a", "of", "to", "and")
+
+
+def gopher_gates(docs: DataFrame, by_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Gopher rule-based quality filter breakdown (Rae et al. 2021,
+    App. A — the rule set MassiveText shipped and every crawl pipeline
+    since has copied): per `by_col` slice, how many documents each rule
+    kills and how many survive all of them. tx2 gives one blended score;
+    a pipeline operator needs the PER-RULE kill rates to tune thresholds
+    (a source where the word-length band kills 40% is OCR garbage; one
+    where the stop-word rule kills 40% is non-English leakage).
+
+    Rules (the fixture-computable core of the paper's list):
+      len:    50 <= word count <= 100,000
+      wlen:   mean word length in [3, 10] — integerized as
+              3n <= chars-(n-1) <= 10n, exact on both engines
+      alpha:  >= 80% of words contain only alphabetic chars
+              (10*n_alpha >= 8*n — no division)
+      stop:   >= 2 distinct stop words present
+
+    All-integer outputs (counts only), so the hash gate is exact with
+    no rounding discipline at all. Scale shape: ONE let-bound fold per
+    row (split evaluated once — sibling columns would re-split per
+    rule, NOTES fact #1) + one group-cardinality partial-agged rollup."""
+    w = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda t: t != "")
+    nc = F.length(F.trim(F.col(text_col)))
+
+    def gates(wa):
+        return F.struct(
+            F.size(wa).alias("n"),
+            F.size(F.filter(wa, lambda x: x.rlike("^[a-z]+$")))
+            .alias("na"),
+            F.size(F.array_intersect(
+                F.array_distinct(wa),
+                F.array(*[F.lit(s) for s in GOPHER_STOPS]))).alias("ns"))
+
+    st = F.element_at(F.transform(F.array(w), gates), 1)
+    d = docs.select(F.col(by_col).alias("grp"), nc.alias("nc"),
+                    st.alias("g"))
+    n, na, ns = F.col("g.n"), F.col("g.na"), F.col("g.ns")
+    chars = F.col("nc") - (n - 1)
+    fail_len = ~((n >= 50) & (n <= 100000))
+    fail_wl = ~((chars >= 3 * n) & (chars <= 10 * n))
+    fail_alpha = ~(10 * na >= 8 * n)
+    fail_stop = ~(ns >= 2)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (d.groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 one(fail_len).alias("n_fail_len"),
+                 one(fail_wl).alias("n_fail_wordlen"),
+                 one(fail_alpha).alias("n_fail_alpha"),
+                 one(fail_stop).alias("n_fail_stop"),
+                 one(~(fail_len | fail_wl | fail_alpha | fail_stop))
+                 .alias("n_keep"))
+            .withColumnRenamed("grp", by_col))

@@ -281,11 +281,7 @@ def bloom_membership(keys: DataFrame, candidates: DataFrame,
     sized; the 10^10 design point uses the partitioned-bitset engine
     path (A5) — same algebra, denser encoding."""
     def positions(col):
-        return [
-            (F.conv(F.substring(
-                F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8), 16, 10)
-             .cast("long") % m).alias("pos")
-            for j in range(k)]
+        return _bloom_positions(col, m, k)
     bits = (keys.select(F.explode(F.array(*positions(F.col(key_col))))
                         .alias("pos"))
             .distinct())
@@ -464,3 +460,60 @@ def ams_f2(df: DataFrame, key: Column, n_est: int = 16,
                     F.round("_est", 4).alias("est_f2"),
                     F.round(F.abs(F.col("_est") - F.col("true_f2"))
                             / F.col("true_f2"), 4).alias("rel_err")))
+
+
+def _bloom_positions(col: Column, m: int, k: int) -> list[Column]:
+    """The ks6 content-stable bit-position family: pos_j(key) =
+    int(md5(j || ':' || key)[:8], 16) mod m — shared by build and probe
+    (and by any SQL twin) so both sides address identical bits."""
+    return [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8), 16, 10)
+         .cast("long") % m).alias("pos")
+        for j in range(k)]
+
+
+def bloom_fpr_audit(keys: DataFrame, candidates: DataFrame,
+                    key_col: str = "key", m: int = 1024,
+                    k: int = 4) -> DataFrame:
+    """Bloom-filter false-positive-rate calibration: build the (m, k)
+    filter from `keys`, probe it with the truly-ABSENT subset of
+    `candidates`, and report measured FPR next to the analytic
+    prediction (1 - (1 - 1/m)^(k·n))^k — the capacity-planning check
+    run before sizing the URL-seen prefilter (A5): a measured FPR far
+    above theory means the hash family is correlated or the filter is
+    over-full, and the anti-join stage downstream pays for every false
+    positive with a shuffled lookup. One row out: (n_keys, n_bits_set,
+    n_absent, n_false_pos, fpr_measured, fpr_theory).
+
+    Scale shape: filter build is one distinct at <= m rows (broadcast);
+    the probe explodes candidates to k rows and broadcast-joins the bit
+    set; absent-set derivation is one anti-join; everything rolls up to
+    scalars. The only floats are the two output rates (one division,
+    one closed-form pow), round(4) both engines."""
+    kd = keys.select(F.col(key_col)).distinct()
+    bits = (kd.select(F.explode(F.array(
+        *_bloom_positions(F.col(key_col), m, k))).alias("pos"))
+        .distinct())
+    absent = (candidates.select(F.col(key_col)).distinct()
+              .join(kd, key_col, "left_anti"))
+    probe = (absent
+             .withColumn("_pos", F.explode(F.array(
+                 *_bloom_positions(F.col(key_col), m, k))))
+             .join(F.broadcast(bits.withColumnRenamed("pos", "_pos")
+                               .withColumn("_hit", F.lit(1))),
+                   "_pos", "left")
+             .groupBy(key_col)
+             .agg((F.sum(F.coalesce("_hit", F.lit(0))) == k).cast("int")
+                  .alias("_fp")))
+    stats = probe.agg(F.count(F.lit(1)).cast("long").alias("n_absent"),
+                      F.sum("_fp").cast("long").alias("n_false_pos"))
+    nk = kd.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    nb = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    theory = F.pow(1.0 - F.pow(F.lit(1.0 - 1.0 / m),
+                               F.lit(float(k)) * F.col("n_keys")), k)
+    return (nk.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(stats))
+            .select("n_keys", "n_bits_set", "n_absent", "n_false_pos",
+                    F.round(F.col("n_false_pos") / F.col("n_absent"), 4)
+                    .alias("fpr_measured"),
+                    F.round(theory, 4).alias("fpr_theory")))

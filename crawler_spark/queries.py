@@ -8479,3 +8479,96 @@ def tk4_oov_rate(spark, sf_dir):
     stream. See operators/bpe.oov_rate."""
     from crawler_spark.operators.bpe import oov_rate
     return oov_rate(_t(spark, sf_dir, "documents"), v=16)
+
+
+@q("tx29_gopher_gates", """
+WITH s AS (SELECT source,
+                  list_filter(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+'),
+                              x -> x <> '') AS w,
+                  length(trim(text)) AS nc
+           FROM documents),
+g AS (SELECT source, nc, len(w) AS n,
+             len(list_filter(w,
+                 x -> regexp_matches(x, '^[a-z]+$'))) AS na,
+             len(list_intersect(list_distinct(w),
+                 ['the', 'a', 'of', 'to', 'and'])) AS ns
+      FROM s)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT (n >= 50 AND n <= 100000)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+       CAST(sum(CASE WHEN NOT (nc - (n - 1) >= 3 * n
+                               AND nc - (n - 1) <= 10 * n)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+       CAST(sum(CASE WHEN NOT (10 * na >= 8 * n)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+       CAST(sum(CASE WHEN NOT (ns >= 2)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+       CAST(sum(CASE WHEN (n >= 50 AND n <= 100000)
+                      AND (nc - (n - 1) >= 3 * n
+                           AND nc - (n - 1) <= 10 * n)
+                      AND (10 * na >= 8 * n) AND (ns >= 2)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM g GROUP BY 1
+""")
+def tx29_gopher_gates(spark, sf_dir):
+    """Gopher (MassiveText) rule-based filter breakdown per source:
+    per-rule kill counts + survivors — the threshold-tuning view a
+    blended score (tx2) cannot give (word-length kills = OCR garbage;
+    stop-word kills = non-English leakage). All-integer outputs, one
+    let-bound fold per row, one group-cardinality rollup.
+    See operators/langmodel.gopher_gates."""
+    from crawler_spark.operators.langmodel import gopher_gates
+    return gopher_gates(_t(spark, sf_dir, "documents"))
+
+
+@q("ks10_bloom_fpr", """
+WITH keys AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS key
+              FROM events WHERE user_id % 2 = 0),
+cand AS (SELECT DISTINCT 'c' || CAST(user_id AS VARCHAR) AS key
+         FROM events),
+absent AS (SELECT key FROM cand
+           WHERE key NOT IN (SELECT key FROM keys)),
+pos AS (SELECT DISTINCT
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || key),
+                               1, 8))::BIGINT % 1024 AS pos
+        FROM keys CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t),
+cp AS (SELECT key,
+              ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || key),
+                              1, 8))::BIGINT % 1024 AS cpos
+       FROM absent CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t),
+probe AS (SELECT cp.key,
+                 sum(CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   AS hits
+          FROM cp LEFT JOIN pos p ON p.pos = cp.cpos GROUP BY 1),
+stats AS (SELECT count(*) AS n_absent,
+                 sum(CASE WHEN hits = 4 THEN 1 ELSE 0 END) AS n_fp
+          FROM probe),
+nk AS (SELECT count(*) AS n FROM keys),
+nb AS (SELECT count(*) AS b FROM pos)
+SELECT CAST(nk.n AS BIGINT) AS n_keys,
+       CAST(nb.b AS BIGINT) AS n_bits_set,
+       CAST(stats.n_absent AS BIGINT) AS n_absent,
+       CAST(stats.n_fp AS BIGINT) AS n_false_pos,
+       round(stats.n_fp * 1.0 / stats.n_absent, 4) AS fpr_measured,
+       round(power(1 - power(1 - 1.0 / 1024, 4 * nk.n), 4), 4)
+         AS fpr_theory
+FROM nk CROSS JOIN nb CROSS JOIN stats
+""")
+def ks10_bloom_fpr(spark, sf_dir):
+    """Bloom FPR calibration on the events key space: filter built from
+    even user ids ('u' namespace), probed with an entirely-absent 'c'
+    namespace — measured false-positive rate vs the analytic
+    (1-(1-1/m)^(kn))^k, the capacity check run before sizing the A5
+    URL-seen prefilter (every false positive costs a shuffled lookup
+    downstream). Same md5 bit-position family as ks6, so the false
+    positives THEMSELVES are cross-engine identical.
+    See operators/sketches.bloom_fpr_audit."""
+    from crawler_spark.operators.sketches import bloom_fpr_audit
+    e = _t(spark, sf_dir, "events")
+    keys = (e.where(F.col("user_id") % 2 == 0)
+            .select(F.concat(F.lit("u"), F.col("user_id").cast("string"))
+                    .alias("key")))
+    cand = e.select(F.concat(F.lit("c"), F.col("user_id").cast("string"))
+                    .alias("key"))
+    return bloom_fpr_audit(keys, cand, m=1024, k=4)

@@ -201,3 +201,29 @@ def test_average_precision_perfect_ranking_is_one(spark):
                                F.col("y") == 1).collect()[0]
     assert ap_good["avg_precision"] == 1.0
     assert ap_bad["avg_precision"] < ap_good["avg_precision"]
+
+
+def test_gopher_gates_each_rule_fires_independently(spark):
+    """Four crafted docs each violate exactly one rule; a fifth passes
+    all of them — per-rule counters attribute correctly."""
+    from crawler_spark.operators.langmodel import gopher_gates
+    good_words = ("the quick brown fox and seven dogs ran over a hill "
+                  * 6).split()          # 60 words, mean wl ~4, has the/a/and
+    good = " ".join(good_words)
+    short = "the a short one"                        # < 50 words
+    # mean word length < 3: 60 one-char words plus stops
+    tiny_words = " ".join(["a"] * 58 + ["the", "a"])
+    # >20% non-alpha words; length, mean word length, and stops all fine
+    nonalpha = " ".join(["the", "a"] + ["x9df"] * 28 + ["okay"] * 30)
+    nostops = " ".join(["alpha", "beta", "gamma", "delta"] * 15)
+    rows = [(1, good), (2, short), (3, tiny_words), (4, nonalpha),
+            (5, nostops)]
+    d = spark.createDataFrame([(i, t, "s") for i, t in rows],
+                              "doc_id long, text string, source string")
+    r = gopher_gates(d).collect()[0]
+    assert r["n_docs"] == 5
+    assert r["n_fail_len"] == 1          # doc 2
+    assert r["n_fail_wordlen"] == 1      # doc 3
+    assert r["n_fail_alpha"] == 1        # doc 4
+    assert r["n_fail_stop"] == 1         # doc 5
+    assert r["n_keep"] == 1              # doc 1

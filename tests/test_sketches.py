@@ -310,3 +310,38 @@ def test_ams_f2_single_hot_key(spark):
     got = ams_f2(df, F.col("user_id")).collect()[0]
     assert got["true_f2"] == 900
     assert got["est_f2"] == 900.0 and got["rel_err"] == 0.0
+
+
+def test_bloom_fpr_audit_sound_and_measured(spark):
+    """Soundness: present keys never count as absent (the anti-join
+    gate), a saturated filter reports fpr 1.0, and a huge empty-ish
+    filter reports ~0 with theory agreeing."""
+    from crawler_spark.operators.sketches import bloom_fpr_audit
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)],
+                                 "key string")
+    # candidates overlap keys: overlapping ones must be EXCLUDED
+    cand = spark.createDataFrame(
+        [(f"k{i}",) for i in range(25)] + [(f"x{i}",) for i in range(40)],
+        "key string")
+    r = bloom_fpr_audit(keys, cand, m=8, k=2).collect()[0]   # saturated
+    assert r["n_keys"] == 50 and r["n_absent"] == 40
+    assert r["n_bits_set"] <= 8
+    assert r["fpr_measured"] == 1.0 and r["fpr_theory"] > 0.99
+    big = bloom_fpr_audit(keys, cand, m=65536, k=4).collect()[0]
+    assert big["fpr_measured"] <= 0.01 and big["fpr_theory"] < 0.001
+
+
+def test_bloom_fpr_audit_counts_match_membership_twin(spark):
+    """The audit's false-positive count equals summing ks6's per-row
+    false_positive flags over the same absent set — one algebra, two
+    views."""
+    from crawler_spark.operators.sketches import (
+        bloom_fpr_audit, bloom_membership)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(30)],
+                                 "key string")
+    cand = spark.createDataFrame([(f"z{i}",) for i in range(60)],
+                                 "key string")
+    audit = bloom_fpr_audit(keys, cand, m=256, k=3).collect()[0]
+    mem = bloom_membership(keys, cand, m=256, k=3)
+    n_fp = mem.agg(F.sum("false_positive")).collect()[0][0]
+    assert audit["n_false_pos"] == n_fp and audit["n_absent"] == 60

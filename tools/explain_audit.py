@@ -856,6 +856,17 @@ CHECKS = {
     "tk4_oov_rate": (["TakeOrderedAndProject", "BroadcastHashJoin"],
                      ["SortMergeJoin", "CartesianProduct",
                       "BatchEvalPython", "ArrowEvalPython"]),
+    # Gopher gates: one let-bound fold per row + one group-cardinality
+    # rollup; integer-only outputs, no joins, no windows, no Python
+    "tx29_gopher_gates": (["HashAggregate"],
+                          ["Window", "SortMergeJoin", "CartesianProduct",
+                           "BatchEvalPython", "ArrowEvalPython"]),
+    # Bloom FPR audit: bit-set + anti-join + broadcast probe, scalar
+    # rollups ride broadcast nested-loop (1-row frames) — forbid SMJ
+    # and Python
+    "ks10_bloom_fpr": (["BroadcastHashJoin"],
+                       ["SortMergeJoin",
+                        "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
