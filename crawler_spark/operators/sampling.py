@@ -555,3 +555,45 @@ def rag_chunk_spans(docs: DataFrame, text_col: str = "text",
         F.col("_st").cast("int").alias("start_word"),
         F.size(sl).cast("int").alias("n_words"),
         F.md5(F.array_join(sl, " ")).alias("chunk_md5"))
+
+
+def dataset_card(docs: DataFrame, score, fp,
+                 dims: tuple[str, str] = ("source", "lang"),
+                 text_col: str = "text", scale: int = 1000) -> DataFrame:
+    """Materialized "dataset card": the per-slice statistics table every
+    training-data release ships (docs, word/token volume, exact-dup
+    rate, mean quality) at EVERY granularity of the dims hierarchy —
+    (source, lang), (source), corpus total — in ONE pass via GROUP BY
+    ROLLUP (one Expand + partial/final agg, one shuffle; three separate
+    scans is the anti-pattern at 100 TB).
+
+    `score` is the quality column expression (integerized once to
+    floor(score*scale) so slice means are exact-BIGINT sums down to one
+    division); `fp` the exact-dup fingerprint expression (dd1/dd2's
+    md5-of-normalized-text) — dup flags come from ONE
+    fingerprint-cardinality groupBy joined back, so a document counts
+    as duplicated in every slice containing it. Null grouping keys are
+    sentineled '(all)' (the st5 convention: the driver's comparator
+    cannot sort None against str)."""
+    d = docs.select(
+        *dims,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("_nw"),
+        F.length(F.col(text_col)).cast("long").alias("_nc"),
+        F.floor(score * scale).cast("long").alias("_sm"),
+        fp.alias("_fp"))
+    fpc = (d.groupBy("_fp").agg(F.count(F.lit(1)).alias("_fn")))
+    j = d.join(fpc, "_fp").withColumn(
+        "_dup", F.when(F.col("_fn") > 1, 1).otherwise(0))
+    return (j.rollup(*dims)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_nw").cast("long").alias("n_words"),
+                 F.sum("_nc").cast("long").alias("n_chars"),
+                 F.sum("_dup").cast("long").alias("n_dup_docs"),
+                 F.round(F.sum("_sm") / (F.count(F.lit(1))
+                                         * float(scale)), 4)
+                 .alias("mean_quality"))
+            .select(*[F.coalesce(F.col(c), F.lit("(all)")).alias(c)
+                      for c in dims],
+                    "n_docs", "n_words", "n_chars", "n_dup_docs",
+                    "mean_quality"))

@@ -8572,3 +8572,39 @@ def ks10_bloom_fpr(spark, sf_dir):
     cand = e.select(F.concat(F.lit("c"), F.col("user_id").cast("string"))
                     .alias("key"))
     return bloom_fpr_audit(keys, cand, m=1024, k=4)
+
+
+@q("px15_dataset_card", f"""
+WITH d AS (SELECT source, lang,
+                  CAST({_NW} AS BIGINT) AS nw,
+                  CAST(length(text) AS BIGINT) AS nc,
+                  CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS sm,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                    AS fp
+           FROM documents),
+fpc AS (SELECT fp, count(*) AS fn FROM d GROUP BY 1),
+j AS (SELECT d.*, CASE WHEN fpc.fn > 1 THEN 1 ELSE 0 END AS dup
+      FROM d JOIN fpc USING (fp))
+SELECT COALESCE(source, '(all)') AS source,
+       COALESCE(lang, '(all)') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+       round(sum(sm) / (count(*) * 1000.0), 4) AS mean_quality
+FROM j GROUP BY ROLLUP(source, lang)
+""")
+def px15_dataset_card(spark, sf_dir):
+    """Dataset card: the per-slice release statistics (docs, words,
+    chars, exact-dup count, mean quality) at every granularity of
+    source -> lang plus the corpus total, in ONE ROLLUP pass (one
+    Expand + one shuffle — not three scans). Dup flags from one
+    fingerprint-cardinality groupBy joined back; quality integerized so
+    slice means are exact sums to one division; null keys sentineled
+    '(all)' (st5 convention). See operators/sampling.dataset_card."""
+    from crawler_spark.functions.text import quality_score_col
+    from crawler_spark.operators.sampling import dataset_card
+    from crawler_spark.operators.textdedup import fingerprint_col
+    d = _t(spark, sf_dir, "documents")
+    return dataset_card(d, score=quality_score_col(F.col("text")),
+                        fp=fingerprint_col(F.col("text")))

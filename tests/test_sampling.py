@@ -419,3 +419,31 @@ def test_pack_sequences_environment_invariant(spark):
         for k, v in saved.items():
             if v is not None:
                 conf.set(k, v)
+
+
+def test_dataset_card_rollup_levels_consistent(spark):
+    """The (source, lang) rows sum to their (source) row, which sums to
+    the corpus total; dup flags count per-document at every level."""
+    from crawler_spark.operators.sampling import dataset_card
+    from crawler_spark.operators.textdedup import fingerprint_col
+    rows = [(1, "one two three", "en", "sA"),
+            (2, "one two three", "en", "sA"),     # exact dup of 1
+            (3, "quatre cinq", "fr", "sA"),
+            (4, "five six seven eight", "en", "sB")]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {(r["source"], r["lang"]): r for r in dataset_card(
+        d, score=F.lit(0.5), fp=fingerprint_col(F.col("text"))).collect()}
+    total = out[("(all)", "(all)")]
+    assert total["n_docs"] == 4 and total["n_dup_docs"] == 2
+    sa = out[("sA", "(all)")]
+    assert sa["n_docs"] == 3 and sa["n_dup_docs"] == 2
+    assert out[("sA", "en")]["n_docs"] == 2
+    assert out[("sA", "fr")]["n_dup_docs"] == 0
+    # word sums roll up exactly
+    assert (out[("sA", "en")]["n_words"] + out[("sA", "fr")]["n_words"]
+            == sa["n_words"])
+    assert sa["n_words"] + out[("sB", "(all)")]["n_words"] \
+        == total["n_words"]
+    # integerized quality mean: constant 0.5 everywhere
+    assert all(r["mean_quality"] == 0.5 for r in out.values())

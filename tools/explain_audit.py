@@ -867,6 +867,11 @@ CHECKS = {
     "ks10_bloom_fpr": (["BroadcastHashJoin"],
                        ["SortMergeJoin",
                         "BatchEvalPython", "ArrowEvalPython"]),
+    # dataset card: ONE Expand (rollup) + partial/final agg; the dup
+    # join shuffles on fingerprint; no windows, no Python
+    "px15_dataset_card": (["Expand", "HashAggregate"],
+                          ["Window", "CartesianProduct",
+                           "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 def plan_text(df) -> str:
