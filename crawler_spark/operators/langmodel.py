@@ -257,8 +257,14 @@ def average_precision(df: DataFrame, score: Column, label: Column,
     from crawler_spark.operators.sampling import global_rank
 
     sm = F.floor(score * scale).cast("long")
+    # Materialize the 3-column projection ONCE: global_rank fans its
+    # input into several plan branches (block sampling, local rank,
+    # offset counts), and Catalyst re-evaluates the caller's `score`
+    # expression — often a heavy let-bound fold — in every branch
+    # (NOTES fact #1). Measured 12.7s -> ~2s at sf0.1 on the tx2 score.
     base = df.select(F.col(id_col).alias("_id"), sm.alias("_sm"),
-                     label.cast("int").alias("_y"))
+                     label.cast("int").alias("_y")) \
+             .localCheckpoint(eager=True)
     g = global_rank(base, [F.col("_sm"), F.col("_id")],
                     n_blocks=n_blocks, out_col="_gr",
                     desc=[True, False])
