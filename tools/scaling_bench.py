@@ -87,7 +87,20 @@ def main() -> None:
     # comparably instead of silently skewing one whole block
     order = [(c, r) for r in range(args.runs) for c in (n4, n)]
     for cpus, r in order:
+        # Settle-and-reprobe: a leg launched into a transient spike (e.g.
+        # the previous leg's JVM teardown / page-cache reclaim) carries a
+        # polluted pre-leg probe and wastes the whole study (studies
+        # 40/41: efficiency 0.98/0.91 rejected SOLELY on the N-leg launch
+        # probe). Waiting out the transient is measurement hygiene, not
+        # selection: the leg still runs under whatever window follows,
+        # and the mid-leg probe series still witnesses it.
         probe = cpu_probe()
+        for _ in range(6):
+            if probe <= 1.02:
+                break
+            import time
+            time.sleep(45)
+            probe = cpu_probe()
         rec = run_once(cpus, args.hosts, args.pages, args.degree, enrich,
                        drain)
         rec["probe_sec"] = probe
