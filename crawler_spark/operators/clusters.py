@@ -212,11 +212,14 @@ def ktruss_peel(edges: DataFrame, src: str = "src", dst: str = "dst",
     fixture converges inside `rounds`, production callers raise it.
 
     Scale shape (100 TB host graph): edges canonicalize once (least/
-    greatest + distinct); each round is one wedge self-join (both sides
-    hash on the shared smaller endpoint; degree-ordered orientation
-    bounds hub wedges exactly as g7), one partial-agged support rollup,
-    and one edge-keyed filter join; `localCheckpoint` cuts lineage per
-    round as every iterative operator here does."""
+    greatest + distinct); each round is one wedge self-join hashing on
+    the shared lesser endpoint, one partial-agged support rollup, and
+    one edge-keyed filter join; `localCheckpoint` cuts lineage per
+    round as every iterative operator here does. Caveat: orientation is
+    by node ID (least/greatest), not degree — a hub whose id sorts low
+    still generates O(deg^2) wedges, so unlike g7's degree-ordered
+    triangle count this does NOT bound per-key wedge fan-out; on a
+    skew-heavy graph pre-orient by (degree, id) before peeling."""
     e = (edges.select(F.least(src, dst).alias("u"),
                       F.greatest(src, dst).alias("v"))
          .where(F.col("u") != F.col("v")).distinct()

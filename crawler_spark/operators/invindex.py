@@ -142,26 +142,20 @@ def vocab_ids(index: DataFrame, n_parts: int = 8) -> DataFrame:
     content-stable).
 
     A naive row_number() over a global ORDER BY is one task; here the
-    total order comes from the px3 two-phase shape: repartitionByRange
-    on the sort key (range boundaries may land anywhere — ids depend
-    only on the TOTAL order, which (df desc, term) is, term being
-    unique), block-local row_number per range partition, then a
+    total order comes from the px3 two-phase shape (`global_rank`): a
+    pure monotone block id from driver-frozen boundary literals (NOT
+    repartitionByRange+spark_partition_id, whose runtime-sampled
+    boundaries can disagree between the local-rank and offset plan
+    branches — the st7-class race), block-local row_number, then a
     broadcast n_parts-row prefix-sum offset table. The only single-task
-    structure is that offset table."""
-    from pyspark.sql import Window
-    d = (index.repartitionByRange(n_parts, F.desc("df"), F.asc("term"))
-         .withColumn("_pid", F.spark_partition_id()))
-    w = Window.partitionBy("_pid").orderBy(F.desc("df"), F.asc("term"))
-    local = d.withColumn("_r", F.row_number().over(w) - 1)
-    wo = (Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    offs = (local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-            .withColumn("_off", F.coalesce(F.sum("_n").over(wo),
-                                           F.lit(0).cast("long"))))
-    return (local.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
-            .select("term", "df",
-                    (F.col("_r") + F.col("_off")).cast("long")
-                    .alias("term_id")))
+    structure is that offset table. (df desc, term asc) is total — term
+    is unique — so ids are deterministic for any boundary placement."""
+    from crawler_spark.operators.sampling import global_rank
+    ranked = global_rank(index, [F.col("df"), F.col("term")],
+                         n_blocks=n_parts, out_col="_rn",
+                         desc=[True, False])
+    return ranked.select("term", "df",
+                         (F.col("_rn") - 1).cast("long").alias("term_id"))
 
 
 def postings_gap_stats(docs: DataFrame, doc_id: str = "doc_id",

@@ -220,7 +220,12 @@ def auc_ranksum(df: DataFrame, score: Column, label: Column,
     The single-partition window is by design: its input can never exceed
     scale+1 rows regardless of corpus size."""
     sm = F.floor(score * scale).cast("long")
-    g = (df.select(sm.alias("sm"), label.cast("long").alias("_y"))
+    # coalesce pins the NULL-label convention to the oracle's CASE
+    # semantics (NULL -> 0 = negative): without it a group of all-NULL
+    # labels yields cp=NULL and sum(c-cp) silently drops its rows from
+    # n_neg while DuckDB counts them.
+    g = (df.select(sm.alias("sm"),
+                   F.coalesce(label.cast("long"), F.lit(0)).alias("_y"))
          .groupBy("sm")
          .agg(F.count(F.lit(1)).alias("c"), F.sum("_y").alias("cp")))
     w = Window.orderBy("sm").rowsBetween(Window.unboundedPreceding, -1)
@@ -293,7 +298,9 @@ def gopher_gates(docs: DataFrame, by_col: str = "source",
     Rules (the fixture-computable core of the paper's list):
       len:    50 <= word count <= 100,000
       wlen:   mean word length in [3, 10] — integerized as
-              3n <= chars-(n-1) <= 10n, exact on both engines
+              3n <= sum(len(word)) <= 10n over the word array itself
+              (NOT inferred from length(trim(text)), which inflates
+              under whitespace runs), exact on both engines
       alpha:  >= 80% of words contain only alphabetic chars
               (10*n_alpha >= 8*n — no division)
       stop:   >= 2 distinct stop words present
@@ -313,13 +320,21 @@ def gopher_gates(docs: DataFrame, by_col: str = "source",
             .alias("na"),
             F.size(F.array_intersect(
                 F.array_distinct(wa),
-                F.array(*[F.lit(s) for s in GOPHER_STOPS]))).alias("ns"))
+                F.array(*[F.lit(s) for s in GOPHER_STOPS]))).alias("ns"),
+            # summed word lengths from the word array itself — NOT
+            # length(trim(text)) - (n-1), which over-counts whenever
+            # words are separated by runs of spaces/newlines/tabs
+            # (ubiquitous in crawl text) and misclassifies docs against
+            # Rae et al.'s mean-word-length band (r4 ADVICE).
+            F.aggregate(wa, F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x).cast("long"))
+            .alias("wl"))
 
     st = F.element_at(F.transform(F.array(w), gates), 1)
     d = docs.select(F.col(by_col).alias("grp"), nc.alias("nc"),
                     st.alias("g"))
     n, na, ns = F.col("g.n"), F.col("g.na"), F.col("g.ns")
-    chars = F.col("nc") - (n - 1)
+    chars = F.col("g.wl")
     fail_len = ~((n >= 50) & (n <= 100000))
     fail_wl = ~((chars >= 3 * n) & (chars <= 10 * n))
     fail_alpha = ~(10 * na >= 8 * n)

@@ -171,15 +171,21 @@ def waterfill_allocations(demands: DataFrame, budget: int,
     deterministic and engine-exact.
 
     Scale shape: the global (rank, prefix-sum) pair comes from the
-    pack_sequences/global_rank two-phase idiom — range-partition by
-    (demand, host), block-local row_number + exclusive cumsum, one
-    <= n_blocks-row offset table cumsum'd on a single tiny task and
-    broadcast back. The two scalar rollups (n; nfull/cumfull) broadcast
-    1-row tables. No global single-task window over the host table."""
+    pack_sequences/global_rank two-phase idiom — a PURE monotone block
+    id from driver-frozen boundary literals (`_det_block_expr`; not
+    repartitionByRange+spark_partition_id, whose runtime-sampled
+    boundaries can differ between the local-rank and block-offset plan
+    branches — the st7-class race), block-local row_number + exclusive
+    cumsum, one <= n_blocks-row offset table cumsum'd on a single tiny
+    task and broadcast back. The two scalar rollups (n; nfull/cumfull)
+    broadcast 1-row tables. No global single-task window over the host
+    table."""
+    from crawler_spark.operators.sampling import _det_block_expr
+
     order = [F.col(demand).asc(), F.col(host).asc()]
-    blocked = (demands.repartitionByRange(n_blocks, *order)
-               .withColumn("_blk", F.spark_partition_id())
-               .localCheckpoint(eager=False))
+    blocked = demands.withColumn(
+        "_blk", _det_block_expr(demands, [F.col(demand), F.col(host)],
+                                n_blocks))
     w_loc = Window.partitionBy("_blk").orderBy(*order)
     local = (blocked
              .withColumn("_lrn", (F.row_number().over(w_loc) - 1)

@@ -437,6 +437,11 @@ def ams_f2(df: DataFrame, key: Column, n_est: int = 16,
     makes it a streaming/partitioned-scan citizen."""
     if n_est % n_groups:
         raise ValueError("n_est must be divisible by n_groups")
+    if n_groups % 2:
+        # the median-of-means below averages elements g//2 and g//2+1,
+        # which is a median only for EVEN group counts — enforce the
+        # documented contract instead of silently averaging a wrong pair.
+        raise ValueError("n_groups must be even")
     m = n_est // n_groups
     key_s = key.cast("string")
     signs = [F.when(F.substring(F.md5(F.concat(key_s, F.lit(f"|{r}"))),

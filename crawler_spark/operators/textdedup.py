@@ -130,7 +130,10 @@ def lsh_band_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     the LSH, truth, and signature paths — otherwise this function would
     re-derive the full shingle pass).
     """
-    assert n_perm % band_size == 0
+    if n_perm % band_size:
+        # not an assert: -O strips asserts and a bad band_size would
+        # then silently build malformed band keys.
+        raise ValueError("n_perm must be divisible by band_size")
     n_bands = n_perm // band_size
     # Materialize the shingle array in its OWN projection: Catalyst does not
     # common-subexpression-eliminate the (large) gram-builder expression
@@ -726,7 +729,10 @@ def fuzzy_decontaminate(docs: DataFrame, is_eval: Column,
     never shuffle. Verify volume is |hits| (eval-bounded), shipping full
     shingle arrays only for docs that hit. Same minhash family as dd3
     (md5 hex-min), so signatures are cross-engine bit-exact."""
-    assert n_perm % band_size == 0
+    if n_perm % band_size:
+        # not an assert: -O strips asserts and a bad band_size would
+        # then silently build malformed band keys.
+        raise ValueError("n_perm must be divisible by band_size")
     n_bands = n_perm // band_size
     sh = docs.select(F.col(id_col).alias("doc_id"), is_eval.alias("_ev"),
                      shingles_col(F.col(text_col), shingle_n).alias("sh")) \

@@ -47,11 +47,22 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
-# Query names pinned to the FRONT of the export order: the round-3 driver
-# gate flagged these two (hash_match=false, the pack_sequences sampled-
-# blocking race, fixed round 4 via _det_block_expr) — they must be in the
-# driver's next ~50-query sample so CORRECTNESS_r04 re-verifies the fix.
-_DRIVER_PRIORITY = ("px3_sequence_pack", "mm4_multimodal_pack")
+# Query names pinned to the FRONT of the export order. Round 5: the whole
+# pack/prefix family that was hash-red in CORRECTNESS_r03/r04 — root cause
+# found this round (the ORACLE side: DuckDB SUM(BIGINT) returns HUGEINT,
+# whose fetchdf()/arrow() materializations are float64/decimal128 and
+# hash-diverge from Spark's int64 under a type-sensitive canonicalization;
+# fixed with ::BIGINT casts, regression-gated by tests/test_oracle_types.py)
+# — plus st7 (whose late_data_flags carried the genuine plan-branch
+# blocking race, ported to _det_block_expr this round) and two
+# decomposition probes that localize any residual divergence:
+# px3a (in-SQL integer checksum — removes the driver's hasher from the
+# equation entirely) and px3c (same oracle as px3, Spark side the naive
+# single-window prefix — distinguishes pack_sequences vs window semantics).
+_DRIVER_PRIORITY = ("px3_sequence_pack", "mm4_multimodal_pack",
+                    "px9_bpe_pack", "px10_loss_mask",
+                    "st7_arrival_lag_quantiles",
+                    "px3a_pack_checksum", "px3c_pack_naive_window")
 
 # Query names that already carry a committed driver-correctness row
 # (CORRECTNESS_r02.json + the 48 green rows of CORRECTNESS_r03.json). The
@@ -101,8 +112,31 @@ _DRIVER_COVERED_R02 = frozenset({
 })
 
 
+# CORRECTNESS_r04's 45 green rows (standing rotation rule: refresh each
+# round so the driver's ~50-row snapshot keeps sampling never-checked
+# names and cumulative driver coverage grows).
+_DRIVER_COVERED_R04 = frozenset({
+    "a8_cohort_retention", "an7_pq_encode", "an8_adc_search",
+    "dd14_minhash_estimate", "dd15_cdc_chunks", "dd16_lsh_band_planner",
+    "f10_url_alias_rules", "g10_reciprocal_links", "g11_opic",
+    "g12_personalized_pagerank", "g13_bowtie", "g14_lpa_communities",
+    "g17_salsa", "g18_harmonic_centrality", "g19_effective_diameter",
+    "g20_cocitation", "g9_kcore", "ix1_inverted_index",
+    "ix2_conjunctive_search", "ix3_phrase_search", "ix4_vocab_ids",
+    "km1_ivf_codebook", "ks4_hll_distinct", "ks5_theta_setops",
+    "ks6_bloom_membership", "mm9_clip_gate", "p6_json_props",
+    "px8_epoch_shuffle", "rc5_lastmod_priority", "rc6_adaptive_delay",
+    "rc7_revalidation", "st8_ewma_rate", "st9_funnel", "tk1_bpe_train",
+    "tk2_bpe_encode", "tk3_fertility", "tx13_ttr_hapax",
+    "tx15_perplexity_buckets", "tx16_dsir", "tx17_perceptron_quality",
+    "tx19_zipf_slope", "tx20_vocab_growth", "wc2_cdx_index",
+    "wc3_warc_revisit", "wc4_wet_extract",
+})
+
+
 def _export_order(names) -> list[str]:
-    covered = _DRIVER_COVERED_R02 | _DRIVER_COVERED_R03
+    covered = (_DRIVER_COVERED_R02 | _DRIVER_COVERED_R03
+               | _DRIVER_COVERED_R04)
     pri = [n for n in _DRIVER_PRIORITY if n in names]
     new = [n for n in names
            if n not in covered and n not in _DRIVER_PRIORITY]
@@ -2113,13 +2147,19 @@ _PX3_SQL = f"""
 WITH t AS (SELECT doc_id, {_TX3_TOKENS} AS n_tokens FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
+         -- ::BIGINT is load-bearing: DuckDB SUM(BIGINT) returns HUGEINT
+         -- (int128), which materializes as float64 via fetchdf() and
+         -- decimal128 via .arrow() — hash-divergent from Spark's int64
+         -- under any type-sensitive canonicalization even though
+         -- fetchall() happens to return Python int (the r3/r4
+         -- driver-gate red on this family; NOTES round-5 log).
          COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS prev_tokens
+                  0)::BIGINT AS prev_tokens
   FROM t)
 SELECT doc_id, n_tokens, prev_tokens,
-       prev_tokens // 1024 AS seq_id,
-       prev_tokens % 1024 AS seq_offset
+       (prev_tokens // 1024)::BIGINT AS seq_id,
+       (prev_tokens % 1024)::BIGINT AS seq_offset
 FROM c
 """
 
@@ -2142,6 +2182,77 @@ def px3_sequence_pack(spark, sf_dir):
                           budget=1024, n_blocks=8)
 
 
+_PX3A_SQL = f"""
+WITH t AS (SELECT doc_id, {_TX3_TOKENS} AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS prev_tokens
+  FROM t),
+p AS (SELECT doc_id, n_tokens, prev_tokens,
+             (prev_tokens // 1024)::BIGINT AS seq_id,
+             (prev_tokens % 1024)::BIGINT AS seq_offset
+      FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000003)
+                * ((prev_tokens % 1000003) + 31 * (seq_id % 1000003)
+                   + 961 * seq_offset + n_tokens)) AS BIGINT) AS checksum
+FROM p
+"""
+
+
+@q("px3a_pack_checksum", _PX3A_SQL)
+def px3a_pack_checksum(spark, sf_dir):
+    """Driver-gate decomposition probe for the pack family (round-5
+    VERDICT item 1e): BOTH engines reduce the full px3 result to ONE
+    all-BIGINT checksum row IN-SQL, so the driver's own row
+    canonicalization/hashing machinery is removed from the comparison
+    entirely. If px3 is red while this is green, the divergence is in
+    result materialization/canonicalization, not in the computed values;
+    if both are red, the values themselves diverge. The checksum is an
+    order-independent content-keyed weighted sum in exact int64 range
+    (coin < 2^20, inner < 2^25, 500 rows)."""
+    from crawler_spark.functions.text import token_count_col
+    from crawler_spark.operators.sampling import pack_sequences
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    p = pack_sequences(t, "n_tokens", order_col="doc_id",
+                       budget=1024, n_blocks=8)
+    coin = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 8), 16, 10)
+            .cast("long") % 1000003)
+    contrib = coin * ((F.col("prev_tokens") % 1000003)
+                      + 31 * (F.col("seq_id") % 1000003)
+                      + 961 * F.col("seq_offset") + F.col("n_tokens"))
+    return p.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(contrib).cast("long").alias("checksum"))
+
+
+@q("px3c_pack_naive_window", _PX3_SQL)
+def px3c_pack_naive_window(spark, sf_dir):
+    """Driver-gate decomposition probe (round-5 VERDICT item 1c): the
+    same oracle as px3, but the Spark side is the NAIVE single global
+    window prefix sum — the correct-but-single-task twin of
+    pack_sequences. If px3 is red while this is green, the divergence is
+    inside the two-phase distributed prefix; if both share px3's fate,
+    pack_sequences is exonerated and the divergence is in the shared
+    token counting or the comparison layer. NOT a scale shape — probe
+    only (the production path is pack_sequences)."""
+    from crawler_spark.functions.text import token_count_col
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (t.withColumn("prev_tokens", prev)
+            .withColumn("seq_id",
+                        F.floor(F.col("prev_tokens") / 1024).cast("long"))
+            .withColumn("seq_offset",
+                        (F.col("prev_tokens") % 1024).cast("long")))
+
+
 _MM4_MEDIA_TOKENS = 64     # fixed per-image placeholder cost (LLaVA-style)
 _MM4_BUDGET = 2048
 
@@ -2162,11 +2273,11 @@ t AS (SELECT doc_id, text_tokens, media_tokens,
 c AS (
   SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-            0) AS prev_tokens
+            0)::BIGINT AS prev_tokens
   FROM t)
 SELECT doc_id, text_tokens, media_tokens, n_tokens, prev_tokens,
-       prev_tokens // {_MM4_BUDGET} AS seq_id,
-       prev_tokens % {_MM4_BUDGET} AS seq_offset
+       (prev_tokens // {_MM4_BUDGET})::BIGINT AS seq_id,
+       (prev_tokens % {_MM4_BUDGET})::BIGINT AS seq_offset
 FROM c
 """
 
@@ -4985,11 +5096,11 @@ c AS (
   SELECT doc_id, n_bpe_tokens,
          COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS prev_tokens
+                  0)::BIGINT AS prev_tokens
   FROM t)
 SELECT doc_id, n_bpe_tokens, prev_tokens,
-       prev_tokens // 512 AS seq_id,
-       prev_tokens % 512 AS seq_offset
+       (prev_tokens // 512)::BIGINT AS seq_id,
+       (prev_tokens % 512)::BIGINT AS seq_offset
 FROM c
 """)
 def px9_bpe_pack(spark, sf_dir):
@@ -5019,10 +5130,11 @@ FROM idx
 def ix4_vocab_ids(spark, sf_dir):
     """Dense tokenizer-vocabulary ids over the ix1 index (df desc, term
     asc — id 0 is the most common term, content-stable). The global
-    row_number comes from the px3 two-phase shape: repartitionByRange on
-    the sort key, block-local row_number, broadcast n_parts-row
-    prefix-sum offsets — never a single-task global window over the
-    vocabulary. See operators/invindex.vocab_ids."""
+    row_number is `global_rank`'s two-phase shape: a pure monotone block
+    id from driver-frozen boundary literals, block-local row_number,
+    broadcast n_parts-row prefix-sum offsets — never a single-task
+    global window over the vocabulary, and no plan-branch-racy
+    partition-id blocking. See operators/invindex.vocab_ids."""
     from crawler_spark.operators.invindex import build_index, vocab_ids
     return vocab_ids(build_index(_t(spark, sf_dir, "documents")),
                      n_parts=8)
@@ -5467,9 +5579,9 @@ t AS (SELECT doc_id, text_tokens + media_tokens AS n_tokens,
 c AS (
   SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-            0) AS prev_tokens
+            0)::BIGINT AS prev_tokens
   FROM t),
-p AS (SELECT *, prev_tokens // {_MM4_BUDGET} AS seq_id FROM c)
+p AS (SELECT *, (prev_tokens // {_MM4_BUDGET})::BIGINT AS seq_id FROM c)
 SELECT seq_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -8492,21 +8604,21 @@ g AS (SELECT source, nc, len(w) AS n,
              len(list_filter(w,
                  x -> regexp_matches(x, '^[a-z]+$'))) AS na,
              len(list_intersect(list_distinct(w),
-                 ['the', 'a', 'of', 'to', 'and'])) AS ns
+                 ['the', 'a', 'of', 'to', 'and'])) AS ns,
+             COALESCE(list_sum(list_transform(w, x -> length(x))),
+                      0)::BIGINT AS wl
       FROM s)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN NOT (n >= 50 AND n <= 100000)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
-       CAST(sum(CASE WHEN NOT (nc - (n - 1) >= 3 * n
-                               AND nc - (n - 1) <= 10 * n)
+       CAST(sum(CASE WHEN NOT (wl >= 3 * n AND wl <= 10 * n)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
        CAST(sum(CASE WHEN NOT (10 * na >= 8 * n)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
        CAST(sum(CASE WHEN NOT (ns >= 2)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
        CAST(sum(CASE WHEN (n >= 50 AND n <= 100000)
-                      AND (nc - (n - 1) >= 3 * n
-                           AND nc - (n - 1) <= 10 * n)
+                      AND (wl >= 3 * n AND wl <= 10 * n)
                       AND (10 * na >= 8 * n) AND (ns >= 2)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM g GROUP BY 1

@@ -85,22 +85,22 @@ def late_data_flags(events: DataFrame, ts_col: str = "ts",
     Scale shape: the exclusive running maximum over arrival order is the
     same global sequential dependency as sequence packing, and gets the
     same cure — a distributed prefix MAX, not one global window task:
-    block-local exclusive cummax over range-partitioned arrival blocks,
-    plus an n_blocks-row broadcast table of exclusive block prefix
-    maxima. Identical output for any monotone blocking."""
+    block-local exclusive cummax over monotone arrival blocks, plus an
+    n_blocks-row broadcast table of exclusive block prefix maxima.
+    Identical output for any monotone blocking. The block id is a PURE
+    map-side expression against driver-frozen boundary literals
+    (`_det_block_expr`) — NOT repartitionByRange+spark_partition_id,
+    whose runtime-sampled boundaries are not stable across the two plan
+    branches below (local cummax vs block offsets); a lazily-checkpointed
+    barrier narrows but does not close that race (the st7-class bug)."""
     from pyspark.sql import Window
 
+    from crawler_spark.operators.sampling import _det_block_expr
+
     t = F.unix_timestamp(F.col(ts_col)).cast("long")
-    # The checkpoint is a CORRECTNESS barrier, not just recompute
-    # avoidance: repartitionByRange SAMPLES its boundaries with a seed
-    # derived from the physical plan, and the local-rank and block-offset
-    # branches below are pruned differently — without one materialization
-    # the two branches can see DIFFERENT blockings (measured: 31-86 wrong
-    # rows per 10k), which silently corrupts the prefix.
-    blocked = (events.withColumn("_t", t)
-               .repartitionByRange(n_blocks, F.col(order_col))
-               .withColumn("_blk", F.spark_partition_id())
-               .localCheckpoint(eager=False))
+    base = events.withColumn("_t", t)
+    blocked = base.withColumn(
+        "_blk", _det_block_expr(base, [F.col(order_col)], n_blocks))
     w_loc = (Window.partitionBy("_blk").orderBy(order_col)
              .rowsBetween(Window.unboundedPreceding, -1))
     local = blocked.withColumn("_lmax", F.max("_t").over(w_loc))
