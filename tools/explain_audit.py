@@ -533,13 +533,24 @@ CHECKS = {
     "mm10_mime_sniff": (["[codegen id :"],
                         ["Exchange", "BatchEvalPython",
                          "ArrowEvalPython"]),
-    # water-filling: the rank/prefix-sum block windows live BELOW the
-    # lazy checkpoint boundary (the px3/global_rank idiom, audited in
-    # w6/px3's plans), so the returned plan shows the RDD scan + the
-    # 1-row scalar rollup + its broadcast cross join; no Python
+    # water-filling: rank/prefix-sum now from the pure-expression
+    # blocking (_det_block_expr, r5 port off the racy partition-id
+    # pattern); the full/cum projection still sits under one lazy
+    # checkpoint, so the returned plan shows the RDD scan + the 1-row
+    # scalar rollup + its broadcast cross join; no Python
     "w7_waterfill_budget": (["BroadcastNestedLoopJoin", "HashAggregate"],
                             ["BatchEvalPython", "ArrowEvalPython",
                              "CartesianProduct", "SortMergeJoin"]),
+    # pack-family checksum probe: px3's two-phase pack reduced to ONE
+    # all-BIGINT row by a final partial+final agg; same plan bans as px3
+    "px3a_pack_checksum": (["Window", "BroadcastHashJoin",
+                            "HashAggregate"],
+                           ["BatchEvalPython", "ArrowEvalPython",
+                            "CartesianProduct"]),
+    # naive-window probe: the single-task global window IS the point
+    # (diagnostic twin, not a production shape) — only ban Python
+    "px3c_pack_naive_window": (["Window"],
+                               ["BatchEvalPython", "ArrowEvalPython"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
