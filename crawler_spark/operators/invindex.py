@@ -440,3 +440,51 @@ def vsm_cosine(docs: DataFrame, terms: list[str], doc_id: str = "doc_id",
             .select(doc_id,
                     F.round(F.col("dot") / (F.col("dnorm") * F.col("qnorm")),
                             4).alias("cosine")))
+
+
+def wand_upper_bounds(docs: DataFrame, doc_id: str = "doc_id",
+                      text_col: str = "text",
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Per-term BM25 score upper bounds — the precomputed max-impact
+    table WAND / MaxScore dynamic pruning needs (Broder et al., CIKM
+    2003; Ding & Suel's Block-Max refinement): for every vocabulary
+    term, the maximum BM25 contribution any single posting can add to a
+    document's score. A query processor sums the query terms' bounds to
+    skip documents that cannot reach the current top-k threshold — the
+    difference between scoring every posting and scoring ~1% of them on
+    a web-scale index.
+
+    Output: (term, df, max_tf, ub_bm25) with ub_bm25 = idf(term) *
+    max over postings of tf(k1+1) / (tf + k1(1-b+b*dl/avgdl)). idf is
+    constant per term, so the max is taken over the idf-free per-posting
+    factor and multiplied once — both engines evaluate the identical
+    IEEE expression per posting, and MAX (unlike SUM) is order-exact, so
+    round(4) sits on bit-identical doubles.
+
+    Scale shape (100 TB): reuses the index build's (term, doc) partial-
+    agged tf shuffle; (n, avgdl) is a broadcast 1-row scalar; the bound
+    itself is a term-cardinality rollup — no postings ever re-shuffle
+    and nothing is ever sorted. Mergeable: per-split (df, max_tf, max_c)
+    combine by sum/max/max, so the table maintains incrementally as
+    index segments land."""
+    w = docs.select(F.col(doc_id).alias("doc_id"),
+                    tokens_col(F.col(text_col)).alias("w"))
+    g = w.agg(F.count(F.lit(1)).alias("n"),
+              F.avg(F.size("w")).alias("avgdl"))
+    tf = (w.select("doc_id", F.size("w").alias("dl"),
+                   F.explode("w").alias("term"))
+          .groupBy("term", "doc_id", "dl")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    c = (F.col("tf") * (k1 + 1.0)
+         / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl")
+                                / F.col("avgdl"))))
+    a = (tf.crossJoin(F.broadcast(g))
+         .groupBy("term")
+         .agg(F.count(F.lit(1)).cast("long").alias("df"),
+              F.max("tf").cast("long").alias("max_tf"),
+              F.max(c).alias("_maxc"),
+              F.max("n").alias("_n")))
+    idf = F.log(1.0 + (F.col("_n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    return a.select("term", "df", "max_tf",
+                    F.round(idf * F.col("_maxc"), 4).alias("ub_bm25"))

@@ -282,6 +282,97 @@ def average_precision(df: DataFrame, score: Column, label: Column,
         .alias("avg_precision"))
 
 
+def brier_decomposition(df: DataFrame, score: Column, label: Column,
+                        n_buckets: int = 10,
+                        scale: int = 1000) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the third leg
+    of the classifier-eval suite (a10 calibration / a11 discrimination /
+    a12 ranking): brier = reliability - resolution + uncertainty +
+    within-bucket variance, over the same `n_buckets` score bins as the
+    a10 reliability diagram. Reliability isolates miscalibration (how
+    far each bin's mean score sits from its observed positive rate),
+    resolution rewards bins that separate from the base rate, and
+    uncertainty is the irreducible base-rate term — the triage a quality
+    scorer needs before px4/tx8 trust it as a keep-probability (a bad
+    Brier from reliability is fixable by recalibration; one from
+    resolution is not). Classic Murphy assumes the score is constant
+    within a bin; with real (continuous) scores two correction terms
+    make the identity EXACT: the within-bucket score variance and twice
+    the within-bucket score-label covariance —
+
+        brier = reliability - resolution + uncertainty
+                + within_var - within_cov
+
+    (tests assert it to rounding tolerance on a fixture with non-trivial
+    within-bucket structure).
+
+    Hash-gate discipline: the score integerizes once (floor(score*scale),
+    the a10 bucket contract; NULL labels pin to 0 per the a11
+    convention); per-bucket (n, ssm, sy, ssq, sbr) are exact BIGINTs.
+    The cross-bucket reductions are sums of <= n_buckets doubles folded
+    in EXPLICIT bucket-ascending order (array_sort + aggregate here,
+    list(... ORDER BY) + list_reduce in the twin; IEEE left-folds from
+    identical per-bucket doubles are bit-identical, and 0.0 + x == x
+    seeds the two folds equally), so round(4) sits on bit-equal values.
+
+    Scale shape (100 TB): ONE partial-agged rollup at bucket cardinality
+    (<= n_buckets rows regardless of corpus size), a broadcast 1-row
+    scalar join onto that tiny table, and a <= n_buckets-element fold.
+    The corpus is touched exactly once, map-side."""
+    sm = F.floor(score * scale).cast("long")
+    y = F.coalesce(label.cast("long"), F.lit(0))
+    b = F.least(F.lit(n_buckets - 1),
+                F.floor((sm * n_buckets) / F.lit(float(scale)))) \
+         .cast("int")
+    bk = (df.select(b.alias("bucket"), sm.alias("_sm"), y.alias("_y"))
+          .groupBy("bucket")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("_sm").alias("ssm"),
+               F.sum("_y").alias("sy"),
+               F.sum(F.col("_sm") * F.col("_sm")).alias("ssq"),
+               F.sum((F.col("_sm") - scale * F.col("_y"))
+                     * (F.col("_sm") - scale * F.col("_y"))).alias("sbr"),
+               F.sum(F.col("_sm") * F.col("_y")).alias("ssmy")))
+    # global aliases avoid bk's per-bucket "n": Spark resolves column
+    # names case-insensitively, so "N" vs "n" would be AMBIGUOUS_REFERENCE
+    g = bk.agg(F.sum("n").alias("gn"), F.sum("sy").alias("gsy"),
+               F.sum("sbr").alias("gsbr"))
+    dd = (F.col("ssm") - scale * F.col("sy")).cast("double")
+    e = F.col("sy") / F.col("n") - F.col("gsy") / F.col("gn")
+    terms = (bk.crossJoin(F.broadcast(g))
+             .select("bucket", "gn", "gsy", "gsbr",
+                     (dd * dd / F.col("n")).alias("tk"),
+                     (e * e * F.col("n")).alias("rk"),
+                     (F.col("ssq")
+                      - F.col("ssm").cast("double") * F.col("ssm")
+                      / F.col("n")).alias("wk"),
+                     (F.col("ssmy")
+                      - F.col("ssm").cast("double") * F.col("sy")
+                      / F.col("n")).alias("ck")))
+
+    def _fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", col))),
+            F.lit(0.0), lambda acc, x: acc + x.getField(col))
+
+    agg = terms.groupBy("gn", "gsy", "gsbr").agg(
+        _fold("tk").alias("tt"), _fold("rk").alias("rr"),
+        _fold("wk").alias("ww"), _fold("ck").alias("cc"))
+    s2 = float(scale) * scale
+    return agg.select(
+        F.col("gn").cast("long").alias("n_docs"),
+        F.round(F.col("gsbr") / (F.col("gn") * s2), 4).alias("brier"),
+        F.round(F.col("tt") / (F.col("gn") * s2), 4).alias("reliability"),
+        F.round(F.col("rr") / F.col("gn"), 4).alias("resolution"),
+        F.round((F.col("gsy") / F.col("gn"))
+                * ((F.col("gn") - F.col("gsy")) / F.col("gn")), 4)
+        .alias("uncertainty"),
+        F.round(F.col("ww") / (F.col("gn") * s2), 4).alias("within_var"),
+        # covariance denominator is N*scale (one factor of p, one of y)
+        F.round(2.0 * F.col("cc") / (F.col("gn") * float(scale)), 4)
+        .alias("within_cov"))
+
+
 GOPHER_STOPS = ("the", "a", "of", "to", "and")
 
 

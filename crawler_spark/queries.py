@@ -8720,3 +8720,94 @@ def px15_dataset_card(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dataset_card(d, score=quality_score_col(F.col("text")),
                         fp=fingerprint_col(F.col("text")))
+
+
+@q("a13_brier_decomposition", f"""
+WITH s AS (SELECT CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS sm,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+bk AS (SELECT CAST(least(9, floor((sm * 10) / 1000.0)) AS INT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(sm) AS BIGINT) AS ssm,
+              CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(sm * sm) AS BIGINT) AS ssq,
+              CAST(sum((sm - 1000 * y) * (sm - 1000 * y)) AS BIGINT) AS sbr,
+              CAST(sum(sm * y) AS BIGINT) AS ssmy
+       FROM s GROUP BY 1),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS tsy,
+             CAST(sum(sbr) AS BIGINT) AS tsbr
+      FROM bk),
+t AS (SELECT bucket,
+             ((ssm - 1000 * sy) * 1.0) * ((ssm - 1000 * sy) * 1.0) / n AS tk,
+             (sy / n - g.tsy / g.nn) * (sy / n - g.tsy / g.nn) * n AS rk,
+             ssq - (ssm * 1.0) * ssm / n AS wk,
+             ssmy - (ssm * 1.0) * sy / n AS ck
+      FROM bk CROSS JOIN g),
+f AS (SELECT list_reduce(list(tk ORDER BY bucket), (a, b) -> a + b) AS tt,
+             list_reduce(list(rk ORDER BY bucket), (a, b) -> a + b) AS rr,
+             list_reduce(list(wk ORDER BY bucket), (a, b) -> a + b) AS ww,
+             list_reduce(list(ck ORDER BY bucket), (a, b) -> a + b) AS cc
+      FROM t)
+SELECT g.nn AS n_docs,
+       round(g.tsbr / (g.nn * 1000000.0), 4) AS brier,
+       round(f.tt / (g.nn * 1000000.0), 4) AS reliability,
+       round(f.rr / g.nn, 4) AS resolution,
+       round((g.tsy / g.nn) * ((g.nn - g.tsy) / g.nn), 4) AS uncertainty,
+       round(f.ww / (g.nn * 1000000.0), 4) AS within_var,
+       round(2.0 * f.cc / (g.nn * 1000.0), 4) AS within_cov
+FROM g CROSS JOIN f
+""")
+def a13_brier_decomposition(spark, sf_dir):
+    """Brier score + Murphy decomposition of the tx2 quality score
+    against the actually-English label (the a10 pairing): reliability /
+    resolution / uncertainty / within-bucket variance over the same 10
+    score bins — completing the classifier-eval suite (a10 calibration,
+    a11 AUC, a12 AP, a13 proper-scoring-rule decomposition), with the
+    two continuous-score correction terms that make the Murphy identity
+    exact (brier = rel - res + unc + within_var - within_cov). Exact
+    BIGINT bucket sums; the cross-bucket reductions are <=10-element
+    folds in pinned bucket order so both engines produce bit-identical
+    doubles under round(4). One bucket-cardinality rollup — corpus
+    touched once, map-side.
+    See operators/langmodel.brier_decomposition."""
+    from crawler_spark.functions.text import quality_score_col
+    from crawler_spark.operators.langmodel import brier_decomposition
+    d = _t(spark, sf_dir, "documents")
+    return brier_decomposition(
+        d, score=quality_score_col(F.col("text")),
+        label=(F.col("lang") == "en"))
+
+
+@q("ix14_wand_bounds", f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+'),
+                              t -> t <> '') AS w
+           FROM documents),
+g AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+tf AS (SELECT term, doc_id, dl, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+a AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(max(tf) AS BIGINT) AS max_tf,
+             max(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / g.avgdl)))
+               AS maxc,
+             max(g.n) AS n
+      FROM tf CROSS JOIN g GROUP BY term)
+SELECT term, df, max_tf,
+       round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * maxc, 4) AS ub_bm25
+FROM a
+""")
+def ix14_wand_bounds(spark, sf_dir):
+    """Per-term BM25 upper-bound table for WAND/MaxScore dynamic pruning
+    (Broder et al. 2003): for every vocabulary term, df, max per-doc tf,
+    and the maximum BM25 contribution one posting can add — the
+    precomputed impact bounds that let a query processor skip documents
+    provably below the top-k threshold (the retrieval-serving companion
+    to ix11's champion lists). idf is constant per term, so the max is
+    taken over the idf-free posting factor (MAX is order-exact on
+    bit-identical per-posting doubles, unlike SUM) and multiplied once.
+    Reuses the ix1 (term, doc) partial-agged tf shuffle + one
+    term-cardinality rollup; (n, avgdl) broadcasts.
+    See operators/invindex.wand_upper_bounds."""
+    from crawler_spark.operators.invindex import wand_upper_bounds
+    return wand_upper_bounds(_t(spark, sf_dir, "documents"))

@@ -268,3 +268,34 @@ def test_vsm_cosine_self_similarity_tops(spark):
         "doc_id long, text string")
     got = {r["doc_id"]: r["cosine"] for r in vsm_cosine(d, ["x", "y"]).collect()}
     assert got[1] > got[2] > got[3]
+
+
+def test_wand_bounds_dominate_every_posting(spark):
+    """The defining WAND property: every posting's actual BM25
+    contribution is <= its term's precomputed upper bound, and the
+    bound is attained by some posting."""
+    import math
+    from crawler_spark.operators.invindex import wand_upper_bounds
+    docs = [(1, "a b a c"), (2, "a a a a a b"), (3, "c d d"),
+            (4, "b c d a")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    ub = {r["term"]: r for r in wand_upper_bounds(d).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    contrib = {}
+    for i, ws in toks.items():
+        for t in set(ws):
+            tf = ws.count(t)
+            c = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+            dfc = sum(1 for w in toks.values() if t in w)
+            idf = math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+            contrib.setdefault(t, []).append(idf * c)
+    for t, cs in contrib.items():
+        assert ub[t]["df"] == len(cs)
+        # ub is round(·, 4): dominance and attainment hold to half an ulp
+        # of the rounding grid (Spark's HALF_UP vs Python's bankers can
+        # differ exactly on the grid, NOTES round-4 gotcha #1)
+        assert abs(max(cs) - ub[t]["ub_bm25"]) <= 5e-5, t
+        assert all(c <= ub[t]["ub_bm25"] + 5e-5 for c in cs)

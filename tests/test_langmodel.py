@@ -227,3 +227,60 @@ def test_gopher_gates_each_rule_fires_independently(spark):
     assert r["n_fail_alpha"] == 1        # doc 4
     assert r["n_fail_stop"] == 1         # doc 5
     assert r["n_keep"] == 1              # doc 1
+
+
+def test_brier_decomposition_identity_and_values(spark):
+    """brier == reliability - resolution + uncertainty + within_var
+    (exact for bucketed scores with the 4th term), and every component
+    matches a sequential Python computation on the integerized scores."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.langmodel import brier_decomposition
+
+    rows = [(i, ((i * 37) % 101) / 100.0, (i * 53) % 7 < 3)
+            for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, p double, y boolean")
+    out = brier_decomposition(d, F.col("p"), F.col("y")).collect()[0]
+
+    import math
+    sms = [(math.floor(p * 1000), 1 if y else 0) for _, p, y in rows]
+    n = len(sms)
+    ybar = sum(y for _, y in sms) / n
+    brier = sum((sm / 1000 - y) ** 2 for sm, y in sms) / n
+    buckets = {}
+    for sm, y in sms:
+        b = min(9, int((sm * 10) / 1000))
+        buckets.setdefault(b, []).append((sm, y))
+    rel = sum(len(v) * (sum(s for s, _ in v) / len(v) / 1000
+                        - sum(y for _, y in v) / len(v)) ** 2
+              for v in buckets.values()) / n
+    res = sum(len(v) * (sum(y for _, y in v) / len(v) - ybar) ** 2
+              for v in buckets.values()) / n
+    unc = ybar * (1 - ybar)
+    wv = sum(sum((s / 1000 - sum(x for x, _ in v) / len(v) / 1000) ** 2
+                 for s, _ in v) for v in buckets.values()) / n
+    wc = 2 * sum(sum((s / 1000 - sum(x for x, _ in v) / len(v) / 1000)
+                     * (y - sum(q for _, q in v) / len(v))
+                     for s, y in v) for v in buckets.values()) / n
+    assert out["n_docs"] == n
+    assert abs(out["brier"] - round(brier, 4)) <= 1e-9
+    assert abs(out["reliability"] - round(rel, 4)) <= 1e-4
+    assert abs(out["resolution"] - round(res, 4)) <= 1e-4
+    assert abs(out["uncertainty"] - round(unc, 4)) <= 1e-9
+    assert abs(out["within_var"] - round(wv, 4)) <= 1e-4
+    assert abs(out["within_cov"] - round(wc, 4)) <= 1e-4
+    # exact Murphy identity with both continuous-score correction terms;
+    # 6 rounded terms => up to 3e-4 of rounding slack
+    assert abs((out["reliability"] - out["resolution"] + out["uncertainty"]
+                + out["within_var"] - out["within_cov"])
+               - out["brier"]) <= 3e-4
+
+
+def test_brier_null_labels_count_as_negative(spark):
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.langmodel import brier_decomposition
+    d = spark.createDataFrame([(1, 0.9, True), (2, 0.8, None),
+                               (3, 0.1, False)],
+                              "doc_id long, p double, y boolean")
+    out = brier_decomposition(d, F.col("p"), F.col("y")).collect()[0]
+    # NULL -> 0: base rate is 1/3, not 1/2
+    assert out["uncertainty"] == round((1 / 3) * (2 / 3), 4)

@@ -551,6 +551,16 @@ CHECKS = {
     # (diagnostic twin, not a production shape) — only ban Python
     "px3c_pack_naive_window": (["Window"],
                                ["BatchEvalPython", "ArrowEvalPython"]),
+    # Brier decomposition: bucket-cardinality rollup (partial+final) +
+    # broadcast 1-row scalar; <=10-row fold — no corpus-wide join/sort
+    "a13_brier_decomposition": (["HashAggregate", "partial_count"],
+                                ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct", "SortMergeJoin"]),
+    # WAND bounds: (term, doc) partial-agged tf shuffle + term rollup;
+    # (n, avgdl) broadcast scalar; no Python, no cartesian
+    "ix14_wand_bounds": (["HashAggregate", "partial_count"],
+                         ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct", "SortMergeJoin"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
