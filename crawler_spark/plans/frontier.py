@@ -465,6 +465,21 @@ def run_crawl(spark: SparkSession, spec: CrawlJobSpec, fetcher,
                        "errors": int(r["errors"]), "bytes": int(r["bytes"])}
                       for r in agg],
         }
+        if spec.metrics_gini:
+            # S9 lifecycle integration of w10: the scheduler's equity
+            # signal (0 = even host allocation, ->1 = one host hogged the
+            # wave) ships with the wave's metrics row instead of living
+            # registry-only. Host-cardinality work; opt-in via spec.
+            from crawler_spark.operators.politeness import (
+                host_fairness_gini,
+            )
+            hc = parsed.groupBy("host").agg(
+                F.count(F.lit(1)).alias("fetched"))
+            grow = host_fairness_gini(hc, "host", "fetched").collect()[0]
+            wave_metrics["host_gini"] = (
+                None if grow["gini"] is None else float(grow["gini"]))
+            wave_metrics["hosts_fetched"] = int(grow["n"])
+            _mark("gini")
         run.metrics.append(wave_metrics)
 
         # --- §4.3 atomic snapshot commit. `seen` commits as a per-wave

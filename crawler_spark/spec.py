@@ -89,6 +89,14 @@ class CrawlJobSpec:
     stop_flag_path: str = ""             # existing file => graceful stop between
                                          # waves (the reference's "shutdown"
                                          # control message, src/rpc/client.rs:90-99)
+    metrics_gini: bool = False           # per-wave host-fairness Gini of the
+                                         # fetch allocation in wave_metrics
+                                         # (operators/politeness.
+                                         # host_fairness_gini). Opt-in: it
+                                         # adds a host-cardinality rank job
+                                         # per wave, which monitoring wants
+                                         # and the throughput headline
+                                         # doesn't pay for by default.
 
     ua_pool: tuple[str, ...] = (
         "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36",

@@ -148,3 +148,27 @@ def test_lazy_robots_cache_matches_oracle(spark, small_cfg):
     e_metrics = [(m["wave"], m["fetched"], m["new_links"]) for m in run.metrics]
     o_metrics = [(m["wave"], m["fetched"], m["new_links"]) for m in oracle.metrics]
     assert e_metrics == o_metrics
+
+
+def test_metrics_gini_opt_in(spark, small_cfg):
+    """spec.metrics_gini=True ships the w10 host-fairness signal with
+    every wave's metrics row (S9 lifecycle integration); default off
+    keeps the throughput path unchanged."""
+    pages_df, robots_df = to_spark(spark, small_cfg)
+    seeds = gen_seeds(small_cfg, 4)
+    on = CrawlJobSpec(seeds=seeds, max_waves=3, metrics_gini=True)
+    run = run_crawl(spark, on, SimulatedFetcher(pages_df),
+                    robots_src=robots_df)
+    assert run.metrics, "no waves ran"
+    for m in run.metrics:
+        assert "host_gini" in m and "hosts_fetched" in m
+        assert m["hosts_fetched"] >= 1
+        if m["host_gini"] is not None:
+            assert 0.0 <= m["host_gini"] <= 1.0
+        # single-host waves must read exactly 0 (perfect equality)
+        if m["hosts_fetched"] == 1:
+            assert m["host_gini"] == 0.0
+    off = CrawlJobSpec(seeds=seeds, max_waves=3)
+    run2 = run_crawl(spark, off, SimulatedFetcher(pages_df),
+                     robots_src=robots_df)
+    assert all("host_gini" not in m for m in run2.metrics)
