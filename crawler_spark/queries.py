@@ -8811,3 +8811,82 @@ def ix14_wand_bounds(spark, sf_dir):
     See operators/invindex.wand_upper_bounds."""
     from crawler_spark.operators.invindex import wand_upper_bounds
     return wand_upper_bounds(_t(spark, sf_dir, "documents"))
+
+
+@q("px16_packing_efficiency", f"""
+WITH t AS (SELECT doc_id, {_TX3_TOKENS} AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS prev_tokens
+  FROM t),
+p AS (SELECT doc_id, n_tokens, prev_tokens,
+             (prev_tokens // 1024)::BIGINT AS seq_id,
+             ((prev_tokens + n_tokens - 1) // 1024)::BIGINT AS end_seq
+      FROM c WHERE n_tokens > 0),
+s AS (SELECT seq_id,
+             CAST(count(*) AS BIGINT) AS n_docs_started,
+             CAST(sum(CASE WHEN end_seq > seq_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_straddlers,
+             CAST(max(end_seq) AS BIGINT) AS max_end
+      FROM p GROUP BY seq_id),
+g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(max(prev_tokens + n_tokens) AS BIGINT) AS corpus_end
+      FROM p)
+SELECT s.seq_id, s.n_docs_started, s.n_straddlers,
+       CAST(CASE WHEN (s.seq_id + 1) * 1024 <= g.corpus_end THEN 1024
+                 ELSE g.corpus_end - s.seq_id * 1024 END AS BIGINT)
+         AS fill_tokens,
+       CAST(CASE WHEN (s.seq_id + 1) * 1024 <= g.corpus_end THEN 0
+                 ELSE (s.seq_id + 1) * 1024 - g.corpus_end END AS BIGINT)
+         AS pad_tokens
+FROM s CROSS JOIN g
+""")
+def px16_packing_efficiency(spark, sf_dir):
+    """Packing-efficiency report over the px3 concat-then-chunk layout:
+    per 1024-token training sequence, how many documents START in it,
+    how many of those straddle into the next sequence (each straddler is
+    a cross-document attention boundary the loader must mask or accept),
+    and the fill/padding token split (only the final partial sequence
+    pads — the report PROVES the concat layout's padding is bounded by
+    one sequence, vs pad-to-longest whose waste px11 measures per
+    bucket). Composes pack_sequences (the distributed two-phase prefix
+    sum) with one seq-cardinality rollup + a broadcast 2-value scalar;
+    zero-token docs are excluded (they start nowhere). All-integer
+    outputs under the hash gate. Contract caveat: rows exist only for
+    sequences where >= 1 document STARTS — a sequence interior to one
+    giant document, or a terminal sequence consumed entirely by a
+    straddler, is absent from the per-row view (take tail padding from
+    ceil(corpus_end/1024)*1024 - corpus_end when docs can exceed the
+    budget)."""
+    from crawler_spark.functions.text import token_count_col
+    from crawler_spark.operators.sampling import pack_sequences
+    d = _t(spark, sf_dir, "documents")
+    t = (d.select("doc_id",
+                  token_count_col(F.col("text")).alias("n_tokens"))
+         .where(F.col("n_tokens") > 0))
+    p = pack_sequences(t, "n_tokens", order_col="doc_id",
+                       budget=1024, n_blocks=8)
+    p = p.withColumn(
+        "end_seq",
+        F.floor((F.col("prev_tokens") + F.col("n_tokens") - 1) / 1024)
+        .cast("long"))
+    s = (p.groupBy("seq_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs_started"),
+              F.sum((F.col("end_seq") > F.col("seq_id")).cast("long"))
+              .cast("long").alias("n_straddlers")))
+    g = p.agg(F.sum("n_tokens").cast("long").alias("total_tokens"),
+              F.max(F.col("prev_tokens") + F.col("n_tokens"))
+              .cast("long").alias("corpus_end"))
+    full = (F.col("seq_id") + 1) * 1024 <= F.col("corpus_end")
+    return (s.crossJoin(F.broadcast(g))
+            .select("seq_id", "n_docs_started", "n_straddlers",
+                    F.when(full, F.lit(1024).cast("long"))
+                    .otherwise(F.col("corpus_end")
+                               - F.col("seq_id") * 1024)
+                    .cast("long").alias("fill_tokens"),
+                    F.when(full, F.lit(0).cast("long"))
+                    .otherwise((F.col("seq_id") + 1) * 1024
+                               - F.col("corpus_end"))
+                    .cast("long").alias("pad_tokens")))

@@ -447,3 +447,36 @@ def test_dataset_card_rollup_levels_consistent(spark):
         == total["n_words"]
     # integerized quality mean: constant 0.5 everywhere
     assert all(r["mean_quality"] == 0.5 for r in out.values())
+
+
+def test_packing_efficiency_report_semantics(spark):
+    """px16's report logic against a handcrafted layout (budget 8):
+    docs [5, 6, 20, 3] -> prev [0, 5, 11, 31], corpus_end 34.
+    Sequence rows exist only where a doc STARTS (seq 2 is interior to
+    the 20-token doc and is absent); straddlers count docs crossing
+    their start sequence's right edge; only the final partial sequence
+    pads."""
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.sampling import pack_sequences
+
+    rows = [("d1", 5), ("d2", 6), ("d3", 20), ("d4", 3)]
+    t = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    p = pack_sequences(t, "n_tokens", order_col="doc_id",
+                       budget=8, n_blocks=2)
+    p = p.withColumn("end_seq", F.floor(
+        (F.col("prev_tokens") + F.col("n_tokens") - 1) / 8).cast("long"))
+    s = (p.groupBy("seq_id")
+         .agg(F.count(F.lit(1)).alias("n_docs_started"),
+              F.sum((F.col("end_seq") > F.col("seq_id")).cast("long"))
+              .alias("n_straddlers")))
+    got = {r["seq_id"]: (r["n_docs_started"], r["n_straddlers"])
+           for r in s.collect()}
+    # d1 starts seq0 (offsets 0-4, stays), d2 starts seq0 (5-10,
+    # straddles), d3 starts seq1 (11-30, spans seqs 1-3), d4 starts at
+    # offset 31 — the LAST slot of seq3 — and ends at 33 in seq4, so it
+    # straddles too. seq2 (interior to d3) and seq4 (no starter) are
+    # absent: the per-row view reports start sequences only.
+    assert got == {0: (2, 1), 1: (1, 1), 3: (1, 1)}
+    end = p.agg(F.max(F.col("prev_tokens") + F.col("n_tokens"))) \
+           .collect()[0][0]
+    assert end == 34                     # pad = 4*8 - 34 = 6, last seq only

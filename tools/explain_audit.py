@@ -561,6 +561,12 @@ CHECKS = {
     "ix14_wand_bounds": (["HashAggregate", "partial_count"],
                          ["BatchEvalPython", "ArrowEvalPython",
                           "CartesianProduct", "SortMergeJoin"]),
+    # packing-efficiency report: px3's pack (block windows + broadcast
+    # offsets) -> seq-cardinality rollup + broadcast 2-value scalar
+    "px16_packing_efficiency": (["Window", "BroadcastHashJoin",
+                                 "HashAggregate"],
+                                ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct", "SortMergeJoin"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
