@@ -50,8 +50,17 @@ MAX_ATTEMPTS = 12
 MAX_WALL_SEC = 6 * 3600   # give up when the session window closes
 BUSY_FLAG = BENCH / ".busy"   # foreground work touches this; watcher waits
 
+import os
+
+# N of the N-vs-4N pair (legs run at N and 4N cores). Default 1 (the
+# validated studies-37/49 config); WATCH_N=2 measures the 2-vs-8 pair —
+# the regime nearer this box's ~10-core memory-bandwidth ceiling
+# (BENCH/BASELINE.md round-1 note), useful as corroboration at a second
+# parallelism pair.
+WATCH_N = os.environ.get("WATCH_N", "1")
+
 BENCH_CMD = [sys.executable, str(REPO / "tools" / "scaling_bench.py"),
-             "--n", "1", "--hosts", "5000", "--runs", "1"]
+             "--n", WATCH_N, "--hosts", "5000", "--runs", "1"]
 
 
 def probe() -> float:
