@@ -129,7 +129,10 @@ def validate(study: dict) -> list[str]:
     eff = study["efficiency"]
     if eff < 0.8:
         bad.append(f"efficiency {eff} < 0.8")
-    legs = {c: study["results"][c][0] for c in ("1", "4")}
+    # leg keys come from the study itself (--n 2 runs the 2-vs-8 pair,
+    # keyed "2"/"8" — hardcoding "1"/"4" crashed the first 2v8 attempt)
+    lo, hi = sorted(study["results"], key=int)
+    legs = {c: study["results"][c][0] for c in (lo, hi)}
     for c, rec in legs.items():
         if rec.get("probe_sec", 9.9) > LEG_MAX:
             bad.append(f"leg {c} launch probe {rec['probe_sec']} > {LEG_MAX}")
@@ -140,8 +143,8 @@ def validate(study: dict) -> list[str]:
         if med > MIDLEG_MED_MAX:
             bad.append(f"mid-leg median {med} > {MIDLEG_MED_MAX}")
     for stage in ("fetch_parse", "sink", "admit"):
-        x = (legs["1"]["stage_sec"][stage] /
-             max(legs["4"]["stage_sec"][stage], 1e-9))
+        x = (legs[lo]["stage_sec"][stage] /
+             max(legs[hi]["stage_sec"][stage], 1e-9))
         study["witness"][f"stage_x_{stage}"] = round(x, 2)
         if x < STAGE_MIN_X:
             bad.append(f"stage {stage} speedup {x:.2f} < {STAGE_MIN_X}")
