@@ -154,6 +154,87 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 5,
             + f"\nSELECT host, ROUND(rank, 4) AS rank FROM r{iters}")
 
 
+def pagerank_residual(edges: DataFrame, iters: int = 5,
+                      damping: float = 0.85,
+                      scale: int = 100_000_000) -> DataFrame:
+    """Convergence diagnostics for the fixed-iteration PageRank contract
+    (g1 runs K iterations, not a fixpoint test — this op measures what
+    that truncation costs): the L1 residual and max per-host delta
+    between iterations K-1 and K. A residual near zero certifies K was
+    enough for the graph at hand; a large one tells the operator to
+    raise `iters` before trusting W1's host priorities.
+
+    Hash-gate discipline: the per-host |delta| is floored onto a 1e-8
+    integer grid and SUMMED AS BIGINT — a float sum over host
+    cardinality has engine-dependent accumulation order, an integer sum
+    does not (floor on bit-identical doubles is deterministic). max
+    |delta| is order-exact as a plain double MAX. Output one row:
+    (n_hosts, l1_residual_e8 BIGINT, max_delta round 4).
+
+    Scale shape: identical to pagerank_hosts (host-cardinality joins,
+    lineage cut per iteration) + ONE extra host-keyed join of the final
+    two rank vectors and a scalar rollup."""
+    e = edges.select("src", "dst").distinct()
+    hosts = (e.select(F.col("src").alias("host"))
+             .unionByName(e.select(F.col("dst").alias("host")))
+             .distinct().withColumn("tele", F.lit(1.0))
+             .localCheckpoint(eager=True))
+    out = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_w = e.join(out, "src").localCheckpoint(eager=True)
+    ranks = hosts.select("host", F.col("tele").alias("rank"))
+    prev = ranks
+    for _ in range(iters):
+        prev = ranks
+        contrib = (e_w.join(ranks.withColumnRenamed("host", "src"), "src")
+                   .groupBy(F.col("dst").alias("host"))
+                   .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                        .alias("mass")))
+        ranks = (hosts.join(contrib, "host", "left")
+                 .select("host",
+                         (F.lit(1.0 - damping) * F.col("tele")
+                          + F.lit(damping) * F.coalesce(F.col("mass"),
+                                                        F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    j = (ranks.join(prev.withColumnRenamed("rank", "prev_rank"), "host")
+         .select(F.abs(F.col("rank") - F.col("prev_rank")).alias("d")))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum(F.floor(F.col("d") * scale)).cast("long")
+        .alias("l1_residual_e8"),
+        F.round(F.max("d"), 4).alias("max_delta"))
+
+
+def pagerank_residual_oracle_sql(edges_cte: str, iters: int = 5,
+                                 damping: float = 0.85,
+                                 scale: int = 100_000_000) -> str:
+    """DuckDB twin of `pagerank_residual`: the K-iteration unroll of
+    `pagerank_oracle_sql` with BOTH r{K-1} and r{K} kept, reduced to the
+    same integerized residual row."""
+    d = damping
+    ctes = [f"e AS ({edges_cte})",
+            "h0 AS (SELECT src AS host FROM e UNION "
+            "SELECT dst AS host FROM e)",
+            "hosts AS (SELECT host, CAST(1.0 AS DOUBLE) AS tele FROM h0)",
+            "outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+            "r0 AS (SELECT host, CAST(tele AS DOUBLE) AS rank FROM hosts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS host, SUM(r.rank / o.outdeg) AS mass "
+            f"FROM e JOIN r{k-1} r ON r.host = e.src "
+            f"JOIN outd o ON o.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"r{k} AS (SELECT h.host, {1.0 - d} * h.tele "
+            f"+ {d} * COALESCE(c.mass, 0) "
+            f"AS rank FROM hosts h LEFT JOIN c{k} c USING (host))")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(FLOOR(ABS(a.rank - b.rank) * {scale})) AS BIGINT)
+         AS l1_residual_e8,
+       ROUND(MAX(ABS(a.rank - b.rank)), 4) AS max_delta
+FROM r{iters} a JOIN r{iters - 1} b USING (host)""")
+
+
 def hits_hosts(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg) over distinct (src, dst) host edges:
     the hub/authority complement to PageRank for crawl prioritization —

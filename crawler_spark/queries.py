@@ -8890,3 +8890,29 @@ def px16_packing_efficiency(spark, sf_dir):
                     .otherwise((F.col("seq_id") + 1) * 1024
                                - F.col("corpus_end"))
                     .cast("long").alias("pad_tokens")))
+
+
+from crawler_spark.operators.hostrank import (  # noqa: E402
+    pagerank_residual_oracle_sql,
+)
+
+
+@q("g32_pagerank_residual",
+   pagerank_residual_oracle_sql(_G1_EDGES_SQL, iters=5, damping=0.85))
+def g32_pagerank_residual(spark, sf_dir):
+    """Convergence certificate for g1's fixed-iteration contract: the L1
+    residual (exact-integer, 1e-8 grid — a float sum over hosts would be
+    accumulation-order-dependent cross-engine) and max per-host delta
+    between PageRank iterations 4 and 5 on the same host graph. Near
+    zero = the W1 priorities g1 feeds the crawler are iteration-stable;
+    large = raise iters before trusting them. Same host-cardinality
+    scale shape as g1 + one extra host-keyed join and a scalar rollup.
+    See operators/hostrank.pagerank_residual."""
+    from crawler_spark.operators.hostrank import pagerank_residual
+    d = _t(spark, sf_dir, "documents")
+    dst = F.concat(F.lit("src"),
+                   ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+    edges = (d.select(F.col("source").alias("src"), dst.alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    return pagerank_residual(edges, iters=5, damping=0.85)

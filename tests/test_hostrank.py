@@ -498,3 +498,30 @@ def test_modularity_ignores_direction_and_duplicates(spark):
     row = modularity(edges, labels).collect()[0]
     assert row["e_in"] == 1 and row["d_sum"] == 2
     assert row["q_contrib"] == 0.0  # 1/1 - (2/2)^2
+
+
+def test_pagerank_residual_matches_sequential(spark):
+    """Residual between iterations K-1 and K equals a sequential Python
+    PageRank on the same graph; the integerized L1 is exact."""
+    import math
+    from crawler_spark.operators.hostrank import pagerank_residual
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    out = pagerank_residual(e, iters=4, damping=0.85).collect()[0]
+
+    hosts = sorted({h for p in edges for h in p})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {h: 1.0 for h in hosts}
+    hist = [dict(r)]
+    for _ in range(4):
+        mass = {h: 0.0 for h in hosts}
+        for s, d in edges:
+            mass[d] += r[s] / outdeg[s]
+        r = {h: 0.15 + 0.85 * mass[h] for h in hosts}
+        hist.append(dict(r))
+    deltas = [abs(hist[-1][h] - hist[-2][h]) for h in hosts]
+    assert out["n_hosts"] == len(hosts)
+    assert out["l1_residual_e8"] == sum(math.floor(d * 1e8) for d in deltas)
+    assert abs(out["max_delta"] - round(max(deltas), 4)) <= 5e-5

@@ -567,6 +567,11 @@ CHECKS = {
                                  "HashAggregate"],
                                 ["BatchEvalPython", "ArrowEvalPython",
                                  "CartesianProduct", "SortMergeJoin"]),
+    # PageRank residual: g1's iteration shape above lazy-checkpoint
+    # boundaries + one host-keyed join and a scalar rollup; no Python
+    "g32_pagerank_residual": (["HashAggregate"],
+                              ["BatchEvalPython", "ArrowEvalPython",
+                               "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
