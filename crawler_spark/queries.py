@@ -8916,3 +8916,61 @@ def g32_pagerank_residual(spark, sf_dir):
              .where(F.col("src") != F.col("dst"))
              .distinct())
     return pagerank_residual(edges, iters=5, damping=0.85)
+
+
+@q("px17_token_budget_curve", f"""
+WITH s AS (SELECT CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS sm,
+                  CAST({_TX3_TOKENS} AS BIGINT) AS nt
+           FROM documents),
+h AS (SELECT sm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nt) AS BIGINT) AS toks
+      FROM s GROUP BY sm),
+c AS (SELECT sm,
+             CAST(SUM(n) OVER (ORDER BY sm DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_docs_kept,
+             CAST(SUM(toks) OVER (ORDER BY sm DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_tokens_kept
+      FROM h),
+g AS (SELECT CAST(sum(nt) AS BIGINT) AS total FROM s)
+SELECT round(c.sm / 1000.0, 4) AS q_threshold,
+       c.n_docs_kept, c.n_tokens_kept,
+       round(c.n_tokens_kept * 1.0 / g.total, 4) AS frac_tokens
+FROM c CROSS JOIN g
+""")
+def px17_token_budget_curve(spark, sf_dir):
+    """Quality-threshold vs token-yield tradeoff curve — the planning
+    view behind tx8's budget selection: for every distinct quality level
+    q (integerized to the a10 grid), how many documents and tokens
+    survive a keep-if-quality>=q filter, and what corpus fraction that
+    is. A data-mixing engineer reads the curve to pick the threshold
+    whose yield meets the token budget BEFORE running the actual
+    selection (the planning half of token_budget_threshold's
+    histogram-cutoff trick). Exact BIGINT cumulative sums over the
+    score HISTOGRAM — the descending window runs at distinct-score
+    cardinality (<= 1001 rows by construction, the a11
+    resolution-bounded pattern), never over documents; the corpus is
+    touched once by one partial-agged rollup."""
+    from crawler_spark.functions.text import (
+        quality_score_col, token_count_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        F.floor(quality_score_col(F.col("text")) * 1000).cast("long")
+        .alias("sm"),
+        token_count_col(F.col("text")).alias("nt"))
+    h = s.groupBy("sm").agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("nt").alias("toks"))
+    w = (Window.orderBy(F.desc("sm"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = h.select("sm",
+                 F.sum("n").over(w).cast("long").alias("n_docs_kept"),
+                 F.sum("toks").over(w).cast("long")
+                 .alias("n_tokens_kept"))
+    g = s.agg(F.sum("nt").cast("long").alias("total"))
+    return (c.crossJoin(F.broadcast(g))
+            .select(F.round(F.col("sm") / 1000.0, 4).alias("q_threshold"),
+                    "n_docs_kept", "n_tokens_kept",
+                    F.round(F.col("n_tokens_kept")
+                            / F.col("total"), 4).alias("frac_tokens")))

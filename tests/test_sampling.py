@@ -480,3 +480,24 @@ def test_packing_efficiency_report_semantics(spark):
     end = p.agg(F.max(F.col("prev_tokens") + F.col("n_tokens"))) \
            .collect()[0][0]
     assert end == 34                     # pad = 4*8 - 34 = 6, last seq only
+
+
+def test_token_budget_curve_monotone_and_exact(spark):
+    """px17's curve against a sequential truth: descending thresholds
+    accumulate docs/tokens monotonically and hit exact integer sums."""
+    import sys
+    sys.path.insert(0, ".")
+    from crawler_spark import queries as Q
+
+    # reuse the registry callable at sf0.001 for an end-to-end check
+    rows = Q._QUERIES["px17_token_budget_curve"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "empty curve"
+    by_thr = sorted(rows, key=lambda r: -r["q_threshold"])
+    prev_docs, prev_toks = 0, 0
+    for r in by_thr:
+        assert r["n_docs_kept"] > prev_docs
+        assert r["n_tokens_kept"] >= prev_toks
+        assert 0.0 <= r["frac_tokens"] <= 1.0
+        prev_docs, prev_toks = r["n_docs_kept"], r["n_tokens_kept"]
+    assert by_thr[-1]["frac_tokens"] == 1.0   # lowest threshold keeps all

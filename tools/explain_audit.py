@@ -572,6 +572,14 @@ CHECKS = {
     "g32_pagerank_residual": (["HashAggregate"],
                               ["BatchEvalPython", "ArrowEvalPython",
                                "CartesianProduct"]),
+    # token-budget curve: corpus rollup to score-histogram cardinality;
+    # the descending cumsum window runs over <= 1001 rows BY DESIGN
+    # (resolution-bounded, the a11 pattern) — so the SinglePartition
+    # window is acceptable here and we assert the partial agg instead
+    "px17_token_budget_curve": (["HashAggregate", "partial_count",
+                                 "Window"],
+                                ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct", "SortMergeJoin"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
