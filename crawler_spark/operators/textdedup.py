@@ -216,7 +216,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         shd = shd.join(ids, "doc_id", "left_semi")
     # Verification joins ship shingle arrays only for docs that appear
     # in a candidate pair — volume ∝ candidates (cap-bounded), not corpus.
-    inter = F.size(F.array_intersect("sha", "shb"))
+    # The per-pair |A∩B| is LET-BOUND through a single-element transform
+    # lambda (NOTES fact #1): jaccard references it twice (numerator and
+    # the |A∪B| identity) and Catalyst does no cross-expression CSE, so
+    # the inlined form built the intersect hash set twice per candidate
+    # pair inside the join condition — measured 2x verify-stage wall at
+    # sf0.1 (1.13M pairs).
+    jac = F.element_at(
+        F.transform(F.array(F.size(F.array_intersect("sha", "shb"))),
+                    lambda i: F.round(
+                        i / (F.col("na") + F.col("nb") - i), 4)), 1)
     j = (cands
          .join(shd.select(F.col("doc_id").alias("doc_a"),
                           F.col("shd").alias("sha"),
@@ -224,8 +233,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
          .join(shd.select(F.col("doc_id").alias("doc_b"),
                           F.col("shd").alias("shb"),
                           F.col("n").alias("nb")), "doc_b")
-         .withColumn("jaccard", F.round(
-             inter / (F.col("na") + F.col("nb") - inter), 4))
+         .withColumn("jaccard", jac)
          .where(F.col("jaccard") >= threshold)
          .select("doc_a", "doc_b", "jaccard"))
     return j
@@ -568,7 +576,17 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     # the divisors are carried columns, not per-pair size() calls.
     shd = sh.select("doc_id", F.array_distinct("sh").alias("shd"),
                     F.size("sh").alias("n"))
+    # |A∩B| let-bound once per pair (NOTES fact #1): the inlined form
+    # rebuilt the intersect hash set FOUR times per candidate pair (twice
+    # in the pushed-down OR condition, twice in the surviving project).
+    # The keep-predicate is bound as ONE lambda so the filter — which runs
+    # on every candidate pair — costs exactly one intersect; the output
+    # columns recompute it only for the (tiny) surviving set.
     inter = F.size(F.array_intersect("sha", "shb"))
+    keep = F.element_at(
+        F.transform(F.array(inter),
+                    lambda i: (F.round(i / F.col("na"), 4) >= threshold)
+                    | (F.round(i / F.col("nb"), 4) >= threshold)), 1)
     j = (cands
          .join(shd.select(F.col("doc_id").alias("doc_a"),
                           F.col("shd").alias("sha"),
@@ -576,10 +594,10 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
          .join(shd.select(F.col("doc_id").alias("doc_b"),
                           F.col("shd").alias("shb"),
                           F.col("n").alias("nb")), "doc_b")
-         .withColumn("c_ab", F.round(inter / F.col("na"), 4))
-         .withColumn("c_ba", F.round(inter / F.col("nb"), 4))
-         .where((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
-         .select("doc_a", "doc_b", "c_ab", "c_ba"))
+         .where(keep)
+         .select("doc_a", "doc_b",
+                 F.round(inter / F.col("na"), 4).alias("c_ab"),
+                 F.round(inter / F.col("nb"), 4).alias("c_ba")))
     return j
 
 
