@@ -772,15 +772,19 @@ def fuzzy_decontaminate(docs: DataFrame, is_eval: Column,
             .select("doc_id", "eval_id").distinct())
     shd = sh.select("doc_id", F.array_distinct("sh").alias("shd")) \
             .withColumn("n", F.size("shd"))
-    inter = F.size(F.array_intersect("sha", "shb"))
+    # let-bound |A∩B| (NOTES fact #1), same discipline as
+    # ngram_jaccard_pairs: one hash-set build per (doc, eval) hit.
+    jac = F.element_at(
+        F.transform(F.array(F.size(F.array_intersect("sha", "shb"))),
+                    lambda i: F.round(
+                        i / (F.col("na") + F.col("nb") - i), 4)), 1)
     j = (hits
          .join(shd.select(F.col("doc_id"), F.col("shd").alias("sha"),
                           F.col("n").alias("na")), "doc_id")
          .join(shd.select(F.col("doc_id").alias("eval_id"),
                           F.col("shd").alias("shb"),
                           F.col("n").alias("nb")), "eval_id")
-         .withColumn("jac", F.round(
-             inter / (F.col("na") + F.col("nb") - inter), 4))
+         .withColumn("jac", jac)
          .where(F.col("jac") >= min_jaccard))
     return (j.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_matches"),
@@ -836,7 +840,13 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5,
              .distinct())
     shd = sh.select("doc_id", F.col("sh").alias("shd"),
                     F.size("sh").alias("n"))
-    inter = F.size(F.array_intersect("sha", "shb"))
+    # |A∩B| let-bound once per pair (NOTES fact #1) — same fix as
+    # ngram_jaccard_pairs: inlined, the pushed-down condition built the
+    # intersect hash set twice per candidate pair.
+    jac = F.element_at(
+        F.transform(F.array(F.size(F.array_intersect("sha", "shb"))),
+                    lambda i: F.round(
+                        i / (F.col("na") + F.col("nb") - i), 4)), 1)
     return (cands
             .join(shd.select(F.col("doc_id").alias("doc_a"),
                              F.col("shd").alias("sha"),
@@ -844,7 +854,6 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5,
             .join(shd.select(F.col("doc_id").alias("doc_b"),
                              F.col("shd").alias("shb"),
                              F.col("n").alias("nb")), "doc_b")
-            .withColumn("jaccard", F.round(
-                inter / (F.col("na") + F.col("nb") - inter), 4))
+            .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))

@@ -3412,15 +3412,24 @@ def dd14_minhash_estimate(spark, sf_dir):
                           *[F.col(f"mh{i}").alias(f"_b{i}")
                             for i in range(8)]), "doc_b")
          .join(sh.select(F.col("doc_id").alias("doc_a"),
-                         F.col("sh").alias("sha")), "doc_a")
+                         F.col("sh").alias("sha"),
+                         F.size(F.array_distinct("sh")).alias("na")),
+               "doc_a")
          .join(sh.select(F.col("doc_id").alias("doc_b"),
-                         F.col("sh").alias("shb")), "doc_b"))
+                         F.col("sh").alias("shb"),
+                         F.size(F.array_distinct("sh")).alias("nb")),
+               "doc_b"))
+    # |A∪B| = na + nb − |A∩B| over the distinct sets (same integers the
+    # oracle's list_distinct(concat) yields), |A∩B| let-bound once per
+    # pair (NOTES fact #1) — drops the per-pair union hash-set build.
+    tj = F.element_at(
+        F.transform(F.array(F.size(F.array_intersect("sha", "shb"))),
+                    lambda i: F.round(
+                        i / (F.col("na") + F.col("nb") - i), 4)), 1)
     return j.select(
         "doc_a", "doc_b",
         F.round(agree / 8.0, 4).alias("est_jaccard"),
-        F.round(F.size(F.array_intersect("sha", "shb"))
-                / F.size(F.array_union("sha", "shb")), 4)
-         .alias("true_jaccard"))
+        tj.alias("true_jaccard"))
 
 
 @q("st7_arrival_lag_quantiles", """
@@ -4562,11 +4571,19 @@ def dd16_lsh_band_planner(spark, sf_dir):
                            max_bucket=64, sh=sh).select("doc_a", "doc_b")
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("doc_a"),
-                         F.col("sh").alias("sha")), "doc_a")
+                         F.col("sh").alias("sha"),
+                         F.size(F.array_distinct("sh")).alias("na")),
+               "doc_a")
          .join(sh.select(F.col("doc_id").alias("doc_b"),
-                         F.col("sh").alias("shb")), "doc_b"))
-    tj = (F.size(F.array_intersect("sha", "shb"))
-          / F.size(F.array_union("sha", "shb")))
+                         F.col("sh").alias("shb"),
+                         F.size(F.array_distinct("sh")).alias("nb")),
+               "doc_b"))
+    # |A∪B| = na + nb − |A∩B| over distinct sets: same integers as
+    # size(array_union), identical IEEE division — but one hash-set
+    # build per pair instead of two (let-bound, NOTES fact #1).
+    tj = F.element_at(
+        F.transform(F.array(F.size(F.array_intersect("sha", "shb"))),
+                    lambda i: i / (F.col("na") + F.col("nb") - i)), 1)
     bin_ = F.least(F.floor(tj * 16).cast("int"), F.lit(15))
     hist = (j.select(bin_.alias("bin"))
             .groupBy("bin")
