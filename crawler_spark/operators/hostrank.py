@@ -599,11 +599,22 @@ def bowtie_classes(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     hosts = ends.distinct()
     pv = (ends.groupBy("host").agg(F.count("*").alias("c"))
           .orderBy(F.desc("c"), F.asc("host")).limit(1).select("host"))
-    legs = []
-    for name, g in (("_f", e), ("_b", rev), ("_u", und)):
-        legs.append(hop_distance(g, pv, max_hops=max_hops)
-                    .select("host").withColumn(name, F.lit(1)))
-    fwd, bwd, u = legs
+    pv = pv.localCheckpoint(eager=True)  # pivot computed once, not per leg
+    # The three BFS legs are independent and each is a chain of ~max_hops
+    # TINY Spark jobs (eager per-hop lineage cuts) — serial execution is
+    # scheduler-latency-bound, not compute-bound. Submit the legs as
+    # concurrent jobs from worker threads (supported: one SparkContext,
+    # many job groups); results are deterministic either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def leg(arg):
+        name, g = arg
+        return (hop_distance(g, pv, max_hops=max_hops)
+                .select("host").withColumn(name, F.lit(1)))
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        fwd, bwd, u = list(ex.map(leg, (("_f", e), ("_b", rev),
+                                        ("_u", und))))
     cls = (F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(),
                   F.lit("CORE"))
            .when(F.col("_b").isNotNull(), F.lit("IN"))
