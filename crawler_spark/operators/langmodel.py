@@ -58,6 +58,68 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                   .alias("neg_logprob")))
 
 
+def kneser_ney_logprob(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.24, the standard smoothing for n-gram LMs):
+    (id, text) -> (id, n_bigrams, kn_neg_logprob) with
+
+        P(w2|w1) = (c(w1 w2) - D) / c(w1·)
+                 + (D · N1+(w1 ·) / c(w1·)) · (N1+(· w2) / T)
+
+    where N1+(w1 ·) = distinct continuations of w1, N1+(· w2) = distinct
+    predecessors of w2, and T = distinct bigram types. The continuation
+    probability is KN's insight over tx12's raw conditional: "Francisco"
+    has high unigram count but follows almost nothing except "San" — its
+    continuation mass is tiny, so novel contexts back off toward words
+    that appear in MANY contexts, not merely frequent ones. Every scored
+    bigram is observed (the corpus scores itself) so c12 >= 1 > D and
+    the max(·,0) clip is vacuous — written without it, identically in
+    the DuckDB twin.
+
+    Scale shape (tx12's, plus two distinct-count rollups): map-side HOF
+    bigram generation; c12/heads/predecessor tables are partial-agged
+    shuffles at bigram-type cardinality; T is ONE broadcast scalar. The
+    count-distinct aggs are two-phase (Expand + partial) — never a
+    corpus-wide distinct(). All inputs to the per-instance double
+    expression are exact BIGINTs, and the expression tree is written
+    identically in both engines (IEEE ops on identical doubles), so only
+    the avg's summation order floats — absorbed by round-4, the tx12
+    precedent."""
+    w = docs.select(id_col,
+                    F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+    idx = F.when(F.size("w") >= 2,
+                 F.sequence(F.lit(1), F.size("w") - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    bigram = F.transform(
+        idx, lambda i: F.concat(F.element_at(F.col("w"), i), F.lit(" "),
+                                F.element_at(F.col("w"), i + 1)))
+    bg = w.select(id_col, F.explode(bigram).alias("bigram"))
+    w1 = F.substring_index("bigram", " ", 1)
+    w2 = F.substring_index("bigram", " ", -1)
+    c12 = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("c12"))
+    heads = (bg.select(w1.alias("w1"), w2.alias("_w2"))
+             .groupBy("w1")
+             .agg(F.count("*").cast("long").alias("c1"),
+                  F.countDistinct("_w2").cast("long").alias("n1f")))
+    preds = (bg.select(w2.alias("w2"), w1.alias("_w1"))
+             .groupBy("w2")
+             .agg(F.countDistinct("_w1").cast("long").alias("n1b")))
+    types = c12.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    d = F.lit(float(discount))
+    p = ((F.col("c12") - d) / F.col("c1")
+         + (d * F.col("n1f") / F.col("c1"))
+         * (F.col("n1b") / F.col("t").cast("double")))
+    scored = (bg.join(c12, "bigram")
+              .withColumn("w1", w1).withColumn("w2", w2)
+              .join(heads, "w1").join(preds, "w2")
+              .crossJoin(F.broadcast(types)))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg(-F.log(p)), 4).alias("kn_neg_logprob")))
+
+
 def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(id, text) -> (id, n_words, neg_logprob) where neg_logprob =

@@ -8991,3 +8991,47 @@ def px17_token_budget_curve(spark, sf_dir):
                     "n_docs_kept", "n_tokens_kept",
                     F.round(F.col("n_tokens_kept")
                             / F.col("total"), 4).alias("frac_tokens")))
+
+
+@q("tx31_kneser_ney", """
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])) AS bigram
+       FROM w),
+c12 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1),
+c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+              CAST(count(*) AS BIGINT) AS c1,
+              CAST(count(DISTINCT split_part(bigram, ' ', 2)) AS BIGINT)
+                AS n1f
+       FROM bg GROUP BY 1),
+nb AS (SELECT split_part(bigram, ' ', 2) AS w2,
+              CAST(count(DISTINCT split_part(bigram, ' ', 1)) AS BIGINT)
+                AS n1b
+       FROM bg GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c12)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((c12.c12 - 0.75) / c1.c1
+                     + (0.75 * c1.n1f / c1.c1)
+                     * (nb.n1b / CAST(tt.t AS DOUBLE)))), 4)
+         AS kn_neg_logprob
+FROM bg JOIN c12 USING (bigram)
+        JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+        JOIN nb ON split_part(bg.bigram, ' ', 2) = nb.w2
+        CROSS JOIN tt
+GROUP BY 1
+""")
+def tx31_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram fluency scoring — the standard
+    n-gram smoothing (Chen & Goodman 1999) on top of tx12's raw
+    conditional: discounted observed mass plus a continuation-probability
+    backoff (words that follow MANY contexts, not merely frequent words,
+    absorb the discount). The CCNet-style LM quality axis with proper
+    smoothing; rank disagreements vs tx12 concentrate on docs whose
+    bigrams are frequent but context-rigid (boilerplate). Map-side HOF
+    bigram generation, three type-cardinality partial-agg rollups (two
+    with two-phase count-distinct), one broadcast scalar, zero Python.
+    See operators/langmodel.kneser_ney_logprob."""
+    from crawler_spark.operators.langmodel import kneser_ney_logprob
+    return kneser_ney_logprob(_t(spark, sf_dir, "documents"))

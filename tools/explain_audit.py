@@ -580,6 +580,11 @@ CHECKS = {
                                  "Window"],
                                 ["BatchEvalPython", "ArrowEvalPython",
                                  "CartesianProduct", "SortMergeJoin"]),
+    # Kneser-Ney: map-side HOF bigram gen; type-cardinality rollups with
+    # two-phase count-distinct (Expand); T broadcast; no Python anywhere
+    "tx31_kneser_ney": (["HashAggregate", "Expand"],
+                        ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
