@@ -581,8 +581,9 @@ CHECKS = {
                                 ["BatchEvalPython", "ArrowEvalPython",
                                  "CartesianProduct", "SortMergeJoin"]),
     # Kneser-Ney: map-side HOF bigram gen; type-cardinality rollups with
-    # two-phase count-distinct (Expand); T broadcast; no Python anywhere
-    "tx31_kneser_ney": (["HashAggregate", "Expand"],
+    # two-phase count-distinct (single distinct col -> partial-distinct
+    # group agg, no Expand needed); T broadcast; no Python anywhere
+    "tx31_kneser_ney": (["HashAggregate", "partial_count"],
                         ["BatchEvalPython", "ArrowEvalPython",
                          "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
