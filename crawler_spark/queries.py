@@ -9035,3 +9035,45 @@ def tx31_kneser_ney(spark, sf_dir):
     See operators/langmodel.kneser_ney_logprob."""
     from crawler_spark.operators.langmodel import kneser_ney_logprob
     return kneser_ney_logprob(_t(spark, sf_dir, "documents"))
+
+
+@q("g33_scc_decomposition", """
+WITH RECURSIVE eset AS (
+  SELECT DISTINCT src, dst FROM (""" + _G13_EDGES_SQL + """)
+  WHERE src <> dst),
+hosts AS (SELECT DISTINCT host FROM
+          (SELECT src AS host FROM eset UNION SELECT dst FROM eset)),
+reach(src, dst) AS (
+  SELECT src, dst FROM eset
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN eset e ON r.dst = e.src),
+mut AS (SELECT a.src AS host, a.dst AS other
+        FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+scc AS (SELECT h.host,
+               least(h.host, COALESCE(min(m.other), h.host)) AS scc_id
+        FROM hosts h LEFT JOIN mut m ON m.host = h.host
+        GROUP BY h.host)
+SELECT s.host, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
+FROM scc s JOIN (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1) z
+     USING (scc_id)
+""")
+def g33_scc_decomposition(spark, sf_dir):
+    """Full SCC decomposition of the g13 host graph: every host labeled
+    with its strongly-connected component (id = smallest member) and the
+    component's size — the condensation view g13's single-pivot bow-tie
+    cannot give: EVERY link neighborhood a frontier circulates in, not
+    just the max-degree pivot's. Multistep shape (trim singletons to
+    fixpoint, pointer-doubled closure on the 2-core remainder, mutual-
+    reach min labels); the DuckDB twin is the uncapped recursive-CTE
+    closure with identical string-min semantics.
+    See operators/clusters.scc_decomposition."""
+    from crawler_spark.operators.clusters import scc_decomposition
+    d = _t(spark, sf_dir, "documents")
+    h = lambda c: F.concat(F.lit("h"), (c % 211).cast("string"))  # noqa: E731
+    e1 = (d.where(F.col("doc_id") % 2 == 0)
+          .select(h(F.col("doc_id")).alias("src"),
+                  h(F.col("doc_id") * 13 + 5).alias("dst")))
+    e2 = (d.where(F.col("doc_id") % 5 == 0)
+          .select(h(F.col("doc_id") * 17 + 3).alias("src"),
+                  h(F.col("doc_id") * 29 + 11).alias("dst")))
+    return scc_decomposition(e1.unionByName(e2))

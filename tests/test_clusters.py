@@ -207,3 +207,100 @@ def test_ktruss_fixture_converges_inside_registry_rounds(spark):
     three = {(r["u"], r["v"]) for r in
              ktruss_peel(e0, k=8, rounds=3).select("u", "v").collect()}
     assert two == three and len(two) > 0
+
+
+# ------------------------------------------------------------- SCC (g33)
+
+
+def _scc_py(edges):
+    """Iterative Tarjan reference (recursion-free) for small graphs:
+    returns {node: min-member-of-its-SCC}."""
+    from collections import defaultdict
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        nodes.update((u, v))
+        if u != v:
+            adj[u].append(v)
+    index, low, onstk = {}, {}, set()
+    stack, out, ctr = [], {}, [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = ctr[0]; ctr[0] += 1
+        stack.append(root); onstk.add(root)
+        while work:
+            node, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = ctr[0]; ctr[0] += 1
+                    stack.append(w); onstk.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                if w in onstk:
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop(); onstk.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+    return out
+
+
+def test_scc_golden_cycle_tail_and_dag(spark):
+    """3-cycle {a,b,c}; d feeds it; e->f pure DAG pair: 4 SCCs."""
+    from crawler_spark.operators.clusters import scc_decomposition
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("e", "f")],
+        "src string, dst string")
+    got = {r.host: (r.scc_id, r.scc_size)
+           for r in scc_decomposition(e).collect()}
+    assert got == {"a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+                   "d": ("d", 1), "e": ("e", 1), "f": ("f", 1)}
+
+
+def test_scc_two_components_linked(spark):
+    """Two 2-cycles joined by a one-way bridge stay separate SCCs."""
+    from crawler_spark.operators.clusters import scc_decomposition
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("a", "c")],
+        "src string, dst string")
+    got = {r.host: r.scc_id for r in scc_decomposition(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+def test_scc_random_graphs_match_tarjan(spark):
+    """Deterministic pseudo-random digraphs vs the Tarjan reference —
+    including shapes where trim leaves work for the closure phase."""
+    from crawler_spark.operators.clusters import scc_decomposition
+    rnd = random.Random(733)
+    for trial in range(3):
+        n = 14 + trial * 5
+        edges = sorted({(f"n{rnd.randrange(n):02d}",
+                         f"n{rnd.randrange(n):02d}")
+                        for _ in range(2 * n)})
+        edges = [(u, v) for u, v in edges if u != v]
+        want = _scc_py(edges)
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.host: r.scc_id for r in scc_decomposition(df).collect()}
+        assert got == want, f"trial {trial}"
+        sizes = {}
+        for cid in want.values():
+            sizes[cid] = sizes.get(cid, 0) + 1
+        got_sz = {r.scc_id: r.scc_size
+                  for r in scc_decomposition(df).collect()}
+        assert got_sz == sizes, f"trial {trial} sizes"

@@ -586,6 +586,11 @@ CHECKS = {
     "tx31_kneser_ney": (["HashAggregate", "partial_count"],
                         ["BatchEvalPython", "ArrowEvalPython",
                          "CartesianProduct"]),
+    # SCC: final fragment past the iterative checkpoints — label join +
+    # size rollup at host cardinality; no Python, no cartesian anywhere
+    "g33_scc_decomposition": (["HashAggregate"],
+                              ["BatchEvalPython", "ArrowEvalPython",
+                               "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
