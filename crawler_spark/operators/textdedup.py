@@ -857,3 +857,74 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.5,
             .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def dup_substring_runs(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                       h_col: str = "h") -> DataFrame:
+    """Maximal cross-document repeated-substring RUNS per document — the
+    interval-merge layer of exact-substring dedup (Lee et al. ACL 2022)
+    on top of cross_doc_repeats' per-window signal: dd11 counts repeated
+    k-word windows; this merges their [i, i+k-1] word intervals into
+    maximal runs, which is what a dedup policy actually acts on ("drop
+    documents whose longest shared passage exceeds 50 tokens", "cut the
+    covered spans"). Output per doc: n_words, n_runs, covered_words
+    (union of repeated-window intervals), longest_run_words, and
+    dup_word_frac = covered / n_words.
+
+    Two positions i < j belong to one run iff j <= i + k (their word
+    intervals overlap or touch); the merge is a single left-to-right
+    integer fold over the doc's SORTED repeated positions carrying
+    (prev, n_runs, covered, run_len, max_run) — O(|positions|) per doc,
+    exact BIGINT algebra, written as the identical 5-slot list fold in
+    the DuckDB twin (list_reduce with a prepended init list, the dd15
+    seeding trick). Coverage and longest run are capped at n_words for
+    the short-doc whole-document window (dd11 semantics).
+
+    Scale shape inherits cross_doc_repeats: one posexplode shuffle on the
+    window hash with two-phase count_distinct, the (small) repeated-hash
+    set joins back, then ONE per-doc rollup collecting only REPEATED
+    positions (bounded by the doc's window count; collect_list here is a
+    per-doc array of ints, not a corpus structure). The fold is map-side
+    on the rolled-up row."""
+    rolls = rolling_hashes_incremental(
+        docs.select(id_col, h_col), k=k, h_col=h_col, out_col="rolls")
+    e = (rolls.select(id_col, F.posexplode("rolls").alias("pos", "rh"))
+         .localCheckpoint(eager=False))
+    rep = (e.groupBy("rh")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .where(F.col("nd") >= 2)
+           .select("rh"))
+    ps = (e.join(rep, "rh")
+          .groupBy(id_col)
+          .agg(F.sort_array(F.collect_list(F.col("pos").cast("long")))
+               .alias("ps")))
+    kl = F.lit(k).cast("long")
+    init = F.array(F.lit(-(k + 1)).cast("long"), F.lit(0).cast("long"),
+                   F.lit(0).cast("long"), F.lit(0).cast("long"),
+                   F.lit(0).cast("long"))
+
+    def step(acc, x):
+        prev, runs = F.element_at(acc, 1), F.element_at(acc, 2)
+        cov, rl = F.element_at(acc, 3), F.element_at(acc, 4)
+        mx = F.element_at(acc, 5)
+        new_run = x > prev + kl
+        rl2 = F.when(new_run, kl).otherwise(rl + (x - prev))
+        return F.array(x,
+                       F.when(new_run, runs + 1).otherwise(runs),
+                       F.when(new_run, cov + kl).otherwise(cov + (x - prev)),
+                       rl2,
+                       F.greatest(mx, rl2))
+
+    folded = ps.select(id_col, F.aggregate("ps", init, step).alias("a"))
+    base = docs.select(id_col,
+                       F.size(F.col(h_col)).cast("long").alias("n_words"))
+    j = base.join(folded, id_col, "left")
+    runs = F.coalesce(F.element_at("a", 2), F.lit(0)).cast("long")
+    cov = F.least(F.coalesce(F.element_at("a", 3), F.lit(0)).cast("long"),
+                  F.col("n_words"))
+    mx = F.least(F.coalesce(F.element_at("a", 5), F.lit(0)).cast("long"),
+                 F.col("n_words"))
+    return j.select(
+        id_col, "n_words", runs.alias("n_runs"),
+        cov.alias("covered_words"), mx.alias("longest_run_words"),
+        F.round(cov / F.col("n_words"), 4).alias("dup_word_frac"))

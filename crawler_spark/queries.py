@@ -9077,3 +9077,62 @@ def g33_scc_decomposition(spark, sf_dir):
           .select(h(F.col("doc_id") * 17 + 3).alias("src"),
                   h(F.col("doc_id") * 29 + 11).alias("dst")))
     return scc_decomposition(e1.unionByName(e2))
+
+
+@q("dd20_dup_substring_runs", f"""
+WITH h AS (SELECT doc_id, {_WH_SQL} AS wh FROM documents),
+r AS (SELECT doc_id, CASE WHEN len(wh) >= 8 THEN
+    list_transform(range(0, len(wh) - 7), i ->
+      list_reduce(list_prepend(0::BIGINT, list_slice(wh, i + 1, i + 8)),
+                  (acc, x) -> (acc * 69069 + x) % 2147483647))
+  ELSE [list_reduce(list_prepend(0::BIGINT, wh),
+                    (acc, x) -> (acc * 69069 + x) % 2147483647)]
+  END AS rolls FROM h),
+e AS (SELECT doc_id, s.pos AS pos, s.rh AS rh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(rolls)), i ->
+                 struct_pack(pos := i, rh := rolls[i + 1]))) AS s
+        FROM r)),
+rep AS (SELECT rh FROM e GROUP BY rh HAVING count(DISTINCT doc_id) >= 2),
+ps AS (SELECT e.doc_id, list(CAST(pos AS BIGINT) ORDER BY pos) AS ps
+       FROM e JOIN rep USING (rh) GROUP BY e.doc_id),
+f AS (SELECT doc_id,
+        list_reduce(
+          list_prepend([CAST(-9 AS BIGINT), CAST(0 AS BIGINT),
+                        CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                        CAST(0 AS BIGINT)],
+                       list_transform(ps, p -> [p])),
+          (acc, x) -> CASE WHEN x[1] > acc[1] + 8 THEN
+              [x[1], acc[2] + 1, acc[3] + 8, CAST(8 AS BIGINT),
+               greatest(acc[5], CAST(8 AS BIGINT))]
+            ELSE
+              [x[1], acc[2], acc[3] + (x[1] - acc[1]),
+               acc[4] + (x[1] - acc[1]),
+               greatest(acc[5], acc[4] + (x[1] - acc[1]))]
+            END) AS a
+      FROM ps)
+SELECT h.doc_id, len(wh)::BIGINT AS n_words,
+       COALESCE(a[2], 0)::BIGINT AS n_runs,
+       least(COALESCE(a[3], 0), len(wh))::BIGINT AS covered_words,
+       least(COALESCE(a[5], 0), len(wh))::BIGINT AS longest_run_words,
+       round(least(COALESCE(a[3], 0), len(wh)) * 1.0 / len(wh), 4)
+         AS dup_word_frac
+FROM h LEFT JOIN f USING (doc_id)
+""")
+def dd20_dup_substring_runs(spark, sf_dir):
+    """Maximal cross-doc repeated-substring runs per document — the
+    interval-merge layer over dd11's repeated-window signal: positions
+    whose 8-word Rabin-Karp window repeats in >= 2 docs are merged into
+    maximal runs (overlapping-or-touching intervals), yielding the
+    quantities an exact-substring dedup policy (Lee et al. ACL 2022)
+    acts on: run count, covered-word mass, longest shared passage, and
+    covered fraction. One posexplode shuffle + two-phase count-distinct
+    on the window hash, repeated positions rolled up per doc, then a
+    single map-side 5-slot BIGINT fold (the identical list_reduce in the
+    DuckDB twin). See operators/textdedup.dup_substring_runs."""
+    from crawler_spark.operators.textdedup import (
+        dup_substring_runs, word_hashes_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("doc_id", word_hashes_col(F.col("text")).alias("h"))
+    return dup_substring_runs(h, k=8)

@@ -466,3 +466,60 @@ def test_prefix_filter_join_boundary_pair_survives(spark):
         "doc_id long, text string")
     out = prefix_filter_pairs(d, threshold=0.5).collect()
     assert len(out) == 1 and out[0]["jaccard"] == 0.5
+
+
+# ---------------------------------------------------- dd20 substring runs
+
+
+def test_dup_substring_runs_golden(spark):
+    """Hand-built corpus, k=8: one shared 10-word passage P (3 repeated
+    windows -> ONE merged run of 10 words), a second shared 8-word
+    passage Q, a doc carrying both (two runs split by a unique gap), and
+    a clean doc."""
+    from crawler_spark.operators.textdedup import (
+        dup_substring_runs, word_hashes_col,
+    )
+    from pyspark.sql import functions as F
+    P = " ".join(f"p{i}" for i in range(10))
+    Q = " ".join(f"q{i}" for i in range(8))
+    rows = [
+        (1, P + " " + " ".join(f"ax{i}" for i in range(5))),     # 15 words
+        (2, " ".join(f"bx{i}" for i in range(3)) + " " + P),     # 13 words
+        (3, " ".join(f"cx{i}" for i in range(9))),               # clean
+        (4, P + " " + " ".join(f"dz{i}" for i in range(9))
+            + " " + Q),                                           # 27 words
+        (5, Q + " " + " ".join(f"ez{i}" for i in range(4))),     # 12 words
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    h = d.select("doc_id", word_hashes_col(F.col("text")).alias("h"))
+    got = {r.doc_id: r for r in dup_substring_runs(h, k=8).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_runs, r1.covered_words,
+            r1.longest_run_words) == (15, 1, 10, 10)
+    assert abs(r1.dup_word_frac - round(10 / 15, 4)) < 1e-9
+    r2 = got[2]
+    assert (r2.n_runs, r2.covered_words, r2.longest_run_words) == (1, 10, 10)
+    r3 = got[3]
+    assert (r3.n_runs, r3.covered_words, r3.dup_word_frac) == (0, 0, 0.0)
+    r4 = got[4]
+    assert (r4.n_words, r4.n_runs, r4.covered_words,
+            r4.longest_run_words) == (27, 2, 18, 10)
+    r5 = got[5]
+    assert (r5.n_runs, r5.covered_words, r5.longest_run_words) == (1, 8, 8)
+
+
+def test_dup_substring_runs_short_doc_cap(spark):
+    """Docs shorter than k share one whole-doc window; coverage and
+    longest run are capped at the doc's actual word count."""
+    from crawler_spark.operators.textdedup import (
+        dup_substring_runs, word_hashes_col,
+    )
+    from pyspark.sql import functions as F
+    d = spark.createDataFrame(
+        [(1, "s1 s2 s3"), (2, "s1 s2 s3"), (3, "u1 u2")],
+        "doc_id long, text string")
+    h = d.select("doc_id", word_hashes_col(F.col("text")).alias("h"))
+    got = {r.doc_id: r for r in dup_substring_runs(h, k=8).collect()}
+    assert (got[1].covered_words, got[1].longest_run_words,
+            got[1].dup_word_frac) == (3, 3, 1.0)
+    assert got[3].n_runs == 0

@@ -591,6 +591,12 @@ CHECKS = {
     "g33_scc_decomposition": (["HashAggregate"],
                               ["BatchEvalPython", "ArrowEvalPython",
                                "CartesianProduct"]),
+    # substring runs: window-hash shuffle w/ partial aggs; the per-doc
+    # interval fold is map-side array algebra; the Rabin-Karp scan is the
+    # dd11 Arrow kernel (ArrowEvalPython is that one vectorized scan, by
+    # design); forbid row-at-a-time Python and cartesian shapes
+    "dd20_dup_substring_runs": (["HashAggregate", "partial_count"],
+                                ["BatchEvalPython", "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
