@@ -368,3 +368,32 @@ def _scc_decomposition_inner(edges: DataFrame, src: str, dst: str,
     sizes = scc.groupBy("scc_id").agg(
         F.count(F.lit(1)).cast("long").alias("scc_size"))
     return scc.join(sizes, "scc_id").select("host", "scc_id", "scc_size")
+
+
+def scc_condensation(edges: DataFrame, src: str = "src",
+                     dst: str = "dst", max_iter: int = 64,
+                     trim_rounds: int = 3) -> DataFrame:
+    """The SCC condensation DAG: contract every strongly-connected
+    component of `scc_decomposition` to one node and emit the component-
+    level edges (scc_src, scc_dst, n_links), n_links = number of distinct
+    underlying host edges crossing the pair. This is by construction a
+    DAG — the crawl-planning readout: an edge scc_a -> scc_b means seeds
+    anywhere in a cover all of b by link-following, and the condensation's
+    sources are the minimal seed sets that cover everything reachable.
+
+    One label join per edge endpoint (host-cardinality label table —
+    broadcast at host counts, hash-shuffle at doc-graph scale; AQE
+    elects) + one component-pair rollup. Self-loops (both endpoints in
+    one SCC) are the contracted part and are dropped."""
+    lab = scc_decomposition(edges, src, dst, max_iter=max_iter,
+                            trim_rounds=trim_rounds) \
+        .select("host", "scc_id").localCheckpoint(eager=True)
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    return (e.join(lab.select(F.col("host").alias("src"),
+                              F.col("scc_id").alias("scc_src")), "src")
+            .join(lab.select(F.col("host").alias("dst"),
+                             F.col("scc_id").alias("scc_dst")), "dst")
+            .where(F.col("scc_src") != F.col("scc_dst"))
+            .groupBy("scc_src", "scc_dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_links")))

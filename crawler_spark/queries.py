@@ -9037,7 +9037,8 @@ def tx31_kneser_ney(spark, sf_dir):
     return kneser_ney_logprob(_t(spark, sf_dir, "documents"))
 
 
-@q("g33_scc_decomposition", """
+# shared recursive-closure SCC CTE chain (g33 labels; g34 condensation)
+_G33_SCC_CTES = """
 WITH RECURSIVE eset AS (
   SELECT DISTINCT src, dst FROM (""" + _G13_EDGES_SQL + """)
   WHERE src <> dst),
@@ -9052,7 +9053,10 @@ mut AS (SELECT a.src AS host, a.dst AS other
 scc AS (SELECT h.host,
                least(h.host, COALESCE(min(m.other), h.host)) AS scc_id
         FROM hosts h LEFT JOIN mut m ON m.host = h.host
-        GROUP BY h.host)
+        GROUP BY h.host)"""
+
+
+@q("g33_scc_decomposition", _G33_SCC_CTES + """
 SELECT s.host, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
 FROM scc s JOIN (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1) z
      USING (scc_id)
@@ -9136,3 +9140,86 @@ def dd20_dup_substring_runs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     h = d.select("doc_id", word_hashes_col(F.col("text")).alias("h"))
     return dup_substring_runs(h, k=8)
+
+
+@q("g34_scc_condensation", _G33_SCC_CTES + """,
+cond AS (SELECT sa.scc_id AS scc_src, sb.scc_id AS scc_dst,
+                CAST(count(*) AS BIGINT) AS n_links
+         FROM eset e JOIN scc sa ON e.src = sa.host
+                     JOIN scc sb ON e.dst = sb.host
+         WHERE sa.scc_id <> sb.scc_id
+         GROUP BY 1, 2)
+SELECT scc_src, scc_dst, n_links FROM cond
+""")
+def g34_scc_condensation(spark, sf_dir):
+    """The SCC condensation DAG of the g13 host graph: g33's components
+    contracted to single nodes, component-level edges weighted by the
+    count of distinct underlying host links. By construction acyclic —
+    the seed-planning readout (an edge a -> b proves seeds in a cover b
+    by link-following; the DAG's sources are the minimal covering seed
+    components). Label join per endpoint + one pair rollup on top of the
+    g33 labels. See operators/clusters.scc_condensation."""
+    from crawler_spark.operators.clusters import scc_condensation
+    d = _t(spark, sf_dir, "documents")
+    h = lambda c: F.concat(F.lit("h"), (c % 211).cast("string"))  # noqa: E731
+    e1 = (d.where(F.col("doc_id") % 2 == 0)
+          .select(h(F.col("doc_id")).alias("src"),
+                  h(F.col("doc_id") * 13 + 5).alias("dst")))
+    e2 = (d.where(F.col("doc_id") % 5 == 0)
+          .select(h(F.col("doc_id") * 17 + 3).alias("src"),
+                  h(F.col("doc_id") * 29 + 11).alias("dst")))
+    return scc_condensation(e1.unionByName(e2))
+
+
+@q("a14_pr_curve", f"""
+WITH s AS (SELECT CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS sm,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+h AS (SELECT sm, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY sm),
+c AS (SELECT sm,
+             CAST(SUM(np) OVER (ORDER BY sm DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+             CAST(SUM(n) OVER (ORDER BY sm DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM h),
+g AS (SELECT CAST(sum(y) AS BIGINT) AS npos FROM s)
+SELECT round(c.sm / 1000.0, 4) AS threshold, c.tp,
+       CAST(c.cum - c.tp AS BIGINT) AS fp,
+       round(c.tp * 1.0 / c.cum, 4) AS prec,
+       round(c.tp * 1.0 / g.npos, 4) AS recall
+FROM c CROSS JOIN g
+""")
+def a14_pr_curve(spark, sf_dir):
+    """Precision-recall curve of the tx2 quality score against the
+    English label at every achievable threshold — the operating-point
+    view a12's single AP number integrates away (a release engineer
+    picks the threshold off THIS table; a13 checks calibration at it).
+    Same resolution-bounded shape as a11/px17: one corpus rollup to the
+    integerized-score histogram, then descending cumulative windows over
+    <= 1001 rows (by-design tiny — never a corpus-wide window) and one
+    broadcast positives scalar."""
+    from crawler_spark.functions.text import quality_score_col
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        F.floor(quality_score_col(F.col("text")) * 1000).cast("long")
+        .alias("sm"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    h = s.groupBy("sm").agg(F.sum("y").cast("long").alias("np"),
+                            F.count(F.lit(1)).cast("long").alias("n"))
+    w = (Window.orderBy(F.desc("sm"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = h.select("sm",
+                 F.sum("np").over(w).cast("long").alias("tp"),
+                 F.sum("n").over(w).cast("long").alias("cum"))
+    g = s.agg(F.sum("y").cast("long").alias("npos"))
+    return (c.crossJoin(F.broadcast(g))
+            .select(F.round(F.col("sm") / 1000.0, 4).alias("threshold"),
+                    "tp", (F.col("cum") - F.col("tp")).cast("long")
+                    .alias("fp"),
+                    F.round(F.col("tp") / F.col("cum"), 4).alias("prec"),
+                    F.round(F.col("tp") / F.col("npos"), 4)
+                    .alias("recall")))

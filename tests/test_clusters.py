@@ -304,3 +304,50 @@ def test_scc_random_graphs_match_tarjan(spark):
         got_sz = {r.scc_id: r.scc_size
                   for r in scc_decomposition(df).collect()}
         assert got_sz == sizes, f"trial {trial} sizes"
+
+
+def test_scc_condensation_golden(spark):
+    """Cycle {a,b,c} + feeder d + DAG pair e->f: exactly the two
+    cross-component edges survive contraction, weighted 1."""
+    from crawler_spark.operators.clusters import scc_condensation
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("e", "f")],
+        "src string, dst string")
+    got = {(r.scc_src, r.scc_dst): r.n_links
+           for r in scc_condensation(e).collect()}
+    assert got == {("d", "a"): 1, ("e", "f"): 1}
+
+
+def test_scc_condensation_is_acyclic_and_weighted(spark):
+    """Random digraph: the condensation must be a DAG (verified by full
+    Python reachability) and its weights must sum to the number of
+    distinct cross-component base edges."""
+    from crawler_spark.operators.clusters import scc_condensation
+    rnd = random.Random(97)
+    n = 16
+    edges = sorted({(f"n{rnd.randrange(n):02d}", f"n{rnd.randrange(n):02d}")
+                    for _ in range(40)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = scc_condensation(df).collect()
+    cedges = [(r.scc_src, r.scc_dst) for r in rows]
+    # acyclicity: python transitive closure of the condensation
+    adj = {}
+    for u, v in cedges:
+        adj.setdefault(u, set()).add(v)
+    def reach(u, seen):
+        for v in adj.get(u, ()):  # noqa: E306
+            if v not in seen:
+                seen.add(v)
+                reach(v, seen)
+        return seen
+    for u, _ in cedges:
+        assert u not in reach(u, set()), "condensation has a cycle"
+    # weight conservation against the Tarjan labels
+    lab = _scc_py(edges)
+    want = {}
+    for u, v in edges:
+        if lab[u] != lab[v]:
+            want[(lab[u], lab[v])] = want.get((lab[u], lab[v]), 0) + 1
+    got = {(r.scc_src, r.scc_dst): r.n_links for r in rows}
+    assert got == want

@@ -597,6 +597,15 @@ CHECKS = {
     # design); forbid row-at-a-time Python and cartesian shapes
     "dd20_dup_substring_runs": (["HashAggregate", "partial_count"],
                                 ["BatchEvalPython", "CartesianProduct"]),
+    # condensation: label joins + pair rollup past the SCC checkpoints
+    "g34_scc_condensation": (["HashAggregate", "partial_count"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"]),
+    # PR curve: histogram rollup + tiny descending window (score grid,
+    # <= 1001 rows by design) + broadcast scalar; no Python
+    "a14_pr_curve": (["HashAggregate", "Window"],
+                     ["BatchEvalPython", "ArrowEvalPython",
+                      "SortMergeJoin"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
