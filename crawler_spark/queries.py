@@ -9223,3 +9223,84 @@ def a14_pr_curve(spark, sf_dir):
                     F.round(F.col("tp") / F.col("cum"), 4).alias("prec"),
                     F.round(F.col("tp") / F.col("npos"), 4)
                     .alias("recall")))
+
+
+@q("mm16_modality_transitions", """
+WITH spans AS (""" + _SPAN_SQL + """),
+t AS (SELECT unnest(list_transform(range(2, len(spans) + 1), i ->
+        struct_pack(f := spans[i - 1].kind, t := spans[i].kind))) AS p
+      FROM spans),
+c AS (SELECT p.f AS from_kind, p.t AS to_kind,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT from_kind, to_kind, n, round(n * 1.0 / tot, 4) AS frac
+FROM c CROSS JOIN g
+""")
+def mm16_modality_transitions(spark, sf_dir):
+    """Corpus-level modality transition matrix over the interleaved span
+    sequences (input_hint payload): counts and fractions of adjacent
+    (kind -> kind) steps — the first-order Markov view of interleaving
+    structure an interleaved-pretraining curriculum is tuned against
+    (mm6 profiles runs per doc; this is the corpus transition law). The
+    adjacent-pair projection is a map-side HOF over the span array
+    (bigram-gen shape, short-doc guarded); then ONE 4-row-bounded rollup
+    and a broadcast total. Zero Python."""
+    s = _spans_df(spark, sf_dir)
+    sp = F.col("spans")
+    idx = F.when(F.size(sp) >= 2,
+                 F.sequence(F.lit(2), F.size(sp))
+                 ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(sp, i - 1)["kind"].alias("f"),
+            F.element_at(sp, i)["kind"].alias("t")))
+    t = s.select(F.explode(pairs).alias("p"))
+    c = (t.groupBy(F.col("p.f").alias("from_kind"),
+                   F.col("p.t").alias("to_kind"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    g = c.agg(F.sum("n").cast("long").alias("tot"))
+    return (c.crossJoin(F.broadcast(g))
+            .select("from_kind", "to_kind", "n",
+                    F.round(F.col("n") / F.col("tot"), 4).alias("frac")))
+
+
+@q("px19_export_manifest", """
+WITH s AS (SELECT doc_id,
+                  ('0x' || substr(md5('shard/' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 16 AS shard,
+                  CAST(length(text) AS BIGINT) AS n_bytes,
+                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM documents)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_doc_bytes,
+       CAST(bit_xor(h) AS BIGINT) AS content_checksum
+FROM s GROUP BY shard
+""")
+def px19_export_manifest(spark, sf_dir):
+    """Deterministic sharded-export manifest — the release artifact a
+    training run consumes next to the data: content-stable shard
+    assignment (md5 coin on doc_id, 16 shards), per-shard document
+    count, byte mass, max document size (the reader's buffer bound),
+    and an ORDER-INDEPENDENT content checksum (bit_xor of per-doc
+    60-bit text digests — xor commutes, so the checksum is identical
+    however partitions arrive, unlike a sum mod 2^64 which DuckDB
+    would widen to HUGEINT and Spark would wrap). Verifying a copied
+    shard = recompute and compare one row. One partial-agged rollup;
+    the corpus never shuffles by more than the 16-row shard key."""
+    d = _t(spark, sf_dir, "documents")
+    h8 = F.conv(F.substring(F.md5(
+        F.concat(F.lit("shard/"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 16
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10) \
+        .cast("long")
+    s = d.select(h8.alias("shard"),
+                 F.length("text").cast("long").alias("n_bytes"),
+                 h60.alias("h"))
+    return (s.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_bytes").cast("long").alias("total_bytes"),
+                 F.max("n_bytes").cast("long").alias("max_doc_bytes"),
+                 F.bit_xor("h").cast("long").alias("content_checksum")))

@@ -606,6 +606,15 @@ CHECKS = {
     "a14_pr_curve": (["HashAggregate", "Window"],
                      ["BatchEvalPython", "ArrowEvalPython",
                       "SortMergeJoin"]),
+    # modality transitions: HOF pair-gen map-side, 4-row-bounded rollup
+    "mm16_modality_transitions": (["HashAggregate", "partial_count"],
+                                  ["BatchEvalPython", "ArrowEvalPython",
+                                   "SortMergeJoin"]),
+    # export manifest: ONE partial-agged rollup on the 16-row shard key,
+    # pure codegen digests, no joins, no Python
+    "px19_export_manifest": (["HashAggregate", "partial_count"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "Join"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
