@@ -397,3 +397,73 @@ def scc_condensation(edges: DataFrame, src: str = "src",
             .where(F.col("scc_src") != F.col("scc_dst"))
             .groupBy("scc_src", "scc_dst")
             .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
+
+
+def scc_condensation_levels(edges: DataFrame, src: str = "src",
+                            dst: str = "dst", max_iter: int = 64,
+                            trim_rounds: int = 3) -> DataFrame:
+    """Longest-path layering of the SCC condensation DAG: level(c) = the
+    longest chain of condensation edges from any source component to c
+    (sources and isolated components at 0). This is the crawl wave-depth
+    floor: a frontier seeded only in level-0 components needs AT LEAST
+    `level` inter-component expansions to first touch c — the layering a
+    seed planner reads next to g34's edge list (g5's hop_distance gives
+    the shortest-path view per pivot; this is the worst-case depth per
+    component, well-defined only because the condensation is acyclic).
+
+    Bellman-Ford-style relaxation on the (component-cardinality) DAG:
+    per round, frontier components push level+1 along condensation
+    edges; only strict improvements re-enter the frontier, so the loop
+    terminates in exactly DAG-depth rounds — no path enumeration (the
+    recursive-CTE twin enumerates paths; fine at oracle scale, not at
+    10^7 hosts, which is why the Spark side relaxes instead). Runs under
+    the same constraint-propagation guard as scc_decomposition (shared
+    lazy-constraint bug with checkpointed union lineage)."""
+    spark = edges.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    _old_cp = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        lab = _scc_decomposition_inner(edges, src, dst, max_iter,
+                                       trim_rounds) \
+            .select("host", "scc_id").localCheckpoint(eager=True)
+        comps = lab.select("scc_id").distinct().localCheckpoint(eager=True)
+        e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+             .where(F.col("src") != F.col("dst")).distinct())
+        cond = (e.join(lab.select(F.col("host").alias("src"),
+                                  F.col("scc_id").alias("a")), "src")
+                .join(lab.select(F.col("host").alias("dst"),
+                                 F.col("scc_id").alias("b")), "dst")
+                .where(F.col("a") != F.col("b"))
+                .select("a", "b").distinct().localCheckpoint(eager=True))
+        sources = (comps.join(cond.select(F.col("b").alias("scc_id")),
+                              "scc_id", "left_anti"))
+        lv = (sources.select(F.col("scc_id").alias("node"),
+                             F.lit(0).cast("long").alias("l"))
+              .localCheckpoint(eager=True))
+        frontier = lv
+        for _ in range(max_iter):
+            push = (frontier.join(cond, frontier["node"] == cond["a"])
+                    .select(F.col("b").alias("node"),
+                            (F.col("l") + 1).alias("l"))
+                    .groupBy("node").agg(F.max("l").alias("l")))
+            improved = (push.alias("p")
+                        .join(lv.alias("o"), "node", "left")
+                        .where(F.col("o.l").isNull()
+                               | (F.col("p.l") > F.col("o.l")))
+                        .select("node", F.col("p.l").alias("l"))
+                        .localCheckpoint(eager=True))
+            if not improved.take(1):
+                break
+            lv = (lv.join(improved.select("node"), "node", "left_anti")
+                  .unionByName(improved).localCheckpoint(eager=True))
+            frontier = improved
+        else:
+            raise RuntimeError(
+                f"condensation levels did not settle in {max_iter}")
+        return (comps.join(lv, comps["scc_id"] == lv["node"], "left")
+                .select("scc_id",
+                        F.coalesce("l", F.lit(0)).cast("long")
+                        .alias("level")))
+    finally:
+        spark.conf.set(_CP, _old_cp)

@@ -9304,3 +9304,98 @@ def px19_export_manifest(spark, sf_dir):
                  F.sum("n_bytes").cast("long").alias("total_bytes"),
                  F.max("n_bytes").cast("long").alias("max_doc_bytes"),
                  F.bit_xor("h").cast("long").alias("content_checksum")))
+
+
+@q("st14_session_gap_histogram", """
+WITH l AS (SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+g AS (SELECT t - lag(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS gap
+      FROM l),
+d AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+h AS (SELECT CASE WHEN gap <= 0 THEN 0
+             ELSE length(bin(gap)) END AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+            ELSE (1::BIGINT << (bucket - 1)) END AS BIGINT) AS gap_lo,
+       CAST((1::BIGINT << bucket) - 1 AS BIGINT) AS gap_hi,
+       n, round(n * 1.0 / tot, 4) AS frac,
+       round(SUM(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1.0 / tot, 4) AS cum_frac
+FROM h CROSS JOIN tot
+""")
+def st14_session_gap_histogram(spark, sf_dir):
+    """Inter-event gap distribution per user stream, log2-bucketed with
+    cumulative mass — the PLANNING view behind st2's 1800s session gap
+    (pick the threshold where cum_frac plateaus, the dd16/px17 pattern:
+    measure the knob's curve before committing it corpus-wide). Buckets
+    come from the BINARY LENGTH of the integer gap (floor(log2)+1 as
+    string length of bin()) — pure integer/string algebra, no libm log
+    in either engine. One lag window per user stream (the st2 shuffle),
+    a <=40-row histogram rollup, and a tiny cumulative window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    l = e.select("user_id", "event_id",
+                 F.unix_timestamp("ts").alias("t"))
+    g = l.select((F.col("t") - F.lag("t").over(w)).alias("gap")) \
+         .where(F.col("gap").isNotNull())
+    bucket = F.when(F.col("gap") <= 0, F.lit(0)) \
+              .otherwise(F.length(F.bin("gap"))).cast("int")
+    h = (g.select(bucket.alias("bucket"))
+         .groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = h.agg(F.sum("n").cast("long").alias("tot"))
+    cw = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # python-API shiftleft takes only a literal shift; expr() for col-shift
+    return (h.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    F.when(F.col("bucket") == 0, F.lit(0).cast("long"))
+                    .otherwise(F.expr("shiftleft(1L, bucket - 1)")
+                               .cast("long")).alias("gap_lo"),
+                    (F.expr("shiftleft(1L, bucket)") - 1).cast("long")
+                    .alias("gap_hi"),
+                    "n",
+                    F.round(F.col("n") / F.col("tot"), 4).alias("frac"),
+                    F.round(F.sum("n").over(cw) / F.col("tot"), 4)
+                    .alias("cum_frac")))
+
+
+@q("g35_condensation_levels", _G33_SCC_CTES + """,
+comps AS (SELECT DISTINCT scc_id FROM scc),
+cond AS (SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+         FROM eset e JOIN scc sa ON e.src = sa.host
+                     JOIN scc sb ON e.dst = sb.host
+         WHERE sa.scc_id <> sb.scc_id),
+lv(node, l) AS (
+  SELECT c.scc_id, 0 FROM comps c
+  WHERE NOT EXISTS (SELECT 1 FROM cond WHERE cond.b = c.scc_id)
+  UNION ALL
+  SELECT cond.b, lv.l + 1 FROM lv JOIN cond ON cond.a = lv.node)
+SELECT node AS scc_id, CAST(max(l) AS BIGINT) AS level
+FROM lv GROUP BY node
+""")
+def g35_condensation_levels(spark, sf_dir):
+    """Longest-path layering of the g34 condensation DAG: per component,
+    the worst-case number of inter-component frontier expansions from a
+    source component — the wave-depth floor a seed planner reads next to
+    g34's edges (seeds in the level-0 layer need `level` waves to first
+    touch a component). Spark side is Bellman-Ford relaxation at
+    component cardinality (DAG-depth rounds, strict-improvement
+    frontier, no path enumeration); the DuckDB twin enumerates paths
+    recursively and maxes — fine at oracle scale, the reason the engine
+    side relaxes instead. See operators/clusters.scc_condensation_levels.
+    """
+    from crawler_spark.operators.clusters import scc_condensation_levels
+    d = _t(spark, sf_dir, "documents")
+    h = lambda c: F.concat(F.lit("h"), (c % 211).cast("string"))  # noqa: E731
+    e1 = (d.where(F.col("doc_id") % 2 == 0)
+          .select(h(F.col("doc_id")).alias("src"),
+                  h(F.col("doc_id") * 13 + 5).alias("dst")))
+    e2 = (d.where(F.col("doc_id") % 5 == 0)
+          .select(h(F.col("doc_id") * 17 + 3).alias("src"),
+                  h(F.col("doc_id") * 29 + 11).alias("dst")))
+    return scc_condensation_levels(e1.unionByName(e2))

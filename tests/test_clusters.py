@@ -351,3 +351,17 @@ def test_scc_condensation_is_acyclic_and_weighted(spark):
             want[(lab[u], lab[v])] = want.get((lab[u], lab[v]), 0) + 1
     got = {(r.scc_src, r.scc_dst): r.n_links for r in rows}
     assert got == want
+
+
+def test_scc_condensation_levels_golden(spark):
+    """Chain of three SCCs {a,b} -> {c} -> {d,e}, plus isolated pair
+    f->g (f source level 0, g level 1): longest-path layering."""
+    from crawler_spark.operators.clusters import scc_condensation_levels
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"),
+         ("d", "e"), ("e", "d"), ("a", "d"),  # shortcut must NOT lower d
+         ("f", "g")],
+        "src string, dst string")
+    got = {r.scc_id: r.level
+           for r in scc_condensation_levels(e).collect()}
+    assert got == {"a": 0, "c": 1, "d": 2, "f": 0, "g": 1}

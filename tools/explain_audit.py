@@ -615,6 +615,16 @@ CHECKS = {
     "px19_export_manifest": (["HashAggregate", "partial_count"],
                              ["BatchEvalPython", "ArrowEvalPython",
                               "Join"]),
+    # gap histogram: one per-user lag window, bounded histogram + tiny
+    # cumulative window; integer/string bucket math, no libm, no Python
+    "st14_session_gap_histogram": (["Window", "HashAggregate"],
+                                   ["BatchEvalPython", "ArrowEvalPython",
+                                    "SortMergeJoin"]),
+    # condensation levels: final fragment past the relaxation loop's
+    # checkpoints — label coalesce at component cardinality, no Python
+    "g35_condensation_levels": (["Project"],
+                                ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
