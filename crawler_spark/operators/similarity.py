@@ -1002,3 +1002,86 @@ def ivf_multiprobe(emb: DataFrame, query: DataFrame, k: int = 10,
             .where(F.col("rnk") <= k)
             .select("qid", id_col, "cosine",
                     F.col("rnk").cast("long").alias("rnk")))
+
+
+def ivf_recall_curve(emb: DataFrame, query: DataFrame, k: int = 10,
+                     max_nprobe: int = 4, scale: int = 64,
+                     cell_col: str = "label", vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Recall@k vs nprobe for multi-probe IVF — the curve a serving
+    engineer reads to pick an15's nprobe (the dd16/px17 planning
+    pattern: measure the knob before committing it): for every
+    nprobe in 1..max_nprobe, the mean fraction of the TRUE top-k
+    (brute-force cosine, an1 semantics) recovered by scanning that many
+    centroid-ranked cells. Output: (nprobe, n_queries, mean_recall).
+
+    One pass each: centroid build + cell ranking (ivf_multiprobe's
+    integer-lattice machinery, rank kept as cell_rk instead of
+    filtered), ONE probed-cell scoring pass reused by every nprobe
+    (the candidate set for nprobe=j is a prefix of the cell ranking, so
+    smaller probes are filters over the same scored rows — no
+    re-scoring), one brute-force truth pass over the query set, and a
+    broadcast nprobe grid. The final windows run per (query, nprobe) on
+    probed rows only. n_queries is a driver-side count of the (small by
+    contract) query set."""
+    from pyspark.sql import Window
+
+    qz = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x.cast("double") * scale)
+                     .cast("long"))
+    ex = (emb.select(F.col(cell_col).alias("cell"), qz.alias("qv"))
+          .select("cell", F.posexplode("qv"))
+          .select("cell", (F.col("pos") + 1).alias("d"),
+                  F.col("col").alias("v")))
+    cent = (ex.groupBy("cell", "d")
+            .agg(F.floor(F.sum("v").cast("double") / F.count("*"))
+                 .cast("long").alias("cv")))
+    qx = (query.select(F.col(id_col).alias("qid"), qz.alias("qv"))
+          .select("qid", F.posexplode("qv"))
+          .select("qid", (F.col("pos") + 1).alias("d"),
+                  F.col("col").alias("qval")))
+    d2 = (qx.join(F.broadcast(cent), "d")
+          .groupBy("qid", "cell")
+          .agg(F.sum((F.col("qval") - F.col("cv"))
+                     * (F.col("qval") - F.col("cv"))).alias("d2")))
+    w_cell = Window.partitionBy("qid").orderBy("d2", "cell")
+    probes = (d2.withColumn("cell_rk", F.row_number().over(w_cell))
+              .where(F.col("cell_rk") <= max_nprobe)
+              .select("qid", "cell", "cell_rk"))
+    q = query.select(F.col(id_col).alias("qid"),
+                     F.col(vec_col).alias("qvec"))
+    cos = F.round(cosine_col(F.col(vec_col).cast("array<double>"),
+                             F.col("qvec").cast("array<double>")), 4)
+    scored = (emb.join(F.broadcast(probes),
+                       F.col(cell_col) == F.col("cell"))
+              .join(F.broadcast(q), "qid")
+              .where(F.col(id_col) != F.col("qid"))
+              .select("qid", F.col(id_col), "cell_rk",
+                      cos.alias("cosine"))
+              .localCheckpoint(eager=False))
+    truth = (emb.crossJoin(F.broadcast(q))
+             .where(F.col(id_col) != F.col("qid"))
+             .select("qid", F.col(id_col), cos.alias("cosine")))
+    w_q = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                            F.col(id_col))
+    truth_k = (truth.withColumn("rnk", F.row_number().over(w_q))
+               .where(F.col("rnk") <= k).select("qid", id_col))
+    spark = emb.sparkSession
+    nq = query.count()
+    nps = spark.createDataFrame([(j,) for j in range(1, max_nprobe + 1)],
+                                "np int")
+    w_qn = Window.partitionBy("qid", "np").orderBy(F.desc("cosine"),
+                                                   F.col(id_col))
+    topk = (scored.crossJoin(F.broadcast(nps))
+            .where(F.col("cell_rk") <= F.col("np"))
+            .withColumn("rnk", F.row_number().over(w_qn))
+            .where(F.col("rnk") <= k)
+            .select("np", "qid", id_col))
+    hits = (topk.join(truth_k, ["qid", id_col])
+            .groupBy("np").agg(F.count(F.lit(1)).alias("c")))
+    return (nps.join(hits, "np", "left")
+            .select(F.col("np").alias("nprobe"),
+                    F.lit(nq).cast("long").alias("n_queries"),
+                    F.round(F.coalesce(F.col("c"), F.lit(0))
+                            / F.lit(float(nq * k)), 4)
+                    .alias("mean_recall")))

@@ -9399,3 +9399,73 @@ def g35_condensation_levels(spark, sf_dir):
           .select(h(F.col("doc_id") * 17 + 3).alias("src"),
                   h(F.col("doc_id") * 29 + 11).alias("dst")))
     return scc_condensation_levels(e1.unionByName(e2))
+
+
+@q("an16_ivf_recall_curve", """
+WITH qz AS (SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))
+                     AS qv
+            FROM embeddings),
+ex AS (SELECT label AS cell, s.d AS d, s.v AS v
+       FROM (SELECT label,
+                    unnest(list_transform(range(1, len(qv)+1),
+                           i -> {'d': i, 'v': qv[i]})) AS s
+             FROM qz)),
+cent AS (SELECT cell, d,
+                CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS cv
+         FROM ex GROUP BY 1, 2),
+qx AS (SELECT vec_id AS qid, s.d AS d, s.v AS qval
+       FROM (SELECT vec_id,
+                    unnest(list_transform(range(1, len(qv)+1),
+                           i -> {'d': i, 'v': qv[i]})) AS s
+             FROM qz WHERE vec_id IN (0, 1, 2, 3))),
+d2 AS (SELECT qx.qid, c.cell,
+              sum((qx.qval - c.cv) * (qx.qval - c.cv)) AS d2
+       FROM qx JOIN cent c USING (d) GROUP BY 1, 2),
+probes AS (SELECT qid, cell, rk AS cell_rk FROM (
+    SELECT qid, cell, row_number() OVER (PARTITION BY qid
+                                         ORDER BY d2, cell) AS rk
+    FROM d2) WHERE rk <= 4),
+qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+scored AS (SELECT p.qid, e.vec_id, p.cell_rk,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               qq.qvec), 4) AS cosine
+           FROM probes p JOIN embeddings e ON e.label = p.cell
+           JOIN qq ON qq.qid = p.qid
+           WHERE e.vec_id <> p.qid),
+truth AS (SELECT qid, vec_id FROM (
+    SELECT qq.qid, e.vec_id,
+           row_number() OVER (PARTITION BY qq.qid
+               ORDER BY round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], qq.qvec), 4) DESC,
+                        e.vec_id) AS rnk
+    FROM embeddings e CROSS JOIN qq
+    WHERE e.vec_id <> qq.qid) WHERE rnk <= 10),
+nps AS (SELECT unnest([1, 2, 3, 4]) AS np),
+topk AS (SELECT np, qid, vec_id FROM (
+    SELECT n.np, s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid, n.np
+                              ORDER BY s.cosine DESC, s.vec_id) AS rnk
+    FROM scored s CROSS JOIN nps n
+    WHERE s.cell_rk <= n.np) WHERE rnk <= 10),
+h AS (SELECT np, CAST(count(*) AS BIGINT) AS c
+      FROM topk JOIN truth USING (qid, vec_id) GROUP BY np)
+SELECT CAST(n.np AS INT) AS nprobe, CAST(4 AS BIGINT) AS n_queries,
+       round(COALESCE(h.c, 0) / 40.0, 4) AS mean_recall
+FROM nps n LEFT JOIN h ON h.np = n.np
+""")
+def an16_ivf_recall_curve(spark, sf_dir):
+    """Recall@10 vs nprobe (1..4) for multi-probe IVF over the km1
+    integer lattice — the serving-side planning curve for an15's knob
+    (how many centroid-ranked cells buy how much of brute force's
+    answer). Truth is the exact an1 cosine top-10; candidates for
+    nprobe=j are a PREFIX of the cell ranking, so one probed-cell
+    scoring pass serves every j (filters, not re-scoring).
+    See operators/similarity.ivf_recall_curve."""
+    from crawler_spark.operators.similarity import ivf_recall_curve
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2, 3))
+    return ivf_recall_curve(e, qs, k=10, max_nprobe=4, scale=64)

@@ -341,3 +341,27 @@ def test_ivf_multiprobe_crosses_voronoi_boundary(spark):
     two = {r["vec_id"] for r in
            ivf_multiprobe(e, qs, k=3, nprobe=2).collect()}
     assert 10 not in one and 10 in two
+
+
+def test_ivf_recall_curve_monotone_and_saturates(spark):
+    """Recall@k must be non-decreasing in nprobe and reach 1.0 when
+    every cell is probed (nprobe >= n_cells => candidate set == corpus)."""
+    from crawler_spark.operators.similarity import ivf_recall_curve
+    import random
+    rnd = random.Random(41)
+    rows = []
+    for i in range(60):
+        cell = i % 3
+        base = [0.9 * (cell == 0), 0.9 * (cell == 1), 0.9 * (cell == 2)]
+        vec = [round(b + rnd.uniform(-0.05, 0.05), 6) for b in base]
+        rows.append((i, cell, vec))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, label long, "
+                               "embedding array<double>")
+    qs = df.where("vec_id in (0, 1)")
+    got = {r.nprobe: r.mean_recall
+           for r in ivf_recall_curve(df, qs, k=5, max_nprobe=3).collect()}
+    assert list(got) == [1, 2, 3]
+    assert got[1] <= got[2] <= got[3]
+    assert got[3] == 1.0
+    assert got[1] > 0.0
