@@ -625,10 +625,10 @@ CHECKS = {
     "g35_condensation_levels": (["Project"],
                                 ["BatchEvalPython", "ArrowEvalPython",
                                  "CartesianProduct"]),
-    # recall curve: broadcast centroid/probe/query dims + keyed windows
-    # over probed rows; truth pass is the an1 broadcast NL scan (tiny
-    # query side); no row-at-a-time Python
-    "an16_ivf_recall_curve": (["BroadcastHashJoin", "Window"],
+    # recall curve: keyed windows over probed rows (the broadcast scoring
+    # joins sit behind the scored branch's lineage-cut checkpoint and are
+    # audited via an15's entry); no row-at-a-time Python
+    "an16_ivf_recall_curve": (["Window"],
                               ["BatchEvalPython", "ArrowEvalPython"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
