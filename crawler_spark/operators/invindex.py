@@ -488,3 +488,55 @@ def wand_upper_bounds(docs: DataFrame, doc_id: str = "doc_id",
                 / (F.col("df") + 0.5))
     return a.select("term", "df", "max_tf",
                     F.round(idf * F.col("_maxc"), 4).alias("ub_bm25"))
+
+
+def ndcg_at_k(docs: DataFrame, terms: tuple[str, ...],
+              k: int = 10, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """NDCG@k of the BM25 ranking against graded term-coverage relevance
+    (Järvelin & Kekäläinen, TOIS 2002) — the ranking-quality eval that
+    closes the retrieval stack (rankers ix7/ix11/ix13, bounds ix14; this
+    grades them): rel(d) = number of DISTINCT query terms present
+    (0..|terms|, the deterministic pseudo-label), gain = 2^rel - 1,
+    discount = log2(rank + 1). Output per rank r <= k: (rnk, doc_id,
+    rel, dcg, ndcg) with running DCG and NDCG@r = DCG@r / IDCG@r.
+
+    Exactness discipline: gains are INTEGER (shiftleft, no libm pow);
+    only log2 of the eleven small rank integers and the final round(4)
+    touch floats, and the cumulative sums run in pinned rank order (a
+    window ordered by rnk, never an unordered aggregate). Both top-k
+    selections are TakeOrderedAndProject (global sort-limit, no
+    single-partition corpus window); the rank windows then run over the
+    k selected rows only — by-design tiny."""
+    from pyspark.sql import Window
+    from crawler_spark.functions.text import bm25_scores
+
+    scores = bm25_scores(docs, F.col(text_col), terms)
+    wsplit = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    rel = docs.select(
+        id_col,
+        F.size(F.array_intersect(
+            F.array_distinct(wsplit),
+            F.array(*[F.lit(t) for t in terms]))).cast("long").alias("rel"))
+    cand = scores.join(rel, id_col)
+    gain = (F.expr("shiftleft(1L, cast(rel as int))") - 1).cast("double")
+
+    def run(top: DataFrame, order_cols) -> DataFrame:
+        w_rk = Window.orderBy(*order_cols)
+        cum = Window.orderBy("rnk").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        return (top.withColumn("rnk", F.row_number().over(w_rk))
+                .withColumn("g", gain / F.log2(F.col("rnk") + 1))
+                .withColumn("cum", F.sum("g").over(cum)))
+
+    ranked = run(cand.orderBy(F.desc("bm25"), id_col).limit(k),
+                 [F.desc("bm25"), F.col(id_col)])
+    ideal = run(cand.orderBy(F.desc("rel"), id_col).limit(k),
+                [F.desc("rel"), F.col(id_col)]) \
+        .select(F.col("rnk").alias("irnk"), F.col("cum").alias("icum"))
+    return (ranked.join(ideal, ranked["rnk"] == ideal["irnk"])
+            .select(F.col("rnk").cast("long"), id_col,
+                    F.col("rel").cast("int").alias("rel"),
+                    F.round("cum", 4).alias("dcg"),
+                    F.round(F.col("cum") / F.col("icum"), 4)
+                    .alias("ndcg")))

@@ -9469,3 +9469,62 @@ def an16_ivf_recall_curve(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qs = e.where(F.col("vec_id").isin(0, 1, 2, 3))
     return ivf_recall_curve(e, qs, k=10, max_nprobe=4, scale=64)
+
+
+@q("ix15_ndcg", f"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+g AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM w),
+t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+       WHERE term IN {_TX11_TERMS!r} GROUP BY 1, 2, 3),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+bm AS (SELECT tf.doc_id,
+              round(SUM(ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))),
+                    4) AS bm25
+       FROM tf JOIN df USING (term) CROSS JOIN g
+       GROUP BY tf.doc_id),
+rel AS (SELECT doc_id,
+               CAST(len(list_intersect(list_distinct(w),
+                    ['spark', 'merge', 'window', 'sort'])) AS BIGINT)
+                 AS rel
+        FROM w),
+cand AS (SELECT b.doc_id, b.bm25, r.rel FROM bm b JOIN rel r
+         USING (doc_id)),
+rr AS (SELECT doc_id, rel, rnk,
+              ((1::BIGINT << rel) - 1) / log2(rnk + 1) AS gn
+       FROM (SELECT doc_id, rel,
+                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+             FROM cand)
+       WHERE rnk <= 10),
+dcgt AS (SELECT rnk, doc_id, rel,
+                SUM(gn) OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS dcg
+         FROM rr),
+ii AS (SELECT irnk,
+              SUM(((1::BIGINT << rel) - 1) / log2(irnk + 1))
+                OVER (ORDER BY irnk ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS icum
+       FROM (SELECT rel,
+                    row_number() OVER (ORDER BY rel DESC, doc_id) AS irnk
+             FROM cand)
+       WHERE irnk <= 10)
+SELECT CAST(d.rnk AS BIGINT) AS rnk, d.doc_id,
+       CAST(d.rel AS INT) AS rel,
+       round(d.dcg, 4) AS dcg, round(d.dcg / i.icum, 4) AS ndcg
+FROM dcgt d JOIN ii i ON i.irnk = d.rnk
+""")
+def ix15_ndcg(spark, sf_dir):
+    """NDCG@10 of the tx11 BM25 ranking against graded term-coverage
+    relevance (rel = distinct query terms present) — the ranking-quality
+    eval closing the retrieval stack: running DCG and NDCG@r per rank,
+    integer gains via shiftleft (no libm pow), log2 only of the eleven
+    small rank integers, cumulative sums in pinned rank order. Both
+    top-10 selections are global sort-limits (TakeOrderedAndProject),
+    never a corpus-wide single-partition window.
+    See operators/invindex.ndcg_at_k."""
+    from crawler_spark.operators.invindex import ndcg_at_k
+    return ndcg_at_k(_t(spark, sf_dir, "documents"), _TX11_TERMS, k=10)

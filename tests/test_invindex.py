@@ -299,3 +299,55 @@ def test_wand_bounds_dominate_every_posting(spark):
         # differ exactly on the grid, NOTES round-4 gotcha #1)
         assert abs(max(cs) - ub[t]["ub_bm25"]) <= 5e-5, t
         assert all(c <= ub[t]["ub_bm25"] + 5e-5 for c in cs)
+
+
+def test_ndcg_uniform_relevance_is_one(spark):
+    """When every candidate has the same relevance grade, any ranking is
+    ideal: NDCG@r must be exactly 1.0 at every rank."""
+    from crawler_spark.operators.invindex import ndcg_at_k
+    rows = [(i, "spark " + " ".join(f"w{i}x{j}" for j in range(i + 1)))
+            for i in range(8)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ndcg_at_k(d, ("spark", "merge"), k=5).collect()
+    assert len(out) == 5
+    assert all(r.ndcg == 1.0 for r in out)
+    assert all(r.rel == 1 for r in out)
+    dcgs = [r.dcg for r in sorted(out, key=lambda r: r.rnk)]
+    assert dcgs == sorted(dcgs)  # running DCG is non-decreasing
+
+
+def test_ndcg_matches_python_reference(spark):
+    """Mixed-relevance corpus: replicate the full DCG/IDCG arithmetic in
+    Python over the operator's own BM25 ordering and compare every rank
+    (tests the NDCG math independent of what order BM25 happens to
+    produce)."""
+    import math
+    from pyspark.sql import functions as F
+    from crawler_spark.functions.text import bm25_scores
+    from crawler_spark.operators.invindex import ndcg_at_k
+    terms = ("spark", "merge")
+    rows = [(0, "spark merge " + " ".join(f"f{j}" for j in range(80)))]
+    rows += [(i, f"spark s{i}a s{i}b") for i in (1, 2, 3)]
+    rows += [(9, "merge merge merge merge merge m9a")]  # rel 1, tf-saturated
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    bm = {r.doc_id: r.bm25
+          for r in bm25_scores(d, F.col("text"), terms).collect()}
+    rel = {i: len(set(t.split()) & set(terms)) for i, t in rows}
+    order = sorted(bm, key=lambda i: (-bm[i], i))
+    ideal = sorted(bm, key=lambda i: (-rel[i], i))
+    gain = lambda i: (1 << rel[i]) - 1  # noqa: E731
+    want = {}
+    dcg = idcg = 0.0
+    for r, (a, b) in enumerate(zip(order, ideal), start=1):
+        dcg += gain(a) / math.log2(r + 1)
+        idcg += gain(b) / math.log2(r + 1)
+        want[r] = (a, rel[a], round(dcg, 4), round(dcg / idcg, 4))
+    got = {r.rnk: (r.doc_id, r.rel, r.dcg, r.ndcg)
+           for r in ndcg_at_k(d, terms, k=5).collect()}
+    assert set(got) == set(range(1, 6))
+    for r in got:
+        assert got[r][:2] == want[r][:2], r
+        assert abs(got[r][2] - want[r][2]) < 2e-4, r
+        assert abs(got[r][3] - want[r][3]) < 2e-4, r
+    # the mixed grades must actually exercise a non-trivial NDCG < 1
+    assert any(got[r][3] < 1.0 for r in got)

@@ -630,6 +630,11 @@ CHECKS = {
     # audited via an15's entry); no row-at-a-time Python
     "an16_ivf_recall_curve": (["Window"],
                               ["BatchEvalPython", "ArrowEvalPython"]),
+    # NDCG: top-k via global sort-limit (TakeOrderedAndProject), rank
+    # windows over the k selected rows only; no corpus window, no Python
+    "ix15_ndcg": (["TakeOrderedAndProject", "Window"],
+                  ["BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
