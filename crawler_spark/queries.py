@@ -9528,3 +9528,88 @@ def ix15_ndcg(spark, sf_dir):
     See operators/invindex.ndcg_at_k."""
     from crawler_spark.operators.invindex import ndcg_at_k
     return ndcg_at_k(_t(spark, sf_dir, "documents"), _TX11_TERMS, k=10)
+
+
+_A16_B = 16
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k!): literal
+# doubles, identical in both engines.
+_A16_C = ("0.36787944117144233", "0.7357588823428847",
+          "0.9196986029286058", "0.9810118431238462")
+
+
+@q("a16_poisson_bootstrap_ci", f"""
+WITH s AS (SELECT doc_id,
+                  CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS sm
+           FROM documents),
+r AS (SELECT b, doc_id, sm,
+             ('0x' || substr(md5('boot/' || CAST(b AS VARCHAR) || '/'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT / 4294967296.0 AS u
+      FROM s CROSS JOIN (SELECT unnest(range(0, {_A16_B})) AS b)),
+w AS (SELECT b, sm,
+             CASE WHEN u < {_A16_C[0]} THEN 0
+                  WHEN u < {_A16_C[1]} THEN 1
+                  WHEN u < {_A16_C[2]} THEN 2
+                  WHEN u < {_A16_C[3]} THEN 3
+                  ELSE 4 END AS w
+      FROM r),
+m AS (SELECT b, CAST(sum(w * sm) AS BIGINT) AS ws,
+             CAST(sum(w) AS BIGINT) AS n_eff
+      FROM w GROUP BY b),
+means AS (SELECT list_sort(list(ws * 1.0 / (1000.0 * n_eff))) AS ms
+          FROM m),
+pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(sm) AS BIGINT) AS tot FROM s)
+SELECT pt.n_docs,
+       CAST({_A16_B} AS INT) AS n_replicates,
+       round(pt.tot / (1000.0 * pt.n_docs), 4) AS point_mean,
+       round(ms[2], 4) AS boot_lo,
+       round(ms[{_A16_B - 1}], 4) AS boot_hi
+FROM pt CROSS JOIN means
+""")
+def a16_poisson_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap confidence interval for the mean
+    tx2 quality score — the scale-correct uncertainty quantification
+    (Chamandy et al., Google 2012: per-row independent Poisson(1)
+    weights replace multinomial resampling, so each replicate is ONE
+    partial-agged pass and rows never coordinate): 16 replicates from
+    content-stable md5 uniforms through the literal Poisson inverse-CDF
+    thresholds; the interval is the 2nd/15th order statistic of the
+    replicate means (~6%/94% band at B=16). Everything is exact BIGINT
+    until one division per output; the replicate means are selected
+    from a SORTED 16-element list (array_sort + element_at — no
+    percentile interpolation to diverge on). The corpus is touched by
+    one 16x-expanded map pass and one 16-key rollup."""
+    d = _t(spark, sf_dir, "documents")
+    from crawler_spark.functions.text import quality_score_col
+    s = d.select("doc_id",
+                 F.floor(quality_score_col(F.col("text")) * 1000)
+                 .cast("long").alias("sm"))
+    bgrid = F.explode(F.sequence(F.lit(0), F.lit(_A16_B - 1))).alias("b")
+    u = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("boot/"), F.col("b").cast("string"), F.lit("/"),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0))
+    w = (F.when(u < float(_A16_C[0]), 0)
+         .when(u < float(_A16_C[1]), 1)
+         .when(u < float(_A16_C[2]), 2)
+         .when(u < float(_A16_C[3]), 3)
+         .otherwise(4))
+    m = (s.select("doc_id", "sm", bgrid)
+         .withColumn("w", w)
+         .groupBy("b")
+         .agg(F.sum(F.col("w") * F.col("sm")).cast("long").alias("ws"),
+              F.sum("w").cast("long").alias("n_eff")))
+    means = m.agg(F.array_sort(F.collect_list(
+        F.col("ws") / (F.lit(1000.0) * F.col("n_eff")))).alias("ms"))
+    pt = s.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+               F.sum("sm").cast("long").alias("tot"))
+    return (pt.crossJoin(F.broadcast(means))
+            .select("n_docs",
+                    F.lit(_A16_B).cast("int").alias("n_replicates"),
+                    F.round(F.col("tot") / (F.lit(1000.0)
+                                            * F.col("n_docs")), 4)
+                    .alias("point_mean"),
+                    F.round(F.element_at("ms", 2), 4).alias("boot_lo"),
+                    F.round(F.element_at("ms", _A16_B - 1), 4)
+                    .alias("boot_hi")))

@@ -635,6 +635,11 @@ CHECKS = {
     "ix15_ndcg": (["TakeOrderedAndProject", "Window"],
                   ["BatchEvalPython", "ArrowEvalPython",
                    "CartesianProduct"]),
+    # Poisson bootstrap: one 16x-expanded map pass, one 16-key partial
+    # agg, broadcast summary join; no Python, no corpus sort
+    "a16_poisson_bootstrap_ci": (["HashAggregate", "partial_sum"],
+                                 ["BatchEvalPython", "ArrowEvalPython",
+                                  "SortMergeJoin", "rangepartitioning("]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
