@@ -9613,3 +9613,42 @@ def a16_poisson_bootstrap_ci(spark, sf_dir):
                     F.round(F.element_at("ms", 2), 4).alias("boot_lo"),
                     F.round(F.element_at("ms", _A16_B - 1), 4)
                     .alias("boot_hi")))
+
+
+@q("a17_langid_confusion", f"""
+WITH p AS ({_LANG_SQL}),
+c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+tr AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM c GROUP BY 1),
+pr AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS n_pred
+       FROM c GROUP BY 1)
+SELECT c.lang, c.lang_pred, c.n,
+       round(c.n * 1.0 / tr.n_true, 4) AS recall_contrib,
+       round(c.n * 1.0 / pr.n_pred, 4) AS precision_contrib
+FROM c JOIN tr USING (lang) JOIN pr USING (lang_pred)
+""")
+def a17_langid_confusion(spark, sf_dir):
+    """Multiclass confusion matrix of the tx1 language-ID heuristic
+    against the labeled lang column: per (true, predicted) cell, the
+    count plus its share of the true class (the diagonal cell's
+    recall_contrib IS that class's recall) and of the predicted class
+    (diagonal precision_contrib = precision) — the eval view the
+    score-based a10-a14 family cannot give for a MULTICLASS labeler,
+    and the gate before tx1's predictions feed px5/px6 language
+    stratification. One class-pair-bounded rollup (cells <= langs^2)
+    plus two class-cardinality margins, broadcast-joined back."""
+    from crawler_spark.functions.text import lang_id_col
+    d = _t(spark, sf_dir, "documents")
+    p = d.select("lang", lang_id_col(F.col("text")).alias("lang_pred"))
+    c = (p.groupBy("lang", "lang_pred")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tr = c.groupBy("lang").agg(F.sum("n").cast("long").alias("n_true"))
+    pr = (c.groupBy("lang_pred")
+          .agg(F.sum("n").cast("long").alias("n_pred")))
+    return (c.join(F.broadcast(tr), "lang")
+            .join(F.broadcast(pr), "lang_pred")
+            .select("lang", "lang_pred", "n",
+                    F.round(F.col("n") / F.col("n_true"), 4)
+                    .alias("recall_contrib"),
+                    F.round(F.col("n") / F.col("n_pred"), 4)
+                    .alias("precision_contrib")))

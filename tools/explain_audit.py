@@ -640,6 +640,10 @@ CHECKS = {
     "a16_poisson_bootstrap_ci": (["HashAggregate", "partial_sum"],
                                  ["BatchEvalPython", "ArrowEvalPython",
                                   "SortMergeJoin", "rangepartitioning("]),
+    # confusion matrix: one cells rollup + broadcast margins, no Python
+    "a17_langid_confusion": (["HashAggregate", "BroadcastHashJoin"],
+                             ["BatchEvalPython", "ArrowEvalPython",
+                              "SortMergeJoin"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
