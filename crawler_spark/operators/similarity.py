@@ -1085,3 +1085,62 @@ def ivf_recall_curve(emb: DataFrame, query: DataFrame, k: int = 10,
                     F.round(F.coalesce(F.col("c"), F.lit(0))
                             / F.lit(float(nq * k)), 4)
                     .alias("mean_recall")))
+
+
+def farthest_first_centers(emb: DataFrame, k: int = 4, scale: int = 64,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Deterministic farthest-first k-center seeding (Gonzalez 1985 —
+    the 2-approximation k-center traversal, and the deterministic
+    stand-in for k-means++'s D^2 sampling): start from the minimum
+    vec_id, then k-1 times add the vector farthest (exact integer L2 on
+    the km1 lattice) from the chosen set, ties to the smaller id.
+    Output one row per center: (rk, vec_id, sel_d2 = its min-distance
+    to the previously-chosen set at selection time, radius = the final
+    max-min coverage distance — the k-center objective). This is the
+    init-quality step a serving team runs BEFORE km1's Lloyd rounds: a
+    bad seed shows up as a large radius here, not three iterations in.
+
+    Scale shape: per round, ONE distance pass (corpus joined to the
+    single new center's broadcast dims, min-merged into the running
+    min-distance column — the classic O(nk) traversal) and one global
+    top-1 (TakeOrderedAndProject). Driver state is k (id, d2) scalars —
+    bounded by k, never data-proportional. The min-distance frame is
+    checkpointed per round (iterative-lineage discipline). All
+    distances are exact BIGINTs; no floats anywhere until none."""
+    from pyspark.sql import Row
+
+    qz = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x.cast("double") * scale)
+                     .cast("long"))
+    v = (emb.select(F.col(id_col).alias("vid"), qz.alias("qv"))
+         .select("vid", F.posexplode("qv"))
+         .select("vid", (F.col("pos") + 1).alias("d"),
+                 F.col("col").alias("v"))
+         .localCheckpoint(eager=True))
+
+    def dist_to(center_id) -> DataFrame:
+        c = v.where(F.col("vid") == center_id) \
+             .select("d", F.col("v").alias("cv"))
+        return (v.join(F.broadcast(c), "d")
+                .groupBy("vid")
+                .agg(F.sum((F.col("v") - F.col("cv"))
+                           * (F.col("v") - F.col("cv"))).alias("d2")))
+
+    first = emb.agg(F.min(id_col)).first()[0]
+    chosen = [(1, first, 0)]
+    mind = dist_to(first).localCheckpoint(eager=True)
+    for rk in range(2, k + 1):
+        top = (mind.where(~F.col("vid").isin([c[1] for c in chosen]))
+               .orderBy(F.desc("d2"), "vid").limit(1).first())
+        chosen.append((rk, top["vid"], int(top["d2"])))
+        nd = dist_to(top["vid"]).select("vid", F.col("d2").alias("nd2"))
+        mind = (mind.join(nd, "vid")
+                .select("vid", F.least("d2", "nd2").alias("d2"))
+                .localCheckpoint(eager=True))
+    radius = int(mind.agg(F.max("d2")).first()[0])
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        [Row(rk=r, vec_id=i, sel_d2=d) for r, i, d in chosen],
+        "rk int, vec_id long, sel_d2 long")
+    return out.withColumn("radius", F.lit(radius).cast("long"))

@@ -9652,3 +9652,74 @@ def a17_langid_confusion(spark, sf_dir):
                     .alias("recall_contrib"),
                     F.round(F.col("n") / F.col("n_pred"), 4)
                     .alias("precision_contrib")))
+
+
+@q("km3_farthest_first", """
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))
+                    AS qv
+           FROM embeddings),
+v AS (SELECT vec_id, s.d AS d, s.v AS v
+      FROM (SELECT vec_id,
+                   unnest(list_transform(range(1, len(qv)+1),
+                          i -> {'d': i, 'v': qv[i]})) AS s
+            FROM q)),
+s1 AS (SELECT min(vec_id) AS id FROM q),
+d1 AS (SELECT v.vec_id, sum((v.v - w.v) * (v.v - w.v)) AS d2
+       FROM v JOIN v w ON w.d = v.d AND w.vec_id = (SELECT id FROM s1)
+       GROUP BY 1),
+p2 AS (SELECT vec_id, d2 FROM d1
+       WHERE vec_id <> (SELECT id FROM s1)
+       ORDER BY d2 DESC, vec_id LIMIT 1),
+e2 AS (SELECT v.vec_id, sum((v.v - w.v) * (v.v - w.v)) AS d2
+       FROM v JOIN v w ON w.d = v.d
+                       AND w.vec_id = (SELECT vec_id FROM p2)
+       GROUP BY 1),
+m2 AS (SELECT d1.vec_id, least(d1.d2, e2.d2) AS d2
+       FROM d1 JOIN e2 USING (vec_id)),
+p3 AS (SELECT vec_id, d2 FROM m2
+       WHERE vec_id NOT IN ((SELECT id FROM s1), (SELECT vec_id FROM p2))
+       ORDER BY d2 DESC, vec_id LIMIT 1),
+e3 AS (SELECT v.vec_id, sum((v.v - w.v) * (v.v - w.v)) AS d2
+       FROM v JOIN v w ON w.d = v.d
+                       AND w.vec_id = (SELECT vec_id FROM p3)
+       GROUP BY 1),
+m3 AS (SELECT m2.vec_id, least(m2.d2, e3.d2) AS d2
+       FROM m2 JOIN e3 USING (vec_id)),
+p4 AS (SELECT vec_id, d2 FROM m3
+       WHERE vec_id NOT IN ((SELECT id FROM s1), (SELECT vec_id FROM p2),
+                            (SELECT vec_id FROM p3))
+       ORDER BY d2 DESC, vec_id LIMIT 1),
+e4 AS (SELECT v.vec_id, sum((v.v - w.v) * (v.v - w.v)) AS d2
+       FROM v JOIN v w ON w.d = v.d
+                       AND w.vec_id = (SELECT vec_id FROM p4)
+       GROUP BY 1),
+m4 AS (SELECT m3.vec_id, least(m3.d2, e4.d2) AS d2
+       FROM m3 JOIN e4 USING (vec_id)),
+rad AS (SELECT CAST(max(d2) AS BIGINT) AS r FROM m4)
+SELECT CAST(t.rk AS INT) AS rk, t.vec_id,
+       CAST(t.sel_d2 AS BIGINT) AS sel_d2, rad.r AS radius
+FROM (
+  SELECT 1 AS rk, (SELECT id FROM s1) AS vec_id, 0 AS sel_d2
+  UNION ALL
+  SELECT 2, (SELECT vec_id FROM p2), (SELECT d2 FROM p2)
+  UNION ALL
+  SELECT 3, (SELECT vec_id FROM p3), (SELECT d2 FROM p3)
+  UNION ALL
+  SELECT 4, (SELECT vec_id FROM p4), (SELECT d2 FROM p4)
+) t CROSS JOIN rad
+""")
+def km3_farthest_first(spark, sf_dir):
+    """Deterministic farthest-first (Gonzalez) k-center seeding, k=4,
+    on the km1 integer lattice: the init-quality step before km1's
+    Lloyd rounds (a bad seed shows up as a large coverage radius here,
+    not three iterations in), and the deterministic stand-in for
+    k-means++'s D^2 sampling that can sit under the cross-engine hash
+    gate. Per center: selection rank, id, its exact integer min-L2 to
+    the already-chosen set, plus the final k-center radius. The DuckDB
+    twin unrolls the identical 3 traversal rounds (the km1 contract).
+    See operators/similarity.farthest_first_centers."""
+    from crawler_spark.operators.similarity import farthest_first_centers
+    return farthest_first_centers(_t(spark, sf_dir, "embeddings"),
+                                  k=4, scale=64)

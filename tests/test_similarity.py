@@ -365,3 +365,43 @@ def test_ivf_recall_curve_monotone_and_saturates(spark):
     assert got[1] <= got[2] <= got[3]
     assert got[3] == 1.0
     assert got[1] > 0.0
+
+
+def test_farthest_first_golden_1d(spark):
+    """Hand-traced Gonzalez traversal on a 1-D lattice (0, 10, 4, 7 at
+    scale 64): start at min id, then 10 (d2=100), then 4 (d2=16);
+    radius with k=3 is vec 3's min distance, 9."""
+    from crawler_spark.operators.similarity import farthest_first_centers
+    rows = [(0, [0.0]), (1, [10 / 64]), (2, [4 / 64]), (3, [7 / 64])]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r.rk, r.vec_id, r.sel_d2, r.radius)
+           for r in farthest_first_centers(d, k=3).orderBy("rk").collect()]
+    assert got == [(1, 0, 0, 9), (2, 1, 100, 9), (3, 2, 16, 9)]
+
+
+def test_farthest_first_matches_python_reference(spark):
+    """Random lattice vectors vs a direct Python Gonzalez traversal."""
+    import random
+    from crawler_spark.operators.similarity import farthest_first_centers
+    rnd = random.Random(5)
+    vecs = {i: [rnd.randrange(0, 64) / 64 for _ in range(4)]
+            for i in range(30)}
+    lat = {i: [int(x * 64) for x in v] for i, v in vecs.items()}
+    d2 = lambda a, b: sum((x - y) ** 2 for x, y in zip(a, b))  # noqa: E731
+    chosen = [min(lat)]
+    mind = {i: d2(lat[i], lat[chosen[0]]) for i in lat}
+    want = [(1, chosen[0], 0)]
+    for rk in range(2, 5):
+        nxt = max((i for i in lat if i not in chosen),
+                  key=lambda i: (mind[i], -i))
+        want.append((rk, nxt, mind[nxt]))
+        chosen.append(nxt)
+        for i in lat:
+            mind[i] = min(mind[i], d2(lat[i], lat[nxt]))
+    radius = max(mind.values())
+    df = spark.createDataFrame(sorted(vecs.items()),
+                               "vec_id long, embedding array<double>")
+    got = [(r.rk, r.vec_id, r.sel_d2)
+           for r in farthest_first_centers(df, k=4).orderBy("rk").collect()]
+    assert got == want
+    assert farthest_first_centers(df, k=4).first().radius == radius

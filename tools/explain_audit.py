@@ -644,6 +644,11 @@ CHECKS = {
     "a17_langid_confusion": (["HashAggregate", "BroadcastHashJoin"],
                              ["BatchEvalPython", "ArrowEvalPython",
                               "SortMergeJoin"]),
+    # farthest-first: final frame is the driver-built k-row table (the
+    # traversal's per-round broadcast distance passes + global top-1s
+    # run eagerly inside the operator); only forbid Python shapes
+    "km3_farthest_first": ([],
+                           ["BatchEvalPython", "ArrowEvalPython"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
