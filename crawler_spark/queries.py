@@ -9723,3 +9723,75 @@ def km3_farthest_first(spark, sf_dir):
     from crawler_spark.operators.similarity import farthest_first_centers
     return farthest_first_centers(_t(spark, sf_dir, "embeddings"),
                                   k=4, scale=64)
+
+
+@q("so5_symdiff", """
+SELECT doc_id FROM (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+  EXCEPT
+  SELECT doc_id FROM documents WHERE n_chars > 200)
+UNION
+SELECT doc_id FROM (
+  SELECT doc_id FROM documents WHERE n_chars > 200
+  EXCEPT
+  SELECT doc_id FROM documents WHERE lang = 'en')
+""")
+def so5_symdiff(spark, sf_dir):
+    """SO-family completion: symmetric difference — 'URLs in exactly one
+    of the two sets' (discovered-but-not-due XOR due-but-not-discovered,
+    the frontier-reconciliation readout). Two anti-joins over distinct
+    keys unioned; each plans as LeftAnti on a keys-only shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("lang") == "en").select("doc_id")
+    b = d.where(F.col("n_chars") > 200).select("doc_id")
+    return a.subtract(b).union(b.subtract(a)).distinct()
+
+
+@q("rc8_change_rate", """
+WITH old AS (SELECT doc_id, source, md5(text) AS fp FROM documents
+             WHERE doc_id % 10 <> 9),
+new AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || '#v2'
+                        ELSE text END) AS fp
+        FROM documents WHERE doc_id % 10 <> 0),
+pairs AS (SELECT o.source,
+                 CASE WHEN o.fp = n.fp THEN 0 ELSE 1 END AS chg
+          FROM old o JOIN new n ON o.doc_id = n.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(chg) AS BIGINT) AS n_changed,
+       round(-ln((count(*) - sum(chg) + 0.5) / (count(*) + 0.5)), 4)
+         AS lambda_hat
+FROM pairs GROUP BY source
+""")
+def rc8_change_rate(spark, sf_dir):
+    """Page change-rate estimation per source stratum (Cho &
+    Garcia-Molina, TOIT 2003, the bias-corrected MLE for a Poisson
+    change process observed through same-interval revisits):
+    lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) over the rc3 snapshot
+    pair, where X = pages whose fingerprint changed between visits.
+    The 0.5 correction keeps the estimator finite at X = n (the naive
+    -ln(1 - X/n) diverges) — this is the number rc2's adaptive TTL and
+    rc6's delay controller should be seeded with, estimated per
+    stratum so template-heavy sources don't mask fast-churn ones.
+    One fingerprint equi-join at key cardinality + one stratum rollup;
+    exact BIGINTs into a single ln per output row."""
+    d = _t(spark, sf_dir, "documents")
+    old = (d.where(F.col("doc_id") % 10 != 9)
+           .select("doc_id", "source", F.md5("text").alias("fp_o")))
+    new = (d.where(F.col("doc_id") % 10 != 0)
+           .select("doc_id",
+                   F.md5(F.when(F.col("doc_id") % 7 == 0,
+                                F.concat(F.col("text"), F.lit("#v2")))
+                         .otherwise(F.col("text"))).alias("fp_n")))
+    pairs = (old.join(new, "doc_id")
+             .select("source",
+                     F.when(F.col("fp_o") == F.col("fp_n"), 0)
+                     .otherwise(1).alias("chg")))
+    n, x = F.count(F.lit(1)), F.sum("chg")
+    return (pairs.groupBy("source")
+            .agg(n.cast("long").alias("n_pairs"),
+                 x.cast("long").alias("n_changed"),
+                 F.round(-F.log((n - x + F.lit(0.5))
+                                / (n + F.lit(0.5))), 4)
+                 .alias("lambda_hat")))

@@ -649,6 +649,14 @@ CHECKS = {
     # run eagerly inside the operator); only forbid Python shapes
     "km3_farthest_first": ([],
                            ["BatchEvalPython", "ArrowEvalPython"]),
+    # symmetric difference: two LeftAnti over distinct keys, unioned
+    "so5_symdiff": (["LeftAnti", "Union"],
+                    ["BatchEvalPython", "ArrowEvalPython",
+                     "CartesianProduct"]),
+    # change rate: one fingerprint equi-join + stratum partial agg
+    "rc8_change_rate": (["HashAggregate", "partial_count"],
+                        ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
