@@ -155,3 +155,67 @@ def test_vocab_ids_environment_invariant(spark):
                       for r in out.collect())
 
     _sweep(spark, base, run, want, "term")
+
+
+def test_scc_decomposition_environment_invariant(spark):
+    """Round-5 addition: the SCC closure loop crashed ("key not found:
+    attr#N" in Union's constraint rewrite) at some INPUT SHAPES only
+    before the constraint-propagation guard — exactly the class of
+    shape-dependent failure this sweep exists to catch. Sweep the
+    16-combo matrix over a digraph whose trim leaves closure work, and
+    assert label equality against the Tarjan truth every time."""
+    from test_clusters import _scc_py
+    from crawler_spark.operators.clusters import scc_decomposition
+
+    import random
+    rnd = random.Random(211)
+    n = 18
+    edges = sorted({(f"n{rnd.randrange(n):02d}", f"n{rnd.randrange(n):02d}")
+                    for _ in range(45)})
+    edges = [(u, v) for u, v in edges if u != v]
+    want = sorted(_scc_py(edges).items())
+    base = spark.createDataFrame(edges, "src string, dst string")
+
+    def run(df):
+        return sorted((r.host, r.scc_id)
+                      for r in scc_decomposition(df).collect())
+
+    _sweep(spark, base, run, want, "src")
+
+
+def test_condensation_levels_environment_invariant(spark):
+    """Same matrix for the Bellman-Ford layering (strict-improvement
+    frontier loop + unions over checkpointed frames)."""
+    from test_clusters import _scc_py
+    from crawler_spark.operators.clusters import scc_condensation_levels
+
+    import random
+    rnd = random.Random(83)
+    n = 14
+    edges = sorted({(f"n{rnd.randrange(n):02d}", f"n{rnd.randrange(n):02d}")
+                    for _ in range(30)})
+    edges = [(u, v) for u, v in edges if u != v]
+    lab = _scc_py(edges)
+    cond = {}
+    for u, v in edges:
+        if lab[u] != lab[v]:
+            cond.setdefault(lab[u], set()).add(lab[v])
+    comps = sorted(set(lab.values()))
+    level = {c: 0 for c in comps if not any(c in t for t in cond.values())}
+    frontier = dict(level)
+    while frontier:
+        nxt = {}
+        for a, l in frontier.items():
+            for b in cond.get(a, ()):
+                if level.get(b, -1) < l + 1:
+                    nxt[b] = max(nxt.get(b, 0), l + 1)
+        level.update(nxt)
+        frontier = nxt
+    want = sorted((c, level.get(c, 0)) for c in comps)
+    base = spark.createDataFrame(edges, "src string, dst string")
+
+    def run(df):
+        return sorted((r.scc_id, r.level)
+                      for r in scc_condensation_levels(df).collect())
+
+    _sweep(spark, base, run, want, "src")
