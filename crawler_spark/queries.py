@@ -9795,3 +9795,82 @@ def rc8_change_rate(spark, sf_dir):
                  F.round(-F.log((n - x + F.lit(0.5))
                                 / (n + F.lit(0.5))), 4)
                  .alias("lambda_hat")))
+
+
+@q("ks11_sampled_quantiles", """
+WITH h AS (SELECT event_type, event_id, value,
+                  ('0x' || substr(md5('qs/' || CAST(event_id AS VARCHAR)),
+                                  1, 8))::BIGINT AS hk
+           FROM events),
+s AS (SELECT event_type, value FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hk, event_id) AS rk
+        FROM h) WHERE rk <= 64),
+est AS (SELECT event_type,
+               CAST(count(*) AS BIGINT) AS sample_n,
+               list(value ORDER BY value) AS a
+        FROM s GROUP BY event_type),
+e2 AS (SELECT event_type, sample_n,
+              round(a[CAST(ceil(CAST(0.5 AS DOUBLE) * sample_n) AS INT)],
+                    4) AS q50_est,
+              round(a[CAST(ceil(CAST(0.9 AS DOUBLE) * sample_n) AS INT)],
+                    4) AS q90_est
+       FROM est),
+v AS (SELECT event_type, value AS _v, count(*) AS _c
+      FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, _v, _c,
+             sum(_c) OVER (PARTITION BY event_type ORDER BY _v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+             sum(_c) OVER (PARTITION BY event_type) AS _n
+      FROM v),
+ex AS (SELECT event_type, CAST(sum(_c) AS BIGINT) AS n,
+              round(min(CASE WHEN _cum >= ceil(CAST(0.5 AS DOUBLE) * _n)
+                        THEN _v END), 4) AS q50_exact,
+              round(min(CASE WHEN _cum >= ceil(CAST(0.9 AS DOUBLE) * _n)
+                        THEN _v END), 4) AS q90_exact
+       FROM r GROUP BY event_type)
+SELECT ex.event_type, ex.n, e2.sample_n,
+       ex.q50_exact, e2.q50_est, ex.q90_exact, e2.q90_est
+FROM ex JOIN e2 USING (event_type)
+""")
+def ks11_sampled_quantiles(spark, sf_dir):
+    """Bottom-k uniform-sample quantiles next to their exact values —
+    the MERGEABLE quantile path at 10^10 events (union two bottom-k
+    samples and re-take the k hash-smallest — the KMV merge property —
+    where ks3's exact distinct-value window needs the full value
+    distribution): per event type, the 64 events with the smallest
+    content-stable md5 coin form the sample, sample quantiles are exact
+    index selections on the sorted 64-array, and the same row carries
+    ks3's exact p50/p90 so the table IS the estimator-error audit
+    (dd13's pattern: measure the knob next to its truth). One per-type
+    rank shuffle (w2's top-k shape) + a 64-element sort per type; the
+    exact side reuses ks3's distinct-value compression."""
+    from pyspark.sql import Window as W
+    from crawler_spark.operators.sketches import exact_quantiles
+    e = _t(spark, sf_dir, "events")
+    hk = F.conv(F.substring(F.md5(F.concat(
+        F.lit("qs/"), F.col("event_id").cast("string"))), 1, 8), 16, 10) \
+        .cast("long")
+    s = (e.select("event_type", "event_id", "value")
+         .withColumn("rk", F.row_number().over(
+             W.partitionBy("event_type").orderBy(hk, F.col("event_id"))))
+         .where(F.col("rk") <= 64))
+    est = (s.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("sample_n"),
+                F.array_sort(F.collect_list("value")).alias("a")))
+    idx = lambda q: F.ceil(F.lit(q).cast("double")  # noqa: E731
+                           * F.col("sample_n")).cast("int")
+    e2 = est.select("event_type", "sample_n",
+                    F.round(F.element_at("a", idx(0.5)), 4)
+                    .alias("q50_est"),
+                    F.round(F.element_at("a", idx(0.9)), 4)
+                    .alias("q90_est"))
+    ex = (exact_quantiles(e.select("event_type", "value"),
+                          ["event_type"], F.col("value"), qs=(0.5, 0.9))
+          .select("event_type", "n",
+                  F.col("q_50").alias("q50_exact"),
+                  F.col("q_90").alias("q90_exact")))
+    return (ex.join(e2, "event_type")
+            .select("event_type", "n", "sample_n",
+                    "q50_exact", "q50_est", "q90_exact", "q90_est"))

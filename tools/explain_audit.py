@@ -657,6 +657,11 @@ CHECKS = {
     "rc8_change_rate": (["HashAggregate", "partial_count"],
                         ["BatchEvalPython", "ArrowEvalPython",
                          "CartesianProduct"]),
+    # sampled quantiles: per-type rank shuffle (w2 top-k shape) + tiny
+    # per-type arrays; exact side compresses to distinct values first
+    "ks11_sampled_quantiles": (["Window", "HashAggregate"],
+                               ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
