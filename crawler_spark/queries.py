@@ -9874,3 +9874,63 @@ def ks11_sampled_quantiles(spark, sf_dir):
     return (ex.join(e2, "event_type")
             .select("event_type", "n", "sample_n",
                     "q50_exact", "q50_est", "q90_exact", "q90_est"))
+
+
+@q("a18_mcnemar", f"""
+WITH p AS (SELECT lang,
+                  CASE WHEN ({_LANG_CASE}) = 'en' THEN 1 ELSE 0 END AS a,
+                  CASE WHEN ({_QUALITY_EXPR}) >= 0.7 THEN 1 ELSE 0 END
+                    AS b,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+c AS (SELECT CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN a = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a_correct,
+             CAST(sum(CASE WHEN b = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b_correct,
+             CAST(count(*) AS BIGINT) AS n
+      FROM p)
+SELECT n, n_a_correct, n_b_correct, n10, n01,
+       round((n10 - n01) * (n10 - n01) * 1.0 / (n10 + n01), 4)
+         AS mcnemar_chi2
+FROM c
+""")
+def a18_mcnemar(spark, sf_dir):
+    """McNemar's paired test between the two English detectors the
+    pipeline actually ships — tx1's marker-density language-ID vs the
+    tx2 quality gate at 0.7 (whose stopword axis doubles as an en
+    signal) — against the labeled truth: the discordant-pair counts
+    n10/n01 and the chi-square statistic (b-c)^2/(b+c). This is THE
+    question a release engineer asks when swapping classifiers ("is B
+    actually better, or do they just disagree?") and the paired-design
+    completion of the eval suite (a10 calibration, a11 AUC, a12 AP,
+    a13 Brier, a14 PR, a16 bootstrap CI, a17 confusion). Exact BIGINT
+    discordance counts from ONE map-side pass + one global rollup;
+    a single division into the statistic."""
+    from crawler_spark.functions.text import (
+        lang_id_col, quality_score_col,
+    )
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        (lang_id_col(F.col("text")) == "en").cast("int").alias("a"),
+        (quality_score_col(F.col("text")) >= 0.7).cast("int").alias("b"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    agree_a = (F.col("a") == F.col("y")).cast("int")
+    agree_b = (F.col("b") == F.col("y")).cast("int")
+    c = p.agg(
+        F.sum(((F.col("a") == F.col("y"))
+               & (F.col("b") != F.col("y"))).cast("int"))
+        .cast("long").alias("n10"),
+        F.sum(((F.col("a") != F.col("y"))
+               & (F.col("b") == F.col("y"))).cast("int"))
+        .cast("long").alias("n01"),
+        F.sum(agree_a).cast("long").alias("n_a_correct"),
+        F.sum(agree_b).cast("long").alias("n_b_correct"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    diff = F.col("n10") - F.col("n01")
+    return c.select("n", "n_a_correct", "n_b_correct", "n10", "n01",
+                    F.round(diff * diff / (F.col("n10") + F.col("n01")),
+                            4).alias("mcnemar_chi2"))

@@ -662,6 +662,10 @@ CHECKS = {
     "ks11_sampled_quantiles": (["Window", "HashAggregate"],
                                ["BatchEvalPython", "ArrowEvalPython",
                                 "CartesianProduct"]),
+    # McNemar: one map-side pass + one global partial agg; no joins
+    "a18_mcnemar": (["HashAggregate", "partial_sum"],
+                    ["BatchEvalPython", "ArrowEvalPython", "Join",
+                     "Exchange hashpartitioning"]),
     # readability: pure map-side codegen (let-bound word split + two
     # regexp_counts) — NO exchange, no joins, no Python
     "tx21_readability": (["[codegen id :"],
